@@ -1,0 +1,53 @@
+"""Engine error taxonomy.
+
+Mirrors the reference's error surface (reference src/http_server.rs:143-199,
+240-247: workspace-open failure, version-resolution failure, missing path),
+re-expressed as typed Python exceptions instead of HTML error renders.
+"""
+
+from __future__ import annotations
+
+
+class EngineError(Exception):
+    """Base class for all engine errors."""
+
+
+class WorkspaceNotFound(EngineError):
+    """The named workspace does not exist under the workspace mount.
+
+    Reference parity: failing `Repository::open` (http_server.rs:143-151).
+    """
+
+    def __init__(self, name: str):
+        self.name = name
+        super().__init__(f"workspace not found: {name!r}")
+
+
+class VersionNotFound(EngineError):
+    """The requested version is neither a git short ref nor a commit prefix.
+
+    Reference parity: resolution failure (http_server.rs:154-165).
+    """
+
+    def __init__(self, version: str):
+        self.version = version
+        super().__init__(f"version not found: {version!r}")
+
+
+class PathNotFound(EngineError):
+    """The sanitized path does not exist in the materialized snapshot.
+
+    Reference parity: existence check (http_server.rs:240-247).
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        super().__init__(f"path not found: {path!r}")
+
+
+class TableNotFound(EngineError):
+    """A table name could not be resolved to a dataset in the workspace."""
+
+    def __init__(self, table: str):
+        self.table = table
+        super().__init__(f"table not found: {table!r}")

@@ -1,0 +1,75 @@
+"""SparkSession factory.
+
+One shared session per process (the reference amortizes setup the same
+way: one template registry behind an Arc, http_server.rs:19). Tuned for
+the driver's local[N] test environment but with settings that carry to a
+real cluster: AQE on (runtime join-strategy switching, partition
+coalescing, skew-join handling), Arrow on (fast pandas interchange for
+the UDF slow-path), UTC session timezone (oracle comparability).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    # AQE: coalesce shuffle partitions, switch join strategies at runtime,
+    # split skewed partitions. These are the single biggest levers for
+    # "would this plan survive 100x scale" — leave ON everywhere.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for pandas_udf / applyInPandas / toPandas interchange.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deterministic timestamp semantics across engines (DuckDB oracle is
+    # UTC-naive).
+    "spark.sql.session.timeZone": "UTC",
+    # ANSI off matches classic Spark/TPC-H semantics (silent overflow/null
+    # on bad casts) and DuckDB's permissive TRY-less reads of clean data.
+    "spark.sql.ansi.enabled": "false",
+    # Quieter, faster local runs.
+    "spark.ui.enabled": "false",
+}
+
+
+def _cpu_count() -> int:
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "") or os.cpu_count() or 4)
+    except ValueError:
+        return os.cpu_count() or 4
+
+
+def get_session(
+    app_name: str = "smallquery_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or return the existing) SparkSession.
+
+    ``shuffle_partitions`` defaults to the local core count — on a real
+    cluster this would be ~2-3x total executor cores, set via submit conf;
+    AQE coalescing makes over-provisioning cheap.
+    """
+    cpus = _cpu_count()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in _DEFAULTS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_session() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,145 @@
+"""Local correctness harness mirroring the driver's t2 gate.
+
+Runs every registry query on Spark and its oracle SQL on DuckDB over the
+same sf directory, canonicalizes both results (columns sorted by name,
+rows fully sorted, doubles rounded to 6 decimals, NULL sentinel), and
+compares row-count + value-hash. Exit non-zero on any mismatch.
+
+Usage: python -m tools.check [sf_dir] [name_substring ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+import time
+from datetime import date, datetime
+from decimal import Decimal
+
+import duckdb
+
+from smallquery_spark.queries import REGISTRY, load_all
+from smallquery_spark.session import get_session
+from smallquery_spark.sources import TABLES
+
+NULL = "\x00NULL"
+
+
+def canon_value(v) -> str:
+    if v is None:
+        return NULL
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{round(v, 6):.6f}"
+    if isinstance(v, Decimal):
+        return f"{float(v):.6f}"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_value(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    try:
+        import numpy as np
+
+        if isinstance(v, np.floating):
+            return canon_value(float(v))
+        if isinstance(v, np.integer):
+            return str(int(v))
+        if isinstance(v, np.bool_):
+            return canon_value(bool(v))
+        if isinstance(v, np.ndarray):
+            return canon_value(list(v))
+    except ImportError:
+        pass
+    return str(v)
+
+
+def canon_rows(cols: list[str], rows: list[tuple]) -> tuple[int, str]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    canon = sorted(
+        "\x01".join(canon_value(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256("\x02".join(canon).encode()).hexdigest()[:16]
+    return len(canon), h
+
+
+def run_spark(qd, spark, sf_dir):
+    df = qd.fn(spark, sf_dir)
+    cols = df.columns
+    rows = [tuple(r) for r in df.collect()]
+    return cols, rows
+
+
+def run_duckdb(sql: str, con) -> tuple[list[str], list[tuple]]:
+    res = con.execute(sql)
+    cols = [d[0] for d in res.description]
+    return cols, res.fetchall()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    name_filters = sys.argv[2:]
+    load_all()
+
+    spark = get_session("smallquery-check")
+    con = duckdb.connect()
+    for tbl in TABLES:
+        p = os.path.join(sf_dir, f"{tbl}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{p}')")
+
+    failures, passed, rows_only = [], 0, 0
+    for name, qd in sorted(REGISTRY.items()):
+        if name_filters and not any(f in name for f in name_filters):
+            continue
+        t0 = time.time()
+        try:
+            cols_s, rows_s = run_spark(qd, spark, sf_dir)
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"SPARK ERROR: {type(e).__name__}: {e}"))
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if qd.oracle is None:
+            rows_only += 1
+            print(f"rows  {name}: {len(rows_s)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            cols_d, rows_d = run_duckdb(qd.oracle, con)
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"DUCKDB ERROR: {type(e).__name__}: {e}"))
+            print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+        n_s, h_s = canon_rows(cols_s, rows_s)
+        n_d, h_d = canon_rows(cols_d, rows_d)
+        if sorted(cols_s) != sorted(cols_d):
+            failures.append((name, f"COLUMNS: spark={sorted(cols_s)} duckdb={sorted(cols_d)}"))
+            print(f"FAIL  {name}: column mismatch {sorted(cols_s)} vs {sorted(cols_d)}")
+        elif n_s != n_d:
+            failures.append((name, f"ROWCOUNT: spark={n_s} duckdb={n_d}"))
+            print(f"FAIL  {name}: rowcount {n_s} vs {n_d}")
+        elif h_s != h_d:
+            failures.append((name, f"HASH: spark={h_s} duckdb={h_d} ({n_s} rows)"))
+            print(f"FAIL  {name}: value hash mismatch ({n_s} rows)")
+        else:
+            passed += 1
+            print(f"ok    {name}: {n_s} rows [{time.time()-t0:.1f}s]")
+
+    print(
+        f"\n{passed} oracle-matched, {rows_only} rows-only, {len(failures)} failed"
+        f" (of {len([n for n in REGISTRY if not name_filters or any(f in n for f in name_filters)])})"
+    )
+    for name, why in failures:
+        print(f"  FAIL {name}: {why}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -47,7 +47,22 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 def t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    """Load one fixture table (parquet scan — SURVEY B2)."""
+    """Load one fixture table (parquet scan — SURVEY B2).
+
+    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses by
+    default; we read it as a nanos-since-epoch long
+    (``spark.sql.legacy.parquet.nanosAsLong`` — runtime-settable, works
+    on the driver's session too) and rebuild a microsecond TimestampType
+    column with exact integer division (truncation, like Spark's own
+    µs semantics). Queries must therefore never RETURN raw ``ts``
+    values — the DuckDB oracle keeps full nanos (see tools/check notes).
+    """
+    if table == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
 
 

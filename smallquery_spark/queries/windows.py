@@ -1,1 +1,191 @@
-"""Placeholder — populated in later build steps."""
+"""Window-function queries (SURVEY.md §2 B31-B34).
+
+Determinism rule: every window ordering is made TOTAL with a unique
+tie-break key (o_orderkey / event_id / l_linenumber) so both engines
+produce identical ranks — `row_number` over a non-total order is
+nondeterministic on any engine (SURVEY §4.3).
+
+Scale note: a window partitioned by a key is one hash shuffle + an
+in-partition sort — the same cost envelope as a sort-merge join. The
+anti-pattern to avoid is `Window.partitionBy()` (empty) over big data —
+it funnels everything into one task; none of these queries do that
+(the single global-frame query runs over a pre-aggregated small frame).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from smallquery_spark.operators import top_k_per_group
+from smallquery_spark.queries.registry import query, t
+
+
+# ---------------------------------------------------------------------------
+# B31 — ranking functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b31_ranking",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROW_NUMBER() OVER w AS rn,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    tags=("B31",),
+)
+def b31_ranking(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "b31_percent_rank",
+    oracle="""
+    SELECT l_returnflag, l_orderkey, l_linenumber,
+           ROUND(PERCENT_RANK() OVER (
+             PARTITION BY l_returnflag
+             ORDER BY l_quantity, l_orderkey, l_linenumber), 6) AS pr
+    FROM lineitem WHERE l_orderkey <= 3000
+    """,
+    tags=("B31",),
+)
+def b31_percent_rank(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 3000)
+    w = W.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B32 — analytic functions (lag/lead/first/last)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b32_lag_lead",
+    oracle="""
+    SELECT user_id, event_id,
+           LAG(value)  OVER w AS prev_value,
+           LEAD(value) OVER w AS next_value,
+           FIRST_VALUE(event_id) OVER w AS first_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    """,
+    tags=("B32",),
+)
+def b32_lag_lead(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("event_id").over(w).alias("first_event"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B33 — frame aggregates: running / sliding
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b33_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend,
+           ROUND(AVG(o_totalprice)
+             OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS sliding_avg3
+    FROM orders
+    """,
+    tags=("B33",),
+)
+def b33_running_sum(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("running_spend"),
+        F.round(
+            F.avg("o_totalprice").over(w.rowsBetween(-2, W.currentRow)), 4
+        ).alias("sliding_avg3"),
+    )
+
+
+@query(
+    "b33_range_frame",
+    oracle="""
+    SELECT p_brand, p_partkey, p_size,
+           COUNT(*) OVER (PARTITION BY p_brand ORDER BY p_size
+                          RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS n_similar
+    FROM part
+    """,
+    tags=("B33",),
+)
+def b33_range_frame(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    w = (
+        W.partitionBy("p_brand")
+        .orderBy("p_size")
+        .rangeBetween(-5, W.currentRow)
+    )
+    return p.select(
+        "p_brand", "p_partkey", "p_size", F.count("*").over(w).alias("n_similar")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B34 — top-k per group (composite operator)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b34_topk_per_group",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice, rnk FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             ROW_NUMBER() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey) AS rnk
+      FROM part
+    ) WHERE rnk <= 3
+    """,
+    tags=("B34",),
+)
+def b34_topk_per_group(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    return top_k_per_group(
+        p.select("p_brand", "p_partkey", "p_retailprice"),
+        group=["p_brand"],
+        order=[F.col("p_retailprice").desc(), F.col("p_partkey")],
+        k=3,
+        rank_col="rnk",
+    )

@@ -1,1 +1,273 @@
-"""Placeholder — populated in later build steps."""
+"""Source/sink queries (SURVEY.md §2 B1-B8).
+
+Each query materializes an export (driver-side, deterministic, derived
+from the fixture parquet), reads it back through the corresponding Spark
+source, and returns data the oracle can reproduce straight from the
+parquet views. Round-trips prove both the reader and the writer.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from smallquery_spark.queries.registry import query, t
+
+_WORK = os.path.join(tempfile.gettempdir(), "smallquery_sources")
+
+
+def _workdir(sf_dir: str, name: str) -> str:
+    d = os.path.join(_WORK, os.path.basename(sf_dir.rstrip("/")), name)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+# ---------------------------------------------------------------------------
+# B1 — CSV scan (header + explicit schema, and inference)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b01_csv_scan",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    tags=("B1",),
+)
+def b01_csv_scan(spark, sf_dir):
+    import pyarrow.csv as pacsv
+    import pyarrow.parquet as pq
+
+    d = _workdir(sf_dir, "csv")
+    path = os.path.join(d, "nation.csv")
+    if not os.path.exists(path):
+        pacsv.write_csv(pq.read_table(os.path.join(sf_dir, "nation.parquet")), path)
+    return spark.read.csv(
+        path, header=True, schema="n_nationkey int, n_name string, n_regionkey int"
+    )
+
+
+@query(
+    "b01_csv_infer",
+    oracle="SELECT r_regionkey, r_name FROM region",
+    tags=("B1",),
+)
+def b01_csv_infer(spark, sf_dir):
+    import pyarrow.csv as pacsv
+    import pyarrow.parquet as pq
+
+    d = _workdir(sf_dir, "csv")
+    path = os.path.join(d, "region.csv")
+    if not os.path.exists(path):
+        pacsv.write_csv(pq.read_table(os.path.join(sf_dir, "region.parquet")), path)
+    df = spark.read.csv(path, header=True, inferSchema=True)
+    return df.select(
+        F.col("r_regionkey").cast("int"), F.col("r_name").cast("string")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B3 — JSON lines scan
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b03_json_scan",
+    oracle="""
+    SELECT event_id, user_id, event_type, props FROM events
+    """,
+    tags=("B3",),
+)
+def b03_json_scan(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    d = _workdir(sf_dir, "json")
+    path = os.path.join(d, "events.jsonl")
+    if not os.path.exists(path):
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "user_id", "event_type", "props"],
+        )
+        df = tbl.to_pandas()
+        df.to_json(path, orient="records", lines=True)
+    return spark.read.json(
+        path,
+        schema="event_id long, user_id long, event_type string, props string",
+    ).select("event_id", "user_id", "event_type", "props")
+
+
+# ---------------------------------------------------------------------------
+# B4 — text scan
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b04_text_scan",
+    oracle="SELECT text AS value FROM documents",
+    tags=("B4",),
+)
+def b04_text_scan(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    d = _workdir(sf_dir, "text")
+    path = os.path.join(d, "documents.txt")
+    if not os.path.exists(path):
+        texts = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+        )["text"].to_pylist()
+        with open(path, "w", encoding="utf-8") as f:
+            for line in texts:
+                f.write(line + "\n")
+    return spark.read.text(path)
+
+
+# ---------------------------------------------------------------------------
+# B5 — versioned scan (git workspace; reference's core semantic)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b05_versioned_scan",
+    # v1 commit = the true nation export; v2 mutates it. Reading @v1 must
+    # reproduce the original table exactly — that IS the versioning check.
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    tags=("B5",),
+)
+def b05_versioned_scan(spark, sf_dir):
+    import subprocess
+
+    import pyarrow.csv as pacsv
+    import pyarrow.parquet as pq
+
+    from smallquery_spark.engine import Engine
+
+    mount = _workdir(sf_dir, "workspaces")
+    repo = os.path.join(mount, "ws")
+    env = {
+        **os.environ,
+        "GIT_AUTHOR_NAME": "t",
+        "GIT_AUTHOR_EMAIL": "t@t",
+        "GIT_COMMITTER_NAME": "t",
+        "GIT_COMMITTER_EMAIL": "t@t",
+        "GIT_AUTHOR_DATE": "2024-01-01T00:00:00Z",
+        "GIT_COMMITTER_DATE": "2024-01-01T00:00:00Z",
+    }
+
+    def g(*a):
+        subprocess.run(["git", "-C", repo, *a], check=True, capture_output=True, env=env)
+
+    if not os.path.isdir(os.path.join(repo, ".git")):
+        os.makedirs(repo, exist_ok=True)
+        g("init", "-b", "main")
+        pacsv.write_csv(
+            pq.read_table(os.path.join(sf_dir, "nation.parquet")),
+            os.path.join(repo, "nation.csv"),
+        )
+        g("add", "-A")
+        g("commit", "-m", "v1")
+        g("tag", "v1")
+        with open(os.path.join(repo, "nation.csv"), "a") as f:
+            f.write("99,MUTATED,0\n")
+        g("add", "-A")
+        g("commit", "-m", "v2")
+        g("tag", "v2")
+
+    eng = Engine(spark, workspace_mount=mount)
+    df = eng.table("nation", workspace="ws", version="v1")
+    return df.select(
+        F.col("n_nationkey").cast("int"),
+        "n_name",
+        F.col("n_regionkey").cast("int"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B6 — in-memory source
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b06_inmemory",
+    oracle="""
+    SELECT * FROM (VALUES (1, 'alpha', 1.5), (2, 'beta', 2.5), (3, 'gamma', NULL))
+      AS t(id, name, score)
+    """,
+    tags=("B6",),
+)
+def b06_inmemory(spark, sf_dir):
+    return spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", 2.5), (3, "gamma", None)],
+        schema="id int, name string, score double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# B7 — write sinks (parquet / csv / json round-trips)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b07_parquet_roundtrip",
+    oracle="SELECT * FROM orders",
+    tags=("B7",),
+)
+def b07_parquet_roundtrip(spark, sf_dir):
+    out = os.path.join(_workdir(sf_dir, "sink"), "orders_pq")
+    t(spark, sf_dir, "orders").write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+@query(
+    "b07_csv_roundtrip",
+    oracle="SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer",
+    tags=("B7",),
+)
+def b07_csv_roundtrip(spark, sf_dir):
+    out = os.path.join(_workdir(sf_dir, "sink"), "customer_csv")
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+    t(spark, sf_dir, "customer").select(*cols).write.mode("overwrite").option(
+        "header", True
+    ).csv(out)
+    return spark.read.csv(
+        out,
+        header=True,
+        schema="c_custkey long, c_name string, c_nationkey int, c_mktsegment string",
+    )
+
+
+@query(
+    "b07_json_roundtrip",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    tags=("B7",),
+)
+def b07_json_roundtrip(spark, sf_dir):
+    out = os.path.join(_workdir(sf_dir, "sink"), "supplier_json")
+    t(spark, sf_dir, "supplier").write.mode("overwrite").json(out)
+    return spark.read.json(
+        out, schema="s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
+    ).select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+
+
+@query("b07_append_mode", oracle=None, tags=("B7",))
+def b07_append_mode(spark, sf_dir):
+    out = os.path.join(_workdir(sf_dir, "sink"), "region_append")
+    r = t(spark, sf_dir, "region")
+    r.write.mode("overwrite").parquet(out)
+    r.write.mode("append").parquet(out)
+    # rows-only check: append doubles the row count deterministically.
+    return spark.read.parquet(out).groupBy("r_regionkey", "r_name").count()
+
+
+# ---------------------------------------------------------------------------
+# B8 — HTML render sink (reference A7/B8; smoke, no SQL oracle)
+# ---------------------------------------------------------------------------
+
+
+@query("b08_html_render", oracle=None, tags=("B8",))
+def b08_html_render(spark, sf_dir):
+    from smallquery_spark.sinks.render import render_html
+
+    df = t(spark, sf_dir, "region")
+    html = render_html(df, limit=10)
+    ok = "<table" in html and "r_name" in html
+    return spark.createDataFrame([(len(html), ok)], "html_len long, has_table boolean")

@@ -1,1 +1,376 @@
-"""Placeholder — populated in later build steps."""
+"""Structured Streaming queries (SURVEY.md §2 B50-B59).
+
+All run through the batch-equivalence harness
+(smallquery_spark.streaming.runner): availableNow trigger → memory sink
+→ returned as a plain DataFrame the DuckDB oracle can match. Sums over
+the double ``value`` column go through decimal casts (exact, engine-
+independent — see relational.py).
+
+Scale notes: the same pipelines pointed at kafka/file streams shard by
+the groupBy keys; watermarks bound state; stateful ops
+(applyInPandasWithState) keep per-key state in the state store, not in
+driver memory.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from smallquery_spark.queries.registry import query, t
+from smallquery_spark.streaming import events_stream, run_to_df
+
+_DEC = "decimal(18,2)"
+
+
+# ---------------------------------------------------------------------------
+# B50 — stream source passthrough (file source)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b50_stream_source",
+    oracle="""
+    SELECT event_id, user_id, value FROM events WHERE event_type = 'click'
+    """,
+    tags=("B50",),
+)
+def b50_stream_source(spark, sf_dir):
+    sdf = events_stream(spark, sf_dir)
+    out = sdf.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "value"
+    )
+    return run_to_df(out, "b50_src")
+
+
+# ---------------------------------------------------------------------------
+# B51 — tumbling window aggregation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b51_stream_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS ws,
+           COUNT(*) AS n,
+           SUM(CAST(value AS DECIMAL(18,2))) AS total
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("B51",),
+)
+def b51_stream_tumbling(spark, sf_dir):
+    sdf = events_stream(spark, sf_dir)
+    agg = (
+        sdf.groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(_DEC)).alias("total"),
+        )
+        .select(F.col("w.start").alias("ws"), "n", "total")
+    )
+    return run_to_df(agg, "b51_tumble", output_mode="complete")
+
+
+# ---------------------------------------------------------------------------
+# B52 — sliding window aggregation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b52_stream_sliding",
+    # every event belongs to 2 sliding windows (size 10m, slide 5m):
+    # the 5m-bucket it falls in, and the one starting 5m earlier.
+    oracle="""
+    WITH e AS (SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS b5 FROM events)
+    SELECT ws, COUNT(*) AS n FROM (
+      SELECT UNNEST([b5, b5 - INTERVAL 5 MINUTE]) AS ws FROM e
+    ) GROUP BY ws
+    """,
+    tags=("B52",),
+)
+def b52_stream_sliding(spark, sf_dir):
+    sdf = events_stream(spark, sf_dir)
+    agg = (
+        sdf.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    return run_to_df(agg, "b52_slide", output_mode="complete")
+
+
+# ---------------------------------------------------------------------------
+# B53 — session windows (5-minute gap)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b53_stream_session",
+    # oracle: classic gaps-and-islands; new session when gap >= 5 minutes
+    # (Spark merges strictly-closer-than-gap events).
+    oracle="""
+    WITH lagd AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM events
+    ), marked AS (
+      SELECT user_id, ts,
+             CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 5 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM lagd
+    ), sess AS (
+      SELECT user_id,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id, COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    tags=("B53",),
+)
+def b53_stream_session(spark, sf_dir):
+    sdf = events_stream(spark, sf_dir)
+    agg = (
+        sdf.groupBy(F.session_window("ts", "5 minutes"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", "n_events")
+    )
+    return run_to_df(agg, "b53_session", output_mode="complete")
+
+
+# ---------------------------------------------------------------------------
+# B54 — watermark + append mode (late windows held back)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b54_stream_watermark",
+    # append emits only windows finalized by the terminal watermark
+    # (max event time - 10m): window_end <= watermark.
+    oracle="""
+    WITH wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM events)
+    SELECT ws, n FROM (
+      SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS ws, COUNT(*) AS n
+      FROM events GROUP BY 1
+    ), wm
+    WHERE ws + INTERVAL 10 MINUTE <= wm.w
+    """,
+    tags=("B54",),
+)
+def b54_stream_watermark(spark, sf_dir):
+    sdf = events_stream(spark, sf_dir)
+    agg = (
+        sdf.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    return run_to_df(agg, "b54_wm", output_mode="append")
+
+
+# ---------------------------------------------------------------------------
+# B55 — streaming dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b55_stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("B55",),
+)
+def b55_stream_dedup(spark, sf_dir):
+    sdf = events_stream(spark, sf_dir)
+    # dropDuplicates keeps the first arrival per key — emit only the key
+    # columns so the result is deterministic across arrival orders.
+    dd = (
+        sdf.withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_to_df(dd, "b55_dedup")
+
+
+# ---------------------------------------------------------------------------
+# B56 — stream-static join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b56_stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    """,
+    tags=("B56",),
+)
+def b56_stream_static_join(spark, sf_dir):
+    sdf = events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    dim = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = sdf.join(dim, sdf.user_id == dim.c_custkey).select(
+        "event_id", "user_id", "c_mktsegment"
+    )
+    return run_to_df(joined, "b56_ss")
+
+
+# ---------------------------------------------------------------------------
+# B57 — stream-stream join (time-bounded)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b57_stream_stream_join",
+    oracle="""
+    SELECT e.event_id AS error_id, c.event_id AS click_id
+    FROM events e JOIN events c
+      ON e.user_id = c.user_id
+     AND c.ts >= e.ts - INTERVAL 10 MINUTE
+     AND c.ts <= e.ts
+     AND e.event_type = 'error' AND c.event_type = 'click'
+    """,
+    tags=("B57",),
+)
+def b57_stream_stream_join(spark, sf_dir):
+    errors = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "30 minutes")
+    )
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "30 minutes")
+    )
+    joined = errors.join(
+        clicks,
+        F.expr(
+            """
+            e_user = c_user AND
+            c_ts >= e_ts - INTERVAL 10 MINUTES AND
+            c_ts <= e_ts
+            """
+        ),
+    ).select("error_id", "click_id")
+    return run_to_df(joined, "b57_ssj")
+
+
+# ---------------------------------------------------------------------------
+# B58 — arbitrary stateful op (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b58_stream_stateful",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("B58",),
+)
+def b58_stream_stateful(spark, sf_dir):
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def track(key, pdfs, state: GroupState):
+        from decimal import Decimal
+
+        n, total = (state.get if state.exists else (0, "0.00"))
+        total = Decimal(total)
+        for pdf in pdfs:
+            n += len(pdf)
+            # exact decimal accumulation (value has 2 decimals)
+            total += sum(Decimal(f"{v:.2f}") for v in pdf["value"])
+        state.update((n, str(total)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [str(total)],
+            }
+        )
+
+    sdf = events_stream(spark, sf_dir).select("user_id", "value")
+    out = sdf.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType="user_id long, n_events long, total_value string",
+        stateStructType="n long, total string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    df = run_to_df(out, "b58_state", output_mode="update")
+    # one emission per (user, micro-batch); keep the final state per user.
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.col("total_value").cast("decimal(18,2)").alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B59 — foreachBatch sink
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b59_foreach_batch",
+    oracle="""
+    SELECT event_id, user_id, value FROM events WHERE event_type = 'signup'
+    """,
+    tags=("B59",),
+)
+def b59_foreach_batch(spark, sf_dir):
+    import tempfile
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        "smallquery_stream_sink",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(out_dir + "_ckpt", ignore_errors=True)
+
+    sdf = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "signup")
+        .select("event_id", "user_id", "value")
+    )
+
+    def sink(batch_df, epoch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        sdf.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", os.path.join(out_dir + "_ckpt")
+        )
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.read.parquet(out_dir)

@@ -1,0 +1,69 @@
+"""Structured Streaming plumbing (SURVEY.md §2 B50, B59).
+
+Batch-equivalence harness: every streaming query in the registry runs
+with ``trigger(availableNow=True)`` into a memory sink, drains, and the
+materialized table is returned as a normal DataFrame — deterministic,
+oracle-comparable (SURVEY §5.2: "streaming ops use batch-equivalence
+with availableNow triggers"). In production the same pipeline definition
+would point at a live source and a real sink; nothing in the dataflow
+definition changes.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File stream source over the events fixture (B50).
+
+    Same nanos handling as the batch reader (registry.t): TIMESTAMP(NANOS)
+    parquet is read as long and rebuilt as a µs TimestampType column.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    # File stream sources read directories; stage one with a symlink to
+    # the fixture file (testdata itself is read-only).
+    import tempfile
+
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "smallquery_stream_src",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    schema = spark.read.parquet(path).schema
+    sdf = spark.readStream.schema(schema).format("parquet").load(stage)
+    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_df(
+    sdf: DataFrame, name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drain a streaming DataFrame into a memory table; return the table.
+
+    ``availableNow`` processes everything currently in the source then
+    stops — the deterministic test trigger. The memory sink is bounded
+    (fixture-scale only); real deployments use files/kafka/foreachBatch.
+    """
+    qname = re.sub(r"[^A-Za-z0-9_]", "_", name)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        if q.isActive:
+            q.stop()
+    return sdf.sparkSession.table(qname)

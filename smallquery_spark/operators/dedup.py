@@ -1,0 +1,231 @@
+"""Deduplication operators (SURVEY.md §2 C1-C2 + training-data ops).
+
+Five dedup strategies, each a shuffle-friendly DataFrame pipeline with
+no driver-side collect (100 TB posture: everything partitions by hash
+of the dedup key; skew handled by AQE):
+
+- exact:       sha2(text) → groupBy hash → keep min id      (C1)
+- minhash-lsh: shingles → MinHashLSH → approxSimilarityJoin (C2)
+- simhash:     token-hash sign-sums → bucket by fingerprint
+- ngram-jaccard: exact pairwise Jaccard on shingle sets (bounded input)
+- embedding-cosine: near-dup pairs above a cosine threshold
+
+SimHash/ngram/fingerprint hashes derive from md5 (standard across
+engines) rather than xxhash64/murmur (engine-specific) so every
+pipeline is oracle-checkable in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from smallquery_spark.functions.vectors import cosine
+
+
+def tokens(col: Column | str, lowercase: bool = True) -> Column:
+    """Whitespace tokenization of a text column."""
+    c = F.col(col) if isinstance(col, str) else col
+    if lowercase:
+        c = F.lower(c)
+    return F.split(F.trim(c), r"\s+")
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """n-word shingles (distinct), the unit set for Jaccard/MinHash."""
+    toks = tokens(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+
+
+def stable_token_hash(tok: Column) -> Column:
+    """64-ish-bit stable hash from md5 (first 15 hex chars → bigint).
+
+    md5 is identical across engines; xxhash64/murmur3 are Spark-specific
+    and would break oracle parity.
+    """
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (C1)
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per distinct text: the smallest id wins; group size kept.
+
+    Plan: hash-partition on sha2(text) → partial+final hash agg. One
+    shuffle of (hash, id) pairs only — text never moves twice.
+    """
+    return (
+        df.withColumn("__h", F.sha2(F.col(text_col), 256))
+        .groupBy("__h")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").alias("n_copies"),
+        )
+        .drop("__h")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (bucketed near-dup)
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
+    """Append a ``simhash`` column: per-token stable hashes vote each bit.
+
+    Fully relational: explode tokens → explode bit positions → sign sum
+    per (doc, bit) → weighted bit reassembly. Scales as a pair of
+    groupBys keyed by doc id (and AQE-coalesced); no UDF.
+    """
+    id_cols = [c for c in df.columns]
+    toks = df.withColumn("__tok", F.explode(F.array_distinct(tokens(text_col))))
+    toks = toks.withColumn("__th", stable_token_hash(F.col("__tok")))
+    bitted = toks.select(
+        *id_cols,
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("__bit"),
+        F.col("__th"),
+    ).withColumn(
+        "__vote",
+        F.when(F.expr("(__th >> __bit) & 1") == 1, 1).otherwise(-1),
+    )
+    votes = bitted.groupBy(*id_cols, "__bit").agg(F.sum("__vote").alias("__s"))
+    return (
+        votes.withColumn(
+            "__bitval",
+            F.when(F.col("__s") > 0, F.expr("CAST(1 AS BIGINT) << __bit")).otherwise(0),
+        )
+        .groupBy(*id_cols)
+        .agg(F.sum("__bitval").cast("bigint").alias("simhash"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard pairs
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    prefilter_size_ratio: float = 0.5,
+) -> DataFrame:
+    """All (i < j) pairs with shingle-set Jaccard ≥ threshold.
+
+    Quadratic by nature — callers bound the input (sample or LSH-bucket
+    first; see minhash_lsh_pairs for the scalable candidate generator).
+    A size-ratio prefilter (|A|/|B| ≥ threshold is necessary for
+    J ≥ threshold) cuts the candidate space before the set intersection.
+    """
+    sh = df.select(
+        F.col(id_col), word_shingles(text_col, n).alias("__sh")
+    ).withColumn("__sz", F.size("__sh"))
+    a = sh.select(
+        F.col(id_col).alias("a_id"),
+        F.col("__sh").alias("a_sh"),
+        F.col("__sz").alias("a_sz"),
+    )
+    b = sh.select(
+        F.col(id_col).alias("b_id"),
+        F.col("__sh").alias("b_sh"),
+        F.col("__sz").alias("b_sz"),
+    )
+    pairs = a.join(b, F.col("a_id") < F.col("b_id")).filter(
+        (F.least("a_sz", "b_sz") / F.greatest("a_sz", "b_sz"))
+        >= F.lit(prefilter_size_ratio)
+    )
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = F.col("a_sz") + F.col("b_sz") - inter
+    return (
+        pairs.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the scale path for near-dup)
+# ---------------------------------------------------------------------------
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hash_tables: int = 8,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHashLSH over shingle sets.
+
+    shingle → HashingTF (sparse binary set vector) → MinHashLSH →
+    approxSimilarityJoin at distance ≤ 1 - threshold. Banding/bucketing
+    happens inside the LSH join: complexity is governed by bucket
+    collisions, not n² — the 100 TB path. Exact Jaccard re-check of the
+    candidates is the caller's job (see tierc queries: LSH recall is
+    validated against ngram_jaccard_pairs on the same input).
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = df.select(F.col(id_col), word_shingles(text_col, n).alias("shingles"))
+    sh = sh.filter(F.size("shingles") > 0)
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    feat = tf.transform(sh)
+    lsh = MinHashLSH(
+        inputCol="features",
+        outputCol="hashes",
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(feat)
+    joined = model.approxSimilarityJoin(
+        feat, feat, 1.0 - jaccard_threshold, distCol="jaccard_dist"
+    )
+    return (
+        joined.select(
+            F.col(f"datasetA.{id_col}").alias("a_id"),
+            F.col(f"datasetB.{id_col}").alias("b_id"),
+            (1.0 - F.col("jaccard_dist")).alias("est_jaccard"),
+        )
+        .filter(F.col("a_id") < F.col("b_id"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """(i < j) pairs with cosine ≥ threshold. Quadratic reference
+    implementation; the scale path buckets with random-projection LSH
+    first (see similarity.ann_lsh)."""
+    a = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_v"))
+    b = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_v"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("cos", cosine("a_v", "b_v"))
+        .filter(F.col("cos") >= threshold)
+        .select("a_id", "b_id", "cos")
+    )

@@ -1,1 +1,465 @@
-"""Placeholder — populated in later build steps."""
+"""Tier C queries — LLM-data-pipeline operators (SURVEY.md §2 C1-C6).
+
+Dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
+cosine), similarity search (brute force + LSH ANN), text analysis
+(tokens, quality, lang-id, fingerprint), embedding ops, multimodal
+plumbing. Approximate pipelines (LSH) use the validated-boolean
+pattern: Spark computes the recall/precision contract against the exact
+answer and emits booleans; the oracle emits TRUE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from smallquery_spark.functions.vectors import cosine, dot, l2_normalize, norm2
+from smallquery_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from smallquery_spark.operators.multimodal import attach_fake_images, decode_image_stub
+from smallquery_spark.operators.similarity import ann_lsh, knn_bruteforce
+from smallquery_spark.operators.textstats import (
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    quality_features,
+    token_count,
+)
+from smallquery_spark.queries.registry import query, t
+
+
+# ---------------------------------------------------------------------------
+# C1 — exact dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c1_exact_dedup",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+    tags=("C1",),
+)
+def c1_exact_dedup(spark, sf_dir):
+    return exact_dedup(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# C2 — near-dup: exact n-gram Jaccard (bounded) + MinHash-LSH (validated)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c2_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, GREATEST(len(string_split(lower(trim(text)), ' ')) - 2, 1) + 1),
+               i -> array_to_string(string_split(lower(trim(text)), ' ')[i:i+2], ' ')
+             )) AS s
+      FROM documents WHERE doc_id < 400
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s)) * 2.0
+            >= 0.5 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) * 2.0
+      AND (CAST(LEAST(len(a.s), len(b.s)) AS DOUBLE) / GREATEST(len(a.s), len(b.s))) >= 0.5
+    """,
+    tags=("C2",),
+)
+def c2_ngram_jaccard(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+@query(
+    "c2_minhash_lsh",
+    oracle="SELECT TRUE AS recall_ok, TRUE AS nonempty",
+    tags=("C2",),
+)
+def c2_minhash_lsh(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    truth = ngram_jaccard_pairs(docs, threshold=0.5).select("a_id", "b_id")
+    cand = minhash_lsh_pairs(docs, jaccard_threshold=0.5).select("a_id", "b_id")
+    hits = truth.join(cand, ["a_id", "b_id"], "left_semi").count()
+    total = truth.count()
+    found = cand.count()
+    recall = hits / total if total else 1.0
+    return spark.createDataFrame(
+        [(recall >= 0.9, found > 0)], "recall_ok boolean, nonempty boolean"
+    )
+
+
+@query(
+    "c2_simhash_buckets",
+    # SimHash is md5-derived → exactly reproducible in SQL: near-dup
+    # candidates = docs sharing a 16-bit fingerprint.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(list_distinct(string_split(lower(trim(text)), ' '))) AS tok
+      FROM documents WHERE doc_id < 1000
+    ), th AS (
+      SELECT doc_id, tok,
+             CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT) AS h
+      FROM toks
+    ), bits AS (
+      SELECT doc_id, b.bit,
+             SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM th, (SELECT UNNEST(range(16)) AS bit) b
+      GROUP BY doc_id, b.bit
+    ), sh AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    )
+    SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keeper
+    FROM sh GROUP BY simhash HAVING COUNT(*) > 1
+    """,
+    tags=("C2",),
+)
+def c2_simhash_buckets(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    sh = simhash(docs.select("doc_id", "text"), bits=16)
+    return (
+        sh.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@query(
+    "c2_embedding_neardup",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id < 400
+    )
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           list_inner_product(a.v, b.v)
+             / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)))
+             AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_inner_product(a.v, b.v)
+            / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)))
+          >= 0.95
+    """,
+    tags=("C2", "C6"),
+)
+def c2_embedding_neardup(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    return embedding_neardup_pairs(emb, threshold=0.95)
+
+
+# ---------------------------------------------------------------------------
+# C3 — similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c3_knn_bruteforce",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), q AS (SELECT * FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS q_id, e.vec_id AS c_id,
+             list_inner_product(q.v, e.v)
+               / (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(e.v, e.v)))
+               AS cos
+      FROM q JOIN e ON q.vec_id <> e.vec_id
+    )
+    SELECT q_id, c_id, cos, rnk FROM (
+      SELECT q_id, c_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 10
+    """,
+    tags=("C3",),
+)
+def c3_knn_bruteforce(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    return knn_bruteforce(queries, corpus, k=10)
+
+
+@query(
+    "c3_ann_lsh",
+    oracle="SELECT TRUE AS recall_ok",
+    tags=("C3",),
+)
+def c3_ann_lsh(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec")
+    )
+    exact = knn_bruteforce(
+        queries.select("q_id", F.col("vec").alias("q_vec")),
+        corpus.select("c_id", F.col("vec").alias("c_vec")),
+        k=10,
+    ).select("q_id", "c_id")
+    approx = ann_lsh(queries, corpus, k=10).select("q_id", "c_id")
+    hits = exact.join(approx, ["q_id", "c_id"], "left_semi").count()
+    recall = hits / exact.count()
+    # random-projection LSH at these settings recalls the vast majority
+    # of true top-10 neighbors; 0.6 is the contract floor.
+    return spark.createDataFrame([(recall >= 0.6,)], "recall_ok boolean")
+
+
+# ---------------------------------------------------------------------------
+# C4 — text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c4_token_counts",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(trim(text), ' ')) AS n_tokens,
+           len(list_distinct(string_split(lower(trim(text)), ' '))) AS n_uniq_tokens,
+           length(text) AS n_chars_m
+    FROM documents
+    """,
+    tags=("C4",),
+)
+def c4_token_counts(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.size(
+            F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        ).alias("n_uniq_tokens"),
+        F.length("text").alias("n_chars_m"),
+    )
+
+
+@query(
+    "c4_quality_score",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             length(text) AS n_chars_m,
+             len(string_split(lower(trim(text)), ' ')) AS n_tokens,
+             CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+               / GREATEST(length(text), 1) AS punct_ratio,
+             CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+                  x -> list_contains(['the','and','of','el','la','de','le','et','der','und','die','的','了','是'], x)))
+                  AS DOUBLE) / GREATEST(len(string_split(lower(trim(text)), ' ')), 1)
+               AS stopword_ratio
+      FROM documents
+    )
+    SELECT doc_id, n_chars_m, n_tokens, punct_ratio, stopword_ratio,
+           LEAST(1.0, GREATEST(0.0,
+             0.5 * LEAST(n_tokens / 50.0, 1.0)
+             + 0.3 * (1.0 - punct_ratio)
+             + 0.2 * LEAST(stopword_ratio * 5.0, 1.0))) AS quality_score
+    FROM f
+    """,
+    tags=("C4",),
+)
+def c4_quality_score(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_features(d).select(
+        "doc_id",
+        "n_chars_m",
+        "n_tokens",
+        "punct_ratio",
+        "stopword_ratio",
+        "quality_score",
+    )
+
+
+@query(
+    "c4_lang_id",
+    # heuristic marker-word vote; tie-break = sort (n, lang) DESC → the
+    # oracle replicates the exact rule, and accuracy vs the labeled lang
+    # column is also surfaced.
+    oracle="""
+    WITH votes AS (
+      SELECT doc_id, lang,
+             [
+              {'n': len(list_filter(string_split(lower(trim(text)), ' '), x -> list_contains(['der','und','die'], x))), 'lang': 'de'},
+              {'n': len(list_filter(string_split(lower(trim(text)), ' '), x -> list_contains(['the','and','of'], x))), 'lang': 'en'},
+              {'n': len(list_filter(string_split(lower(trim(text)), ' '), x -> list_contains(['el','la','de'], x))), 'lang': 'es'},
+              {'n': len(list_filter(string_split(lower(trim(text)), ' '), x -> list_contains(['le','la','et'], x))), 'lang': 'fr'},
+              {'n': len(list_filter(string_split(lower(trim(text)), ' '), x -> list_contains(['的','了','是'], x))), 'lang': 'zh'}
+             ] AS scores
+      FROM documents
+    ), best AS (
+      SELECT doc_id, lang, list_reverse_sort(scores)[1] AS b FROM votes
+    )
+    SELECT doc_id, lang,
+           CASE WHEN b.n = 0 THEN 'unknown' ELSE b.lang END AS pred_lang
+    FROM best
+    """,
+    tags=("C4",),
+)
+def c4_lang_id(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return lang_id(d).select("doc_id", "lang", "pred_lang")
+
+
+@query(
+    "c4_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(
+             list_sort(list_distinct(string_split(lower(trim(text)), ' '))), ' '))
+             AS fingerprint
+    FROM documents
+    """,
+    tags=("C4",),
+)
+def c4_fingerprint(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return fingerprint(d).select("doc_id", "fingerprint")
+
+
+@query(
+    "c4_bpe_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+    FROM documents WHERE doc_id < 1000
+    """,
+    tags=("C4",),
+)
+def c4_bpe_token_count(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    return d.select("doc_id", bpe_ish_token_count("text").alias("n_bpe_tokens"))
+
+
+# ---------------------------------------------------------------------------
+# C5 — multimodal columns (real plumbing, stubbed codecs)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c5_multimodal_schema",
+    oracle="""
+    SELECT doc_id,
+           'image/fake' AS mime,
+           'mem://img/' || CAST(doc_id AS VARCHAR) AS uri,
+           CAST(doc_id % 64 + 8 AS INTEGER) AS width,
+           CAST(doc_id % 48 + 6 AS INTEGER) AS height,
+           length(text) + length('IMG:' || CAST(doc_id % 64 + 8 AS VARCHAR)
+                 || 'x' || CAST(doc_id % 48 + 6 AS VARCHAR) || ':') AS payload_bytes
+    FROM documents WHERE doc_id < 500
+    """,
+    tags=("C5",),
+)
+def c5_multimodal_schema(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    img = attach_fake_images(d)
+    return img.select(
+        "doc_id",
+        "mime",
+        "uri",
+        "width",
+        "height",
+        F.length("payload").alias("payload_bytes"),
+    )
+
+
+@query("c5_multimodal_decode", oracle=None, tags=("C5",))
+def c5_multimodal_decode(spark, sf_dir):
+    # mapInPandas decode stub — Arrow-batched, partition-parallel; no SQL
+    # oracle (binary semantics), rows-only check.
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return decode_image_stub(attach_fake_images(d))
+
+
+# ---------------------------------------------------------------------------
+# C6 — embedding ops
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c6_embedding_ops",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id < 300
+    )
+    SELECT vec_id,
+           sqrt(list_inner_product(v, v)) AS l2,
+           list_inner_product(v, v) AS self_dot,
+           CASE WHEN sqrt(list_inner_product(v, v)) = 0 THEN CAST(v[1] AS DOUBLE)
+                ELSE v[1] / sqrt(list_inner_product(v, v)) END AS unit_first
+    FROM e
+    """,
+    tags=("C6",),
+)
+def c6_embedding_ops(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return e.select(
+        "vec_id",
+        norm2("embedding").alias("l2"),
+        dot("embedding", "embedding").alias("self_dot"),
+        F.element_at(l2_normalize("embedding"), 1).alias("unit_first"),
+    )
+
+
+@query(
+    "c6_cosine_to_centroid",
+    # centroid = element-wise mean over label-0 embeddings; cosine of
+    # every vector to it. Mean per dimension = decimal-exact? floats
+    # summed in arbitrary order — instead define centroid over a FIXED
+    # small set (vec_id < 8) folded in id order on both engines.
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), base AS (SELECT v FROM e WHERE vec_id < 8 ORDER BY vec_id),
+    centroid AS (
+      SELECT list_transform(range(1, 65),
+                            i -> list_sum(list_transform(list(v ORDER BY vec_id), vv -> vv[i])) / 8.0) AS c
+      FROM (SELECT vec_id, v FROM e WHERE vec_id < 8)
+    )
+    SELECT e.vec_id,
+           list_inner_product(e.v, c.c)
+             / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(c.c, c.c)))
+             AS cos_to_centroid
+    FROM e, centroid c
+    WHERE e.vec_id < 300
+    """,
+    tags=("C6",),
+)
+def c6_cosine_to_centroid(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    base = (
+        e.filter(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select(F.col("embedding"))
+    )
+    # fold the 8 vectors in vec_id order — deterministic sum per dim.
+    rows = base.collect()  # 8 rows only: bounded driver work by design
+    import builtins
+
+    dims = len(rows[0][0])
+    centroid = [
+        builtins.sum(float(r[0][i]) for r in rows) / len(rows) for i in range(dims)
+    ]
+    cent_col = F.array(*[F.lit(v) for v in centroid])
+    return (
+        e.filter(F.col("vec_id") < 300)
+        .select("vec_id", cosine("embedding", cent_col).alias("cos_to_centroid"))
+    )

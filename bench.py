@@ -18,13 +18,23 @@ from smallquery_spark.queries import REGISTRY, load_all
 from smallquery_spark.session import get_session
 
 # Headline set: one representative per operator family, weighted toward
-# the scale-sensitive ones (agg, join, window, dedup, similarity).
+# the scale-sensitive ones (agg, join, window, dedup, similarity,
+# streaming).
 HEADLINE = [
     "q1_pricing_summary",
-    "b10_filter_compound",
-    "b12_distinct",
-    "b35_sort_multikey",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "b17_broadcast_join",
+    "b19_range_join",
+    "b20_asof_join",
+    "b31_ranking",
     "b36_top10_orders",
+    "c1_exact_dedup",
+    "c3_knn_bruteforce",
+    "c4_token_counts",
+    "b51_stream_tumbling",
 ]
 
 
@@ -38,14 +48,21 @@ def main() -> None:
     # Warm the JVM + parquet footers once (not timed): a trivial action.
     spark.range(1).count()
 
+    # Two runs per query: run 1 pays Catalyst analysis + whole-stage
+    # codegen compilation (one-time per plan shape), run 2 is the
+    # steady-state execution a real workload sees. Report the min.
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in names:
         qd = REGISTRY[name]
-        t0 = time.time()
-        df = qd.fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        _ = n
+        per_run = []
+        for _ in range(2):
+            t0 = time.time()
+            df = qd.fn(spark, sf_dir)
+            df.count()
+            per_run.append(round(time.time() - t0, 3))
+        cold[name] = per_run[0]
+        timings[name] = min(per_run)
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
@@ -55,6 +72,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cold_first_run": cold,
                 "sf": float(sf) if sf else None,
             }
         )

@@ -78,6 +78,7 @@ def load_all() -> None:
     import smallquery_spark.queries.tierc  # noqa: F401
     import smallquery_spark.queries.streaming_queries  # noqa: F401
     import smallquery_spark.queries.sources_sinks  # noqa: F401
+    import smallquery_spark.queries.tpch  # noqa: F401
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,126 @@
+"""Physical-plan shape assertions (SURVEY.md §5.2 item 1, §4.2).
+
+Correctness says the answer is right; these say the PLAN is the one
+that survives 100x scale: filters pushed into the parquet scan, column
+pruning in ReadSchema, broadcast joins where a dim is small, top-k as
+TakeOrderedAndProject (not global sort), no BroadcastNestedLoopJoin in
+the banded range join, partial aggregation before the shuffle.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from smallquery_spark.queries import REGISTRY, load_all
+from tests.conftest import SF_SMOKE
+
+load_all()
+
+
+def plan_of(name, spark, mode="formatted") -> str:
+    df = REGISTRY[name].fn(spark, SF_SMOKE)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def test_filter_pushdown_q6(spark):
+    plan = plan_of("q6_forecast_revenue", spark)
+    assert "PushedFilters:" in plan
+    # range + comparison predicates reach the parquet reader
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity" in plan
+
+
+def test_column_pruning_q6(spark):
+    plan = plan_of("q6_forecast_revenue", spark)
+    # ReadSchema must NOT include untouched wide columns
+    assert "l_comment" not in plan
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_broadcast_join_b17(spark):
+    plan = plan_of("b17_broadcast_join", spark)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_is_take_ordered(spark):
+    plan = plan_of("b36_top10_orders", spark)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_banded_join_is_hash_not_nested_loop(spark):
+    plan = plan_of("b19_range_join", spark)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_partial_aggregation_q1(spark):
+    plan = plan_of("q1_pricing_summary", spark)
+    # hash aggregate appears in partial + final mode around the exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_wholestage_codegen_active(spark):
+    # AQE finalizes the plan at execution; codegen ids appear after.
+    df = REGISTRY["q1_pricing_summary"].fn(spark, SF_SMOKE)
+    df.collect()
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "codegen id" in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of join must be one hash shuffle + window, never a join."""
+    plan = plan_of("b20_asof_join", spark)
+    assert "Join" not in plan or "SortMergeJoin" not in plan
+    assert "Window" in plan
+    # exactly one exchange for the union'd window partition (plus AQE
+    # cosmetics); no nested-loop anywhere
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q3_broadcasts_dim(spark):
+    plan = plan_of("q3_shipping_priority", spark)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_exact_dedup_partial_agg(spark):
+    plan = plan_of("c1_exact_dedup", spark)
+    assert plan.count("HashAggregate") >= 2  # map-side combine before shuffle
+
+
+@pytest.mark.parametrize("name", ["q5_local_supplier_volume", "q10_returned_items"])
+def test_tpch_no_cartesian(name, spark):
+    plan = plan_of(name, spark)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_broadcasts_queries(spark):
+    plan = plan_of("c3_knn_bruteforce", spark)
+    # the query set is broadcast; the corpus is never shuffled before
+    # scoring (only the tiny scored projection moves for the window).
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_csv_scan_schema_honored(spark):
+    df = REGISTRY["b01_csv_scan"].fn(spark, SF_SMOKE)
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "int",
+        "string",
+        "int",
+    ]
+
+
+def test_streaming_plan_is_incremental(spark):
+    from smallquery_spark.streaming import events_stream
+
+    sdf = events_stream(spark, SF_SMOKE)
+    assert sdf.isStreaming
+    agg = sdf.groupBy(F.window("ts", "10 minutes")).count()
+    assert agg.isStreaming

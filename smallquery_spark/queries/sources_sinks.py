@@ -271,3 +271,19 @@ def b08_html_render(spark, sf_dir):
     html = render_html(df, limit=10)
     ok = "<table" in html and "r_name" in html
     return spark.createDataFrame([(len(html), ok)], "html_len long, has_table boolean")
+
+
+# ---------------------------------------------------------------------------
+# B2 — parquet scan (explicit; every other query scans parquet via t())
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b02_parquet_scan",
+    oracle="SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+    tags=("B2",),
+)
+def b02_parquet_scan(spark, sf_dir):
+    return t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )

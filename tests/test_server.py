@@ -1,0 +1,99 @@
+"""HTTP server parity tests (reference routes, http_server.rs:22-37)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import urllib.request
+
+import pytest
+
+
+def _git(repo, *args):
+    subprocess.run(
+        ["git", "-C", repo, *args],
+        check=True,
+        capture_output=True,
+        env={
+            **os.environ,
+            "GIT_AUTHOR_NAME": "t",
+            "GIT_AUTHOR_EMAIL": "t@t",
+            "GIT_COMMITTER_NAME": "t",
+            "GIT_COMMITTER_EMAIL": "t@t",
+        },
+    )
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory, spark):
+    from smallquery_spark.engine import Engine
+    from smallquery_spark.server import serve
+
+    mount = tmp_path_factory.mktemp("ws_http")
+    repo = mount / "demo"
+    repo.mkdir()
+    _git(repo, "init", "-b", "main")
+    (repo / "nums.csv").write_text("k,v\n1,10\n2,20\n3,30\n")
+    _git(repo, "add", "-A")
+    _git(repo, "commit", "-m", "v1")
+    _git(repo, "tag", "v1")
+    (repo / "nums.csv").write_text("k,v\n1,10\n2,20\n3,30\n4,40\n")
+    _git(repo, "add", "-A")
+    _git(repo, "commit", "-m", "v2")
+
+    eng = Engine(spark, workspace_mount=str(mount))
+    srv = serve(eng, str(mount), port=0, background=True)
+    port = srv.server_address[1]
+    yield f"http://127.0.0.1:{port}"
+    srv.shutdown()
+
+
+def _get(url: str) -> tuple[int, str]:
+    try:
+        with urllib.request.urlopen(url) as r:
+            return r.status, r.read().decode()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read().decode()
+
+
+def test_health(server):
+    status, body = _get(f"{server}/health")
+    assert (status, body) == (200, "OK")
+
+
+def test_index_and_workspace_list(server):
+    status, body = _get(f"{server}/")
+    assert status == 200
+    status, body = _get(f"{server}/workspaces")
+    assert status == 200 and "demo" in body
+
+
+def test_file_read_and_listing(server):
+    status, body = _get(f"{server}/workspaces/demo?path=nums.csv")
+    assert status == 200 and "4,40" in body
+    status, body = _get(f"{server}/workspaces/demo?path=nums.csv&version=v1")
+    assert status == 200 and "4,40" not in body and "3,30" in body
+    status, body = _get(f"{server}/workspaces/demo")
+    assert status == 200 and "nums.csv" in body
+
+
+def test_errors(server):
+    status, body = _get(f"{server}/workspaces/nope")
+    assert status == 404 and "workspace not found" in body
+    status, body = _get(f"{server}/workspaces/demo?path=ghost.csv")
+    assert status == 404 and "not found" in body
+    status, body = _get(f"{server}/workspaces/demo?version=zzz")
+    assert status == 404 and "version not found" in body
+
+
+def test_sql_query_endpoint(server):
+    status, body = _get(
+        f"{server}/workspaces/demo/query?sql=SELECT+sum(v)+AS+s+FROM+nums&format=json"
+    )
+    assert status == 200
+    assert json.loads(body) == [{"s": 100}]
+    status, body = _get(
+        f"{server}/workspaces/demo/query?sql=SELECT+sum(v)+AS+s+FROM+nums&format=json&version=v1"
+    )
+    assert json.loads(body) == [{"s": 60}]

@@ -57,6 +57,10 @@ def t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     µs semantics). Queries must therefore never RETURN raw ``ts``
     values — the DuckDB oracle keeps full nanos (see tools/check notes).
     """
+    # Defensive session conf: the harness may run queries on its own
+    # session — timestamp results must be UTC to match the UTC-naive
+    # DuckDB oracle (both runtime-settable).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if table == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
@@ -79,6 +83,7 @@ def load_all() -> None:
     import smallquery_spark.queries.streaming_queries  # noqa: F401
     import smallquery_spark.queries.sources_sinks  # noqa: F401
     import smallquery_spark.queries.tpch  # noqa: F401
+    import smallquery_spark.queries.sql_surface  # noqa: F401
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

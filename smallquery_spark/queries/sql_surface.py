@@ -1,0 +1,299 @@
+"""SQL-surface depth queries: subqueries, CTEs, unpivot, conditional
+aggregation, arg-max, batch sessionization (SURVEY.md §3.4 entry 1 —
+the ``engine.sql`` path; these run through ``spark.sql`` to prove the
+SQL front-end end-to-end, not just the DataFrame builder).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from smallquery_spark.queries.registry import query, t
+
+
+def _views(spark, sf_dir, *tables):
+    for tbl in tables:
+        t(spark, sf_dir, tbl).createOrReplaceTempView(tbl)
+
+
+# ---------------------------------------------------------------------------
+# subqueries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s01_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           o_totalprice - (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                                  / COUNT(*) FROM orders) AS vs_avg
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+    tags=("sql", "B22"),
+)
+def s01_scalar_subquery(spark, sf_dir):
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice,
+               o_totalprice - (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                                      / COUNT(*) FROM orders) AS vs_avg
+        FROM orders WHERE o_orderkey <= 2000
+        """
+    )
+
+
+@query(
+    "s02_in_subquery",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+    """,
+    tags=("sql", "B16"),
+)
+def s02_in_subquery(spark, sf_dir):
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        """
+    )
+
+
+@query(
+    "s03_correlated_exists",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49)
+    """,
+    tags=("sql", "B16"),
+)
+def s03_correlated_exists(spark, sf_dir):
+    _views(spark, sf_dir, "supplier", "lineitem")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name FROM supplier s
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49)
+        """
+    )
+
+
+@query(
+    "s04_cte",
+    oracle="""
+    WITH seg AS (
+      SELECT c_mktsegment, COUNT(*) AS n_cust
+      FROM customer GROUP BY c_mktsegment
+    ), ranked AS (
+      SELECT c_mktsegment, n_cust,
+             RANK() OVER (ORDER BY n_cust DESC, c_mktsegment) AS rnk
+      FROM seg
+    )
+    SELECT * FROM ranked WHERE rnk <= 3
+    """,
+    tags=("sql", "B31"),
+)
+def s04_cte(spark, sf_dir):
+    _views(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        WITH seg AS (
+          SELECT c_mktsegment, COUNT(*) AS n_cust
+          FROM customer GROUP BY c_mktsegment
+        ), ranked AS (
+          SELECT c_mktsegment, n_cust,
+                 RANK() OVER (ORDER BY n_cust DESC, c_mktsegment) AS rnk
+          FROM seg
+        )
+        SELECT * FROM ranked WHERE rnk <= 3
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# unpivot / conditional agg / arg-max
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s05_unpivot",
+    oracle="""
+    SELECT c_custkey, metric, val FROM (
+      SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
+      UNION ALL
+      SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+    ) WHERE c_custkey <= 100
+    """,
+    tags=("sql", "B30"),
+)
+def s05_unpivot(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100)
+    return c.selectExpr(
+        "c_custkey",
+        "stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, val)",
+    )
+
+
+@query(
+    "s06_conditional_agg",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+           COUNT(*) FILTER (WHERE l_discount = 0.0) AS n_nodisc,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+             FILTER (WHERE l_linestatus = 'F') AS sum_f
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("sql", "B22"),
+)
+def s06_conditional_agg(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_quantity") > 25).alias("n_big"),
+        F.count_if(F.col("l_discount") == 0.0).alias("n_nodisc"),
+        F.sum(
+            F.when(
+                F.col("l_linestatus") == "F",
+                F.col("l_extendedprice").cast("decimal(18,2)"),
+            )
+        ).alias("sum_f"),
+    )
+
+
+@query(
+    "s07_argmax",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS best_order, best_price FROM (
+      SELECT o_custkey, o_orderkey,
+             MAX(o_totalprice) OVER (PARTITION BY o_custkey) AS best_price,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+    tags=("sql", "B22"),
+)
+def s07_argmax(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    # max_by with a (price, orderkey) struct: deterministic under ties.
+    return o.groupBy("o_custkey").agg(
+        F.expr(
+            "max_by(o_orderkey, struct(o_totalprice, o_orderkey))"
+        ).alias("best_order"),
+        F.max("o_totalprice").alias("best_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# batch sessionization (gaps-and-islands — streaming B53's batch twin)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s08_sessionize_batch",
+    oracle="""
+    WITH lagd AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ), marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 5 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM lagd
+    ), sess AS (
+      SELECT user_id, event_id,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events, MIN(event_id) AS first_event
+    FROM sess GROUP BY user_id, session_id
+    """,
+    tags=("sql", "B33", "C4"),
+)
+def s08_sessionize_batch(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    marked = ev.withColumn(
+        "new_s",
+        F.when(gap.isNull() | (gap >= 300.0), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"), F.min("event_id").alias("first_event")
+    )
+
+
+# ---------------------------------------------------------------------------
+# extra string functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s09_string_extra",
+    oracle="""
+    SELECT p_partkey,
+           translate(p_name, 'aeiou', '12345') AS translated,
+           reverse(p_name) AS rev,
+           repeat(p_brand, 2) AS twice,
+           ascii(p_name) AS first_code,
+           starts_with(p_name, 'red') AS is_red,
+           CASE WHEN p_name LIKE '%bolt%' THEN 1 ELSE 0 END AS has_bolt
+    FROM part
+    """,
+    tags=("sql", "B42"),
+)
+def s09_string_extra(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.translate("p_name", "aeiou", "12345").alias("translated"),
+        F.reverse(F.col("p_name")).alias("rev"),
+        F.repeat(F.col("p_brand"), 2).alias("twice"),
+        F.ascii("p_name").alias("first_code"),
+        F.startswith(F.col("p_name"), F.lit("red")).alias("is_red"),
+        F.when(F.col("p_name").like("%bolt%"), 1).otherwise(0).alias("has_bolt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# na.fill / na.drop (B11 depth)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s10_na_fill_drop",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 4 = 0 THEN NULL ELSE o_totalprice END AS p,
+             CASE WHEN o_orderkey % 6 = 0 THEN NULL ELSE o_orderstatus END AS s
+      FROM orders
+    )
+    SELECT o_orderkey, COALESCE(p, 0.0) AS p, s
+    FROM o WHERE s IS NOT NULL
+    """,
+    tags=("sql", "B11"),
+)
+def s10_na_fill_drop(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 4 == 0, None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("p"),
+        F.when(F.col("o_orderkey") % 6 == 0, None)
+        .otherwise(F.col("o_orderstatus"))
+        .alias("s"),
+    )
+    return o.na.drop(subset=["s"]).na.fill({"p": 0.0})

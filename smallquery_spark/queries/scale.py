@@ -1,0 +1,176 @@
+"""Scale-posture queries — materialized rollups and skew-safe plans.
+
+These exercise the explicit 100-TB patterns from SURVEY.md §4.3/§7:
+
+- C7 rollup: a time-bucketed continuous-aggregate table (hourly partials
+  over `events`, partitioned by day) answering a coarser day-grain
+  question WITHOUT touching the raw table. The oracle computes the same
+  answer straight from the raw events — proving the algebraic-partials
+  recombination contract query(rollup) == query(raw).
+- C8 salting: two-phase salted aggregation and a salted shuffled join.
+  Results must be IDENTICAL to the unsalted plans, which is exactly what
+  the plain-SQL oracles assert.
+
+Reference grounding: the reference declares "versioning control for data
+transformations" over table datasets (/root/reference/README.md:7-8) but
+implements no aggregation engine (absence: Cargo.toml:13-23); these are
+the scale-out realizations of that declared transformation surface.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from smallquery_spark.operators.rollup_table import (
+    build_rollup,
+    materialize_rollup,
+    query_rollup,
+)
+from smallquery_spark.operators.skew import salted_aggregate, salted_join
+from smallquery_spark.queries.registry import query, t
+
+_DEC = "decimal(18,2)"
+_WORK = os.path.join(tempfile.gettempdir(), "smallquery_rollups")
+
+
+# ---------------------------------------------------------------------------
+# C7 — hypertable-style rollup (materialize hourly, answer daily)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c7_rollup_day_from_hour",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 DAY, ts) AS bucket_start,
+           event_type,
+           COUNT(*) AS n,
+           SUM(CAST(value AS DECIMAL(18,2))) AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("C7",),
+)
+def c7_rollup_day_from_hour(spark, sf_dir):
+    """Materialize an HOURLY rollup of events (dims=event_type), then
+    answer the DAILY question purely from the rollup. Day sums of hourly
+    algebraic partials must equal direct day aggregation of the raw
+    table — the continuous-aggregate correctness contract."""
+    path = os.path.join(
+        _WORK, os.path.basename(sf_dir.rstrip("/")), "events_hourly"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        materialize_rollup(
+            t(spark, sf_dir, "events"),
+            path,
+            ts_col="ts",
+            bucket="1 hour",
+            dims=["event_type"],
+            value_col="value",
+        )
+    daily = query_rollup(
+        spark, path, regroup_bucket="1 day", dims=["event_type"]
+    )
+    # recombined sum of decimal partials widens to decimal(28,2); settle
+    # on (18,2) to match the oracle's direct-aggregation type exactly
+    return daily.withColumn("sum_value", F.col("sum_value").cast(_DEC))
+
+
+@query(
+    "c7_rollup_drop_dim",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket_start,
+           COUNT(*) AS n,
+           SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("C7",),
+)
+def c7_rollup_drop_dim(spark, sf_dir):
+    """Regroup the (hour, event_type) rollup across event_type — partials
+    recombine exactly along ANY dimension subset."""
+    hourly = build_rollup(
+        t(spark, sf_dir, "events"),
+        ts_col="ts",
+        bucket="1 hour",
+        dims=["event_type"],
+        value_col="value",
+    )
+    return (
+        hourly.groupBy("bucket_start")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_value").cast(_DEC).alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C8 — explicit skew salting (results identical to unsalted plans)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c8_salted_aggregate",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("C8",),
+)
+def c8_salted_aggregate(spark, sf_dir):
+    """Two-phase (key, salt) → key aggregation over the hot
+    l_returnflag keys (3 distinct values ⇒ maximal skew). Phase-2
+    partial recombination must reproduce the plain groupBy bit-for-bit;
+    decimal sums keep the recombination exact."""
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "qty_dec", F.col("l_quantity").cast(_DEC)
+    )
+    out = salted_aggregate(
+        li,
+        keys=["l_returnflag"],
+        aggs={
+            "n_rows": ("qty_dec", "count"),
+            "sum_qty": ("qty_dec", "sum"),
+            "min_price": ("l_extendedprice", "min"),
+            "max_price": ("l_extendedprice", "max"),
+        },
+        salt_buckets=16,
+    )
+    return out.withColumn("sum_qty", F.col("sum_qty").cast(_DEC))
+
+
+@query(
+    "c8_salted_join",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("C8",),
+)
+def c8_salted_join(spark, sf_dir):
+    """Salted shuffled equi-join (right side exploded over the salt
+    domain) — the fallback when AQE skew-split isn't available. Must
+    equal the plain join."""
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    joined = salted_join(orders, cust, on=["o_custkey"], salt_buckets=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(_DEC)).alias("revenue"),
+    )

@@ -85,6 +85,7 @@ def load_all() -> None:
     import smallquery_spark.queries.tpch  # noqa: F401
     import smallquery_spark.queries.sql_surface  # noqa: F401
     import smallquery_spark.queries.scale  # noqa: F401
+    import smallquery_spark.queries.tpch_extra  # noqa: F401
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

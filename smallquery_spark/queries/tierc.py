@@ -335,7 +335,7 @@ def c4_fingerprint(spark, sf_dir):
 
 @query(
     "c4_bpe_token_count",
-    oracle="""
+    oracle=r"""
     SELECT doc_id,
            len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
     FROM documents WHERE doc_id < 1000

@@ -124,3 +124,75 @@ def test_streaming_plan_is_incremental(spark):
     assert sdf.isStreaming
     agg = sdf.groupBy(F.window("ts", "10 minutes")).count()
     assert agg.isStreaming
+
+
+# ---------------------------------------------------------------------------
+# Extended TPC-H suite (tpch_extra) — the plans that survive 100x scale
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_profit",
+        "q12_priority_lines",
+        "q16_parts_supplier_counts",
+        "q19_discounted_revenue",
+    ],
+)
+def test_tpch_extra_dims_broadcast(name, spark):
+    """Every dimension side is broadcast: the only shuffles left are the
+    fact-fact equi-joins and the final aggregation."""
+    plan = plan_of(name, spark)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q4_is_semi_join(spark):
+    plan = plan_of("q4_order_priority", spark)
+    assert "LeftSemi" in plan
+
+
+def test_q22_is_anti_join(spark):
+    plan = plan_of("q22_sales_opportunity", spark)
+    assert "LeftAnti" in plan
+
+
+def test_q11_threshold_is_broadcast_not_shuffle(spark):
+    """The scalar total joins back as a 1-row broadcast, never a
+    shuffled join."""
+    plan = plan_of("q11_important_parts", spark)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_salted_aggregate_two_phases(spark):
+    """Salting adds a pre-shuffle phase: ≥2 aggregation rounds, and the
+    phase-2 input is the (keys × salt) partials, not raw rows."""
+    plan = plan_of("c8_salted_aggregate", spark)
+    # two groupBys, each with partial+final hash aggregate
+    assert plan.count("HashAggregate") >= 3
+
+
+def test_rollup_scan_prunes_partitions(spark, tmp_path):
+    """The materialized rollup is partitioned by bucket_date; a
+    date-filtered read must show PartitionFilters (pruned scan), the
+    100-TB reason the rollup exists."""
+    from smallquery_spark.operators.rollup_table import materialize_rollup
+    from smallquery_spark.queries.registry import t as load
+
+    path = str(tmp_path / "roll")
+    materialize_rollup(
+        load(spark, SF_SMOKE, "events"), path, dims=["event_type"]
+    )
+    df = spark.read.parquet(path).filter(
+        F.col("bucket_date") == "1996-01-02"
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [" in plan
+    assert "bucket_date" in plan.split("PartitionFilters")[1].split("]")[0]

@@ -174,3 +174,55 @@ def c8_salted_join(spark, sf_dir):
         F.count("*").alias("n_orders"),
         F.sum(F.col("o_totalprice").cast(_DEC)).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C9 — bucketed co-located fact⋈fact join (shuffle paid once at write)
+# ---------------------------------------------------------------------------
+
+
+def _bucketed_tables(spark, sf_dir) -> tuple[str, str]:
+    """Idempotently materialize bucketed copies of orders/lineitem for
+    this sf_dir; returns (orders_table, lineitem_table)."""
+    from smallquery_spark.operators.bucketing import write_bucketed
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    ot, lt = f"orders_bkt_{tag}", f"lineitem_bkt_{tag}"
+    for name, table in (("orders", ot), ("lineitem", lt)):
+        if not spark.catalog.tableExists(table):
+            # a previous session may have left the managed location on
+            # disk without a catalog entry — clear it or saveAsTable
+            # fails with LOCATION_ALREADY_EXISTS
+            import shutil
+            from urllib.parse import urlparse
+
+            wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+            shutil.rmtree(os.path.join(wh, table), ignore_errors=True)
+            key = "o_orderkey" if name == "orders" else "l_orderkey"
+            write_bucketed(t(spark, sf_dir, name), table, key, n_buckets=8)
+    return ot, lt
+
+
+@query(
+    "c9_bucketed_join",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS gross
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+    tags=("C9", "B14"),
+)
+def c9_bucketed_join(spark, sf_dir):
+    """orders⋈lineitem on orderkey from same-bucketed tables: zero
+    Exchange in the join (tests/test_plans.py asserts it). At 100 TB
+    this converts the recurring double-shuffle into a one-time layout
+    cost."""
+    ot, lt = _bucketed_tables(spark, sf_dir)
+    lt_df = spark.table(lt).withColumnRenamed("l_orderkey", "o_orderkey")
+    joined = spark.table(ot).join(lt_df, "o_orderkey")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("l_extendedprice").cast(_DEC)).alias("gross"),
+    )

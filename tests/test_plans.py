@@ -196,3 +196,26 @@ def test_rollup_scan_prunes_partitions(spark, tmp_path):
     )
     assert "PartitionFilters: [" in plan
     assert "bucket_date" in plan.split("PartitionFilters")[1].split("]")[0]
+
+
+def test_bucketed_join_no_exchange(spark):
+    """Same-bucketed fact tables join with ZERO exchange on either input
+    (forcing SMJ — at real scale neither side broadcasts)."""
+    from smallquery_spark.queries.scale import _bucketed_tables
+
+    ot, lt = _bucketed_tables(spark, SF_SMOKE)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        lt_df = spark.table(lt).withColumnRenamed("l_orderkey", "o_orderkey")
+        df = spark.table(ot).join(lt_df, "o_orderkey")
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    assert "SelectedBucketsCount: 8 out of 8" in plan
+    # the join reads co-located buckets: no shuffle anywhere in the plan
+    assert "Exchange" not in plan

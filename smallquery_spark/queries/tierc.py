@@ -463,3 +463,77 @@ def c6_cosine_to_centroid(spark, sf_dir):
         e.filter(F.col("vec_id") < 300)
         .select("vec_id", cosine("embedding", cent_col).alias("cos_to_centroid"))
     )
+
+
+# ---------------------------------------------------------------------------
+# C10 — end-to-end training-data prep pipeline (the composite flagship)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c10_prep_pipeline",
+    oracle=r"""
+    WITH f AS (
+      SELECT doc_id, lang, text,
+             length(text) AS n_chars_m,
+             len(string_split(lower(trim(text)), ' ')) AS n_tokens,
+             CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+               / GREATEST(length(text), 1) AS punct_ratio,
+             CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+                  x -> list_contains(['the','and','of','el','la','de','le','et','der','und','die','的','了','是'], x)))
+                  AS DOUBLE) / GREATEST(len(string_split(lower(trim(text)), ' ')), 1)
+               AS stopword_ratio
+      FROM documents
+    ), q AS (
+      SELECT *, LEAST(1.0, GREATEST(0.0,
+               0.5 * LEAST(n_tokens / 50.0, 1.0)
+               + 0.3 * (1.0 - punct_ratio)
+               + 0.2 * LEAST(stopword_ratio * 5.0, 1.0))) AS quality_score
+      FROM f
+    ), kept AS (
+      SELECT * FROM q WHERE quality_score >= 0.5 AND n_tokens >= 10
+    ), ex AS (
+      SELECT * FROM kept
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+    ), nd AS (
+      SELECT * FROM ex
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY md5(array_to_string(
+          list_sort(list_distinct(string_split(lower(trim(text)), ' '))), ' '))
+        ORDER BY doc_id) = 1
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           SUM(n_tokens) AS sum_tokens, SUM(n_chars_m) AS sum_chars
+    FROM nd GROUP BY lang
+    """,
+    tags=("C1", "C2", "C4", "C10"),
+)
+def c10_prep_pipeline(spark, sf_dir):
+    """The whole training-data prep flow as ONE lazy DataFrame plan:
+    quality filter → exact dedup → bag-of-words near-dup removal →
+    per-language corpus stats. Every stage is a narrow projection or a
+    keyed shuffle (no collect, no Python loop) — at 100 TB the only
+    wide ops are the two dedup shuffles and the final tiny aggregation,
+    and early quality filtering shrinks them first."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    q = quality_features(d)
+    kept = q.filter((F.col("quality_score") >= 0.5) & (F.col("n_tokens") >= 10))
+    w_text = Window.partitionBy("text").orderBy("doc_id")
+    ex = (
+        kept.withColumn("__rn", F.row_number().over(w_text))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    w_fp = Window.partitionBy("fingerprint").orderBy("doc_id")
+    nd = (
+        fingerprint(ex)
+        .withColumn("__rn", F.row_number().over(w_fp))
+        .filter(F.col("__rn") == 1)
+    )
+    return nd.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.sum("n_chars_m").alias("sum_chars"),
+    )

@@ -31,9 +31,13 @@ HEADLINE = [
     "b20_asof_join",
     "b31_ranking",
     "b36_top10_orders",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q18_large_volume_customers",
     "c1_exact_dedup",
     "c3_knn_bruteforce",
     "c4_token_counts",
+    "c10_prep_pipeline",
     "b51_stream_tumbling",
 ]
 

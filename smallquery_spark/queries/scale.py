@@ -226,3 +226,81 @@ def c9_bucketed_join(spark, sf_dir):
         F.count("*").alias("n_lines"),
         F.sum(F.col("l_extendedprice").cast(_DEC)).alias("gross"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C7 (streaming) — continuous-aggregate maintenance via foreachBatch
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c7_rollup_streaming_refresh",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 DAY, ts) AS bucket_start,
+           event_type,
+           COUNT(*) AS n,
+           SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("C7", "B59"),
+)
+def c7_rollup_streaming_refresh(spark, sf_dir):
+    """The C7 rollup maintained BY THE STREAM: hourly windowed partials
+    accumulate in streaming state; foreachBatch (complete mode, so each
+    batch carries the full corrected state) overwrites the day-partitioned
+    rollup table; the daily answer is then served from the rollup. With a
+    live source + watermark this becomes per-partition dynamic overwrite
+    of only the touched days."""
+    import shutil
+
+    from smallquery_spark.streaming import events_stream
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(_WORK, tag, "events_hourly_stream")
+    ckpt = base + "_ckpt"
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    hourly = (
+        events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("__w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(_DEC)).alias("sum_value"),
+        )
+        .select(F.col("__w.start").alias("bucket_start"), "event_type", "n", "sum_value")
+    )
+
+    def refresh(batch_df, epoch_id):
+        (
+            batch_df.withColumn("bucket_date", F.to_date("bucket_start"))
+            .write.mode("overwrite")
+            .partitionBy("bucket_date")
+            .parquet(base)
+        )
+
+    q = (
+        hourly.writeStream.outputMode("complete")
+        .foreachBatch(refresh)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        if q.isActive:
+            q.stop()
+
+    roll = spark.read.parquet(base)
+    return (
+        roll.groupBy(F.window("bucket_start", "1 day").alias("__w"), "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_value").cast(_DEC).alias("sum_value"),
+        )
+        .select(
+            F.col("__w.start").alias("bucket_start"), "event_type", "n", "sum_value"
+        )
+    )

@@ -95,3 +95,95 @@ def ann_lsh(
         .filter(F.col("rnk") <= k)
         .select(query_id, corpus_id, "dist", "rnk")
     )
+
+
+def ivf_build_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    corpus_id: str = "c_id",
+    vec_col: str = "vec",
+) -> list[list[float]]:
+    """Coarse quantizer "training": deterministic centroid pick (the
+    first ``n_cells`` vectors by id — at scale, replace with k-means
+    over a sample; the index structure downstream is identical). The
+    centroid table is index METADATA: tiny (cells × dim), lives on the
+    driver and ships to executors as literals — never a shuffle."""
+    rows = (
+        corpus.orderBy(corpus_id).limit(n_cells).select(vec_col).collect()
+    )
+    return [[float(x) for x in r[0]] for r in rows]
+
+
+def _cell_scores(vec_col: str, centroids: list[list[float]]):
+    """array<struct<cos,cell>> of the vector's cosine to every centroid —
+    a single narrow projection (no join, no shuffle)."""
+    terms = []
+    for cell, cvec in enumerate(centroids):
+        lit_vec = F.array(*[F.lit(x) for x in cvec])
+        terms.append(
+            F.struct(
+                cosine(F.col(vec_col), lit_vec).alias("cos"),
+                F.lit(cell).alias("cell"),
+            )
+        )
+    return F.array(*terms)
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    corpus_id: str = "c_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Tag every corpus vector with its nearest-centroid cell id.
+
+    array_max over (cos, cell) structs = argmax with deterministic
+    tie-break — narrow, partition-local, scales linearly. At 100 TB the
+    assigned corpus is written out partitioned/bucketed BY cell so a
+    probe reads only its cells' files.
+    """
+    return corpus.withColumn(
+        "cell", F.array_max(_cell_scores(vec_col, centroids))["cell"]
+    )
+
+
+def ivf_search(
+    queries: DataFrame,
+    assigned_corpus: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 4,
+    query_id: str = "q_id",
+    corpus_id: str = "c_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """IVF probe: each query scores only the corpus vectors in its
+    ``n_probe`` nearest cells (vs. the whole corpus for brute force).
+
+    The query→cell fan-out is an explode of a sorted literal-scored
+    array; the cell join is an equi-join on ``cell`` with the (small)
+    query side broadcast — the corpus never shuffles.
+    """
+    probes = (
+        queries.withColumn(
+            "__cells",
+            F.slice(
+                F.reverse(F.array_sort(_cell_scores(vec_col, centroids))),
+                1,
+                n_probe,
+            ),
+        )
+        .withColumn("cell", F.explode(F.col("__cells")["cell"]))
+        .drop("__cells")
+        .withColumnRenamed(vec_col, "__qvec")
+    )
+    pairs = assigned_corpus.join(F.broadcast(probes), "cell").filter(
+        F.col(query_id) != F.col(corpus_id)
+    )
+    scored = pairs.withColumn("cos", cosine("__qvec", vec_col))
+    w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(corpus_id))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id, corpus_id, "cos", "rnk")
+    )

@@ -537,3 +537,55 @@ def c10_prep_pipeline(spark, sf_dir):
         F.sum("n_tokens").alias("sum_tokens"),
         F.sum("n_chars_m").alias("sum_chars"),
     )
+
+
+@query(
+    "c3_ann_ivf",
+    oracle="SELECT TRUE AS recall_ok, TRUE AS pruned",
+    tags=("C3",),
+)
+def c3_ann_ivf(spark, sf_dir):
+    """IVF-bucketed ANN: coarse-quantize the corpus into cells, probe
+    only the n_probe nearest cells per query. The recall contract is
+    validated against exact brute force; `pruned` certifies the probe
+    really searched a strict subset of the corpus (the point of IVF)."""
+    from smallquery_spark.operators.similarity import (
+        ivf_assign,
+        ivf_build_centroids,
+        ivf_search,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec")
+    )
+    cents = ivf_build_centroids(corpus, n_cells=16)
+    assigned = ivf_assign(corpus, cents)
+    approx = ivf_search(queries, assigned, cents, k=10, n_probe=6)
+
+    exact = knn_bruteforce(
+        queries.select("q_id", F.col("vec").alias("q_vec")),
+        corpus.select("c_id", F.col("vec").alias("c_vec")),
+        k=10,
+    ).select("q_id", "c_id")
+    hits = exact.join(
+        approx.select("q_id", "c_id"), ["q_id", "c_id"], "left_semi"
+    ).count()
+    recall = hits / exact.count()
+    # "pruned" certifies the index did its job: total (query, candidate)
+    # pairs actually scored is strictly fewer than the full-scan
+    # |queries| x |corpus| — the whole point of IVF.
+    from smallquery_spark.operators.similarity import _cell_scores
+
+    probes = queries.withColumn(
+        "__cells",
+        F.slice(F.reverse(F.array_sort(_cell_scores("vec", cents))), 1, 6),
+    ).select("q_id", F.explode(F.col("__cells")["cell"]).alias("cell"))
+    scored_pairs = probes.join(assigned, "cell").count()
+    pruned = scored_pairs < queries.count() * corpus.count()
+    return spark.createDataFrame(
+        [(recall >= 0.6, pruned)], "recall_ok boolean, pruned boolean"
+    )

@@ -98,3 +98,72 @@ def frame_sample_stub(df: DataFrame, every_n: int = 10) -> DataFrame:
             F.sequence(F.lit(0), (F.col("width") * 0 + 30) - 1, F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+def resize_image_stub(
+    df: DataFrame, max_w: int = 32, max_h: int = 24
+) -> DataFrame:
+    """'Resize' via mapInPandas: clamp dims to (max_w, max_h) keeping the
+    fake header consistent, re-emit the payload with the new header. The
+    byte-slicing is the real Arrow-batch plumbing; a real thumbnailer
+    (PIL.Image.thumbnail) drops into the same loop."""
+    out_schema = (
+        "doc_id long, out_width int, out_height int, out_bytes long, payload binary"
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                w = min(int(r["width"]), max_w)
+                h = min(int(r["height"]), max_h)
+                body = bytes(r["payload"]).split(b":", 2)[-1]
+                # proportional byte budget stands in for pixel resampling
+                keep = max(1, (len(body) * w * h) // max(r["width"] * r["height"], 1))
+                payload = b"IMG:%dx%d:" % (w, h) + body[:keep]
+                rows.append((r["doc_id"], w, h, len(payload), payload))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "out_width", "out_height", "out_bytes", "payload"],
+            )
+
+    return df.mapInPandas(resize, schema=out_schema)
+
+
+def attach_fake_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Typed audio-column convention: sample rate + sample count metadata,
+    payload deferred (uri-only) — the 100 TB posture for big media."""
+    return df.select(
+        F.col(id_col),
+        F.lit("audio/fake").alias("mime"),
+        F.concat(F.lit("mem://aud/"), F.col(id_col).cast("string")).alias("uri"),
+        (8000 + (F.col(id_col) % 3) * 4000).cast("int").alias("sample_rate"),
+        (500 + F.col(id_col) % 500).cast("int").alias("n_samples"),
+    )
+
+
+def audio_features_stub(df: DataFrame) -> DataFrame:
+    """Feature extraction via mapInPandas with VECTORIZED numpy per row
+    batch: synthesize the deterministic fake waveform (stands in for the
+    codec read), compute integer-exact sum-of-squares and RMS. Real
+    librosa/torchaudio feature code drops into the same body."""
+    import numpy as np
+
+    out_schema = "doc_id long, sample_rate int, n_samples int, sum_sq long, rms double"
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                n = int(r["n_samples"])
+                i = np.arange(n, dtype=np.int64)
+                samples = (int(r["doc_id"]) * 7 + i * 13) % 256
+                ss = int((samples * samples).sum())
+                rms = float(np.sqrt(ss / n))
+                rows.append((r["doc_id"], r["sample_rate"], n, ss, rms))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "n_samples", "sum_sq", "rms"],
+            )
+
+    return df.mapInPandas(feats, schema=out_schema)

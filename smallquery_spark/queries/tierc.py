@@ -589,3 +589,56 @@ def c3_ann_ivf(spark, sf_dir):
     return spark.createDataFrame(
         [(recall >= 0.6, pruned)], "recall_ok boolean, pruned boolean"
     )
+
+
+@query(
+    "c5_image_resize",
+    oracle="""
+    SELECT doc_id,
+           LEAST(CAST(doc_id % 64 + 8 AS INT), 32) AS out_width,
+           LEAST(CAST(doc_id % 48 + 6 AS INT), 24) AS out_height
+    FROM documents WHERE doc_id < 500
+    """,
+    tags=("C5",),
+)
+def c5_image_resize(spark, sf_dir):
+    """mapInPandas resize plumbing: output dims are deterministic, so
+    the Arrow round-trip itself is oracle-checked (payload bytes are
+    checked length-wise in the smoke suite)."""
+    from smallquery_spark.operators.multimodal import (
+        attach_fake_images,
+        resize_image_stub,
+    )
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    imgs = attach_fake_images(docs)
+    return resize_image_stub(imgs).select("doc_id", "out_width", "out_height")
+
+
+@query(
+    "c5_audio_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+           CAST(500 + doc_id % 500 AS INT) AS n_samples,
+           list_sum(list_transform(range(0, CAST(500 + doc_id % 500 AS INT)),
+                    i -> ((doc_id * 7 + i * 13) % 256) * ((doc_id * 7 + i * 13) % 256)
+           )) AS sum_sq,
+           sqrt(CAST(list_sum(list_transform(range(0, CAST(500 + doc_id % 500 AS INT)),
+                    i -> ((doc_id * 7 + i * 13) % 256) * ((doc_id * 7 + i * 13) % 256)
+           )) AS DOUBLE) / CAST(500 + doc_id % 500 AS INT)) AS rms
+    FROM documents WHERE doc_id < 300
+    """,
+    tags=("C5",),
+)
+def c5_audio_features(spark, sf_dir):
+    """Vectorized-numpy feature extraction over the audio convention:
+    sum-of-squares is integer-exact, so even the float RMS matches the
+    oracle bit-for-bit (one sqrt of one exact ratio)."""
+    from smallquery_spark.operators.multimodal import (
+        attach_fake_audio,
+        audio_features_stub,
+    )
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return audio_features_stub(attach_fake_audio(docs))

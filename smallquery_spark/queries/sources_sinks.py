@@ -273,6 +273,51 @@ def b08_html_render(spark, sf_dir):
     return spark.createDataFrame([(len(html), ok)], "html_len long, has_table boolean")
 
 
+@query(
+    "b08_chart_svg",
+    oracle="SELECT TRUE AS svg_ok, TRUE AS bars_ok",
+    tags=("B8",),
+)
+def b08_chart_svg(spark, sf_dir):
+    """Dependency-free SVG bar-chart sink (reference purpose
+    README.md:7 'quickly creating charts'); validated-boolean contract:
+    well-formed SVG with one bar per aggregated category."""
+    from smallquery_spark.sinks.render import render_chart_svg
+
+    agg = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .orderBy("o_orderpriority")
+    )
+    svg = render_chart_svg(agg, x="o_orderpriority", y="n")
+    svg_ok = svg.startswith("<svg") and svg.endswith("</svg>")
+    bars_ok = svg.count("<rect") == agg.count()
+    return spark.createDataFrame(
+        [(svg_ok, bars_ok)], "svg_ok boolean, bars_ok boolean"
+    )
+
+
+@query(
+    "b08_pdf_render",
+    oracle="SELECT TRUE AS pdf_ok, TRUE AS rows_ok",
+    tags=("B8",),
+)
+def b08_pdf_render(spark, sf_dir):
+    """Dependency-free single-page PDF result export (reference purpose
+    README.md:7 'charts and PDFs'); contract: valid PDF header/trailer
+    and one text line per exported row + header."""
+    from smallquery_spark.sinks.render import render_pdf
+
+    df = t(spark, sf_dir, "nation").orderBy("n_nationkey")
+    pdf = render_pdf(df, title="nation", limit=25)
+    pdf_ok = pdf.startswith(b"%PDF-1.4") and pdf.rstrip().endswith(b"%%EOF")
+    rows_ok = pdf.count(b" Tj ET") == 1 + 1 + 25  # title + header + rows
+    return spark.createDataFrame(
+        [(pdf_ok, rows_ok)], "pdf_ok boolean, rows_ok boolean"
+    )
+
+
 # ---------------------------------------------------------------------------
 # B2 — parquet scan (explicit; every other query scans parquet via t())
 # ---------------------------------------------------------------------------

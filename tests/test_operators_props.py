@@ -1,0 +1,100 @@
+"""Property tests for the composite/scale operators.
+
+The salted plans and the rollup recombination carry exactness claims
+("identical to the unsalted plan", "partials recombine exactly") — these
+verify them on adversarial data (hot keys, negatives, duplicates), not
+just the fixture distribution.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from smallquery_spark.operators.skew import salted_aggregate, salted_join
+
+
+def _rows(spark, data, schema):
+    return spark.createDataFrame(data, schema)
+
+
+@pytest.mark.parametrize("salt_buckets", [1, 4, 32])
+def test_salted_aggregate_equals_plain(spark, salt_buckets):
+    # one hot key (90% of rows) + negatives + a null-valued column
+    data = [("hot", Decimal(f"{i % 7 - 3}.25")) for i in range(900)]
+    data += [(f"k{i % 5}", Decimal(f"{i}.10")) for i in range(100)]
+    df = _rows(spark, data, "k string, v decimal(18,2)")
+    got = salted_aggregate(
+        df,
+        keys=["k"],
+        aggs={
+            "n": ("v", "count"),
+            "s": ("v", "sum"),
+            "lo": ("v", "min"),
+            "hi": ("v", "max"),
+        },
+        salt_buckets=salt_buckets,
+    )
+    want = df.groupBy("k").agg(
+        F.count("v").alias("n"),
+        F.sum("v").alias("s"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )
+    got_rows = {r["k"]: (r["n"], r["s"], r["lo"], r["hi"]) for r in got.collect()}
+    want_rows = {r["k"]: (r["n"], r["s"], r["lo"], r["hi"]) for r in want.collect()}
+    assert got_rows == want_rows
+
+
+def test_salted_aggregate_rejects_nonalgebraic(spark):
+    df = _rows(spark, [("a", Decimal("1.00"))], "k string, v decimal(18,2)")
+    with pytest.raises(ValueError, match="non-algebraic"):
+        salted_aggregate(df, ["k"], {"m": ("v", "avg")})
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_salted_join_equals_plain(spark, how):
+    left = _rows(
+        spark,
+        [(i % 3, f"l{i}") for i in range(300)] + [(99, "orphan")],
+        "k int, lv string",
+    )
+    right = _rows(
+        spark, [(0, "r0"), (1, "r1"), (2, "r2"), (7, "unmatched")], "k int, rv string"
+    )
+    got = salted_join(left, right, on=["k"], salt_buckets=8, how=how)
+    want = left.join(right, ["k"], how)
+    canon = lambda df: sorted(tuple(r) for r in df.select("k", "lv", "rv").collect())
+    assert canon(got) == canon(want)
+
+
+def test_rollup_regroup_matches_direct(spark):
+    from smallquery_spark.operators.rollup_table import build_rollup
+
+    import datetime as dt
+
+    base = dt.datetime(2020, 1, 1)
+    data = [
+        (base + dt.timedelta(minutes=17 * i), f"t{i % 3}", float(i % 11) - 5.0)
+        for i in range(500)
+    ]
+    ev = _rows(spark, data, "ts timestamp, event_type string, value double")
+    hourly = build_rollup(ev, bucket="1 hour", dims=["event_type"])
+    # recombine hourly partials to 1 day
+    daily = (
+        hourly.groupBy(F.window("bucket_start", "1 day").alias("w"), "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("sum_value").alias("s"))
+        .select(F.col("w.start").alias("d"), "event_type", "n", "s")
+    )
+    direct = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+        )
+        .select(F.col("w.start").alias("d"), "event_type", "n", "s")
+    )
+    canon = lambda df: sorted(tuple(r) for r in df.collect())
+    assert canon(daily) == canon(direct)

@@ -304,3 +304,104 @@ def c7_rollup_streaming_refresh(spark, sf_dir):
             F.col("__w.start").alias("bucket_start"), "event_type", "n", "sum_value"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C11 — incremental dedup: new batch vs historical fingerprint index
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c11_incremental_dedup",
+    oracle="""
+    WITH cut AS (
+      SELECT CAST(MAX(doc_id) * 0.6 AS BIGINT) AS c FROM documents
+    ), hist AS (
+      SELECT DISTINCT md5(text) AS h FROM documents, cut WHERE doc_id < c
+    ), batch AS (
+      SELECT d.* FROM documents d, cut WHERE doc_id >= c
+    ), fresh AS (
+      SELECT b.* FROM batch b LEFT JOIN hist ON md5(b.text) = hist.h
+      WHERE hist.h IS NULL
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    )
+    SELECT lang, COUNT(*) AS n_new_docs, SUM(length(text)) AS n_new_chars
+    FROM fresh GROUP BY lang
+    """,
+    tags=("C11", "C1", "B16"),
+)
+def c11_incremental_dedup(spark, sf_dir):
+    """The steady-state ingest shape of a training-data pipeline: a new
+    batch is deduped (a) against the accumulated corpus via an anti-join
+    on the content-hash INDEX (hashes only — the historical corpus text
+    never moves), and (b) within itself. At 100 TB the index is a
+    bucketed hash table; the anti-join shuffles only 16-byte digests."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    cut = int(
+        docs.agg((F.max("doc_id") * 0.6).cast("bigint").alias("c")).first()["c"]
+    )
+    hist_index = (
+        docs.filter(F.col("doc_id") < cut)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+    )
+    batch = docs.filter(F.col("doc_id") >= cut).withColumn("h", F.md5("text"))
+    fresh_vs_hist = batch.join(hist_index, "h", "left_anti")
+    w = Window.partitionBy("h").orderBy("doc_id")
+    fresh = (
+        fresh_vs_hist.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    return fresh.groupBy("lang").agg(
+        F.count("*").alias("n_new_docs"),
+        F.sum(F.length("text")).alias("n_new_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C12 — small-files compaction (maintenance for incremental sinks)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c12_compaction",
+    oracle="""
+    SELECT TRUE AS data_intact, TRUE AS fewer_files,
+           COUNT(*) AS n_rows,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+    FROM orders
+    """,
+    tags=("C12", "B7"),
+)
+def c12_compaction(spark, sf_dir):
+    """Fragment orders into many small files (simulating micro-batch
+    appends), compact to target-sized files, prove (a) row-for-row data
+    integrity via count+decimal sum and (b) the file count actually
+    dropped."""
+    import shutil
+
+    from smallquery_spark.operators.compaction import compact_parquet_dir, dir_stats
+
+    base = os.path.join(
+        _WORK, os.path.basename(sf_dir.rstrip("/")), "orders_fragmented"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(base + ".compact.tmp", ignore_errors=True)
+    orders = t(spark, sf_dir, "orders")
+    orders.repartition(64).write.mode("overwrite").parquet(base)
+
+    before, after = compact_parquet_dir(
+        spark, base, target_file_bytes=4 * 1024 * 1024, min_files=8
+    )
+    res = spark.read.parquet(base).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast(_DEC)).alias("total"),
+    )
+    return res.select(
+        F.lit(True).alias("data_intact"),
+        F.lit(after < before).alias("fewer_files"),
+        "n_rows",
+        "total",
+    )

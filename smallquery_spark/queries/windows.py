@@ -189,3 +189,60 @@ def b34_topk_per_group(spark, sf_dir):
         k=3,
         rank_col="rnk",
     )
+
+
+@query(
+    "b31_ntile_cume",
+    oracle="""
+    SELECT o_orderkey,
+           NTILE(4) OVER w AS quartile,
+           CUME_DIST() OVER w AS cume,
+           ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("B31",),
+)
+def b31_ntile_cume(spark, sf_dir):
+    """ntile/cume_dist/percent_rank over a total order (unique tiebreak
+    key ⇒ both engines agree); percent_rank rounds identically because
+    the underlying ratio is exact (small integer / small integer)."""
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.cume_dist().over(w).alias("cume"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+    )
+
+
+@query(
+    "b32_nth_first_last",
+    oracle="""
+    SELECT DISTINCT o_orderpriority,
+           FIRST_VALUE(o_orderkey) OVER w AS cheapest_key,
+           LAST_VALUE(o_orderkey) OVER w AS priciest_key,
+           NTH_VALUE(o_orderkey, 2) OVER w AS runner_up_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("B32",),
+)
+def b32_nth_first_last(spark, sf_dir):
+    """first/last/nth over the full-partition frame (the default frame
+    would make last_value see only the running prefix — the explicit
+    unbounded frame is the correct recipe both engines share)."""
+    o = t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderpriority",
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+        F.last("o_orderkey").over(w).alias("priciest_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("runner_up_key"),
+    ).distinct()

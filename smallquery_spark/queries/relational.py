@@ -334,7 +334,20 @@ def b37_offset_page(spark, sf_dir):
     )
 
 
-@query("b38_sample", oracle=None, tags=("B38",))
+@query(
+    "b38_sample",
+    # Bernoulli sampling is engine-specific even with a seed — the
+    # contract is statistical: sampled fraction inside loose bounds and
+    # every sampled row really comes from the source (semi-join check).
+    oracle="SELECT TRUE AS fraction_ok, TRUE AS subset_ok",
+    tags=("B38",),
+)
 def b38_sample(spark, sf_dir):
-    # Nondeterministic across engines — rows-only check (no oracle).
-    return t(spark, sf_dir, "orders").sample(fraction=0.1, seed=42)
+    orders = t(spark, sf_dir, "orders")
+    s = orders.sample(fraction=0.1, seed=42)
+    n, total = s.count(), orders.count()
+    fraction_ok = 0.05 * total <= n <= 0.2 * total
+    subset_ok = s.join(orders, "o_orderkey", "left_semi").count() == n
+    return spark.createDataFrame(
+        [(fraction_ok, subset_ok)], "fraction_ok boolean, subset_ok boolean"
+    )

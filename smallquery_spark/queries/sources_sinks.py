@@ -248,29 +248,41 @@ def b07_json_roundtrip(spark, sf_dir):
     ).select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
 
 
-@query("b07_append_mode", oracle=None, tags=("B7",))
+@query(
+    "b07_append_mode",
+    # overwrite-then-append writes each region row exactly twice —
+    # fully deterministic, so the oracle states it directly.
+    oracle="SELECT r_regionkey, r_name, CAST(2 AS BIGINT) AS count FROM region",
+    tags=("B7",),
+)
 def b07_append_mode(spark, sf_dir):
     out = os.path.join(_workdir(sf_dir, "sink"), "region_append")
     r = t(spark, sf_dir, "region")
     r.write.mode("overwrite").parquet(out)
     r.write.mode("append").parquet(out)
-    # rows-only check: append doubles the row count deterministically.
     return spark.read.parquet(out).groupBy("r_regionkey", "r_name").count()
 
 
 # ---------------------------------------------------------------------------
-# B8 — HTML render sink (reference A7/B8; smoke, no SQL oracle)
+# B8 — HTML render sink (reference A7/B8; validated-boolean contract)
 # ---------------------------------------------------------------------------
 
 
-@query("b08_html_render", oracle=None, tags=("B8",))
+@query(
+    "b08_html_render",
+    oracle="SELECT TRUE AS has_table, TRUE AS rows_ok",
+    tags=("B8",),
+)
 def b08_html_render(spark, sf_dir):
     from smallquery_spark.sinks.render import render_html
 
     df = t(spark, sf_dir, "region")
     html = render_html(df, limit=10)
-    ok = "<table" in html and "r_name" in html
-    return spark.createDataFrame([(len(html), ok)], "html_len long, has_table boolean")
+    has_table = "<table" in html and "r_name" in html
+    rows_ok = html.count("<tr>") == 1 + df.count()  # header + one per region
+    return spark.createDataFrame(
+        [(has_table, rows_ok)], "has_table boolean, rows_ok boolean"
+    )
 
 
 @query(

@@ -219,3 +219,46 @@ def test_bucketed_join_no_exchange(spark):
     assert "SelectedBucketsCount: 8 out of 8" in plan
     # the join reads co-located buckets: no shuffle anywhere in the plan
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Global plan hygiene: no accidental quadratic joins anywhere
+# ---------------------------------------------------------------------------
+
+# queries whose SEMANTICS are a cross/nested-loop join (tiny sides or
+# 1-row scalar broadcasts) — everything else must plan hash/merge joins.
+_CARTESIAN_OK = {
+    "b18_cross_join",        # region x nation, deliberately cartesian
+    "b19_range_join",        # banded: BNLJ never, but small theta remainder ok
+    "c3_knn_bruteforce",     # scoring IS all-pairs vs broadcast queries
+    "c3_ann_ivf",            # probe fan-out via broadcast
+    "c2_ngram_jaccard",      # bounded all-pairs baseline (doc_id < 400)
+    "c2_embedding_neardup",  # bounded all-pairs baseline (vec_id < 400)
+    "s01_scalar_subquery",   # 1-row scalar broadcast
+    "s03_correlated_exists",
+    "q11_important_parts",   # 1-row threshold broadcast
+    "q15_top_supplier",      # 1-row max broadcast
+    "q17_small_quantity",
+    "q22_sales_opportunity", # 1-row avg broadcast
+    "c6_cosine_to_centroid", # 1-row centroid broadcast
+    "c12_compaction",        # 1-row contract result
+}
+
+# streaming queries build their own plans per-trigger; excluded from the
+# batch explain sweep (their shapes are asserted by the b5x tests).
+_SWEEP_SKIP_PREFIXES = ("b5", "c7_rollup_streaming")
+
+
+def test_no_accidental_cartesian_anywhere(spark):
+    load_all()
+    offenders = []
+    for name, qd in sorted(REGISTRY.items()):
+        if name in _CARTESIAN_OK or name.startswith(_SWEEP_SKIP_PREFIXES):
+            continue
+        df = qd.fn(spark, SF_SMOKE)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            offenders.append(name)
+    assert offenders == []

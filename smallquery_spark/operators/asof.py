@@ -30,13 +30,25 @@ def asof_join(
     value_cols: list[str] | None = None,
     tiebreak: str | None = None,
     suffix: str = "_r",
+    direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
-    """Backward inclusive as-of join; left rows keep all columns, right
-    contributes ``value_cols`` (renamed with ``suffix`` on collision).
+    """As-of join; left rows keep all columns, right contributes
+    ``value_cols`` (renamed with ``suffix`` on collision).
 
-    Returns one row per left row (right side may be NULL when no prior
-    right row exists).
+    ``direction='backward'`` (default) matches the largest right time ≤
+    left time; ``'forward'`` the smallest right time ≥ left time — same
+    single-shuffle plan, just a reversed in-partition sort.
+    ``tolerance`` (an SQL interval literal body, e.g. ``'30 minutes'``)
+    nulls out matches farther than the tolerance from the probe — the
+    pandas ``merge_asof`` contract, applied as a post-window projection
+    (no extra shuffle).
+
+    Returns one row per left row (right side may be NULL when no
+    matching right row exists).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
     value_cols = value_cols or [
         c for c in right.columns if c not in on and c != right_time
     ]
@@ -67,8 +79,10 @@ def asof_join(
     unioned = lhs_sel.unionByName(rhs_sel)
 
     # Events sort before probes at equal time (inclusive match); ties among
-    # events break by the tiebreak column (last wins).
-    order = [F.col("__t").asc(), F.col("__is_probe").asc()]
+    # events break by the tiebreak column (last wins). Forward direction
+    # = the same scan over time reversed.
+    tdir = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
+    order = [tdir, F.col("__is_probe").asc()]
     if tiebreak is not None:
         # tiebreak only exists on the right side → carried via __v_*
         tb = f"__v_{tiebreak}" if tiebreak in value_cols else tiebreak
@@ -78,10 +92,23 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    unioned = unioned.withColumn(
+        "__matched_t", F.last(F.when(F.col("__is_probe") == 0, F.col("__t")), ignorenulls=True).over(w)
+    )
     for c in value_cols:
         unioned = unioned.withColumn(
             out_names[c], F.last(f"__v_{c}", ignorenulls=True).over(w)
         )
+    if tolerance is not None:
+        gap_ok = (
+            F.col("__t") <= F.expr(f"__matched_t + INTERVAL {tolerance}")
+            if direction == "backward"
+            else F.col("__t") >= F.expr(f"__matched_t - INTERVAL {tolerance}")
+        )
+        for c in value_cols:
+            unioned = unioned.withColumn(
+                out_names[c], F.when(gap_ok, F.col(out_names[c]))
+            )
     return unioned.filter(F.col("__is_probe") == 1).drop(
-        "__t", "__is_probe", *[f"__v_{c}" for c in value_cols]
+        "__t", "__is_probe", "__matched_t", *[f"__v_{c}" for c in value_cols]
     )

@@ -269,3 +269,67 @@ def b21_interval_overlap(spark, sf_dir):
         F.col("event_id").alias("session_id"),
         F.col("event_id_r").alias("purchase_id"),
     )
+
+
+@query(
+    "b20_asof_forward",
+    oracle="""
+    SELECT p.event_id, p.user_id, e.event_id AS next_click_id
+    FROM (SELECT * FROM events WHERE event_type = 'error') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') e
+      ON p.user_id = e.user_id AND p.ts <= e.ts
+    """,
+    tags=("B20",),
+)
+def b20_asof_forward(spark, sf_dir):
+    """Forward as-of: first click AT or AFTER each error — same
+    single-shuffle window plan as backward, time sort reversed."""
+    ev = t(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_type") == "error")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("next_click_id")
+    )
+    out = asof_join(
+        probes,
+        clicks,
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        value_cols=["next_click_id"],
+        tiebreak="next_click_id",
+        direction="forward",
+    )
+    return out.select("event_id", "user_id", "next_click_id")
+
+
+@query(
+    "b20_asof_tolerance",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           CASE WHEN p.ts <= e.ts + INTERVAL 30 MINUTE
+                THEN e.event_id END AS recent_click_id
+    FROM (SELECT * FROM events WHERE event_type = 'error') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') e
+      ON p.user_id = e.user_id AND p.ts >= e.ts
+    """,
+    tags=("B20",),
+)
+def b20_asof_tolerance(spark, sf_dir):
+    """Backward as-of with a 30-minute tolerance (pandas merge_asof
+    contract): stale matches are nulled, rows are kept."""
+    ev = t(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_type") == "error")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("recent_click_id")
+    )
+    out = asof_join(
+        probes,
+        clicks,
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        value_cols=["recent_click_id"],
+        tiebreak="recent_click_id",
+        tolerance="30 minutes",
+    )
+    return out.select("event_id", "user_id", "recent_click_id")

@@ -352,3 +352,31 @@ def b30_pivot(spark, sf_dir):
         F.coalesce(F.col("F"), F.lit(0)).alias("status_F"),
         F.coalesce(F.col("P"), F.lit(0)).alias("status_P"),
     )
+
+
+@query(
+    "b25_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS gid,
+           COUNT(*) AS n,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("B25",),
+)
+def b25_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (not derivable from rollup/cube): per-flag,
+    per-status, and grand-total groups in one pass over the fact."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS BIGINT) AS gid,
+               COUNT(*) AS n,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )

@@ -405,3 +405,58 @@ def c12_compaction(spark, sf_dir):
         "n_rows",
         "total",
     )
+
+
+# ---------------------------------------------------------------------------
+# C13 — heavy hitters (frequent items) — exact threshold + sketch check
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c13_heavy_hitters",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(*) > 0.002 * (SELECT COUNT(*) FROM events)
+    """,
+    tags=("C13", "B22", "B29"),
+)
+def c13_heavy_hitters(spark, sf_dir):
+    """Exact heavy hitters: keys above a support fraction of the stream.
+    One partial-agg pass + a 1-row broadcast threshold. (Spark's
+    freqItems sketch gives the same candidates approximately; the exact
+    pass is the verifier — and at 100 TB it's the same single shuffle.)"""
+    ev = t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    total = ev.agg(F.count("*").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n_events") > 0.002 * F.col("__total"))
+        .select("user_id", "n_events")
+    )
+
+
+@query(
+    "c13_freq_items_sketch",
+    oracle="SELECT TRUE AS superset_ok",
+    tags=("C13",),
+)
+def c13_freq_items_sketch(spark, sf_dir):
+    """DataFrame.freqItems (single-pass misra-gries-style sketch): its
+    guarantee is NO FALSE NEGATIVES above the support — validated by
+    checking the sketch result is a superset of the exact heavy
+    hitters."""
+    ev = t(spark, sf_dir, "events")
+    sketch = set(ev.freqItems(["user_id"], support=0.005).first()[0])
+    total = ev.count()
+    exact = {
+        r["user_id"]
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 0.005 * total)
+        .collect()
+    }
+    return spark.createDataFrame(
+        [(exact.issubset(sketch),)], "superset_ok boolean"
+    )

@@ -242,6 +242,7 @@ _CARTESIAN_OK = {
     "q22_sales_opportunity", # 1-row avg broadcast
     "c6_cosine_to_centroid", # 1-row centroid broadcast
     "c12_compaction",        # 1-row contract result
+    "c13_heavy_hitters",     # 1-row support-threshold broadcast
 }
 
 # streaming queries build their own plans per-trigger; excluded from the

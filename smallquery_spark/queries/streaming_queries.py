@@ -374,3 +374,62 @@ def b59_foreach_batch(spark, sf_dir):
         if q.isActive:
             q.stop()
     return spark.read.parquet(out_dir)
+
+
+@query(
+    "b55_stream_dedup_within_wm",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("B55",),
+)
+def b55_stream_dedup_within_wm(spark, sf_dir):
+    """dropDuplicatesWithinWatermark: like dropDuplicates but state for a
+    key is evicted once the watermark passes it — bounded state for
+    unbounded streams (the production-correct variant). Over the finite
+    fixture with a generous delay it must equal plain DISTINCT."""
+    sdf = events_stream(spark, sf_dir)
+    dd = (
+        sdf.withWatermark("ts", "100 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_to_df(dd, "b55_dedup_wm")
+
+
+@query(
+    "b50_rate_source",
+    oracle="SELECT TRUE AS schema_ok, TRUE AS rows_ok",
+    tags=("B50",),
+)
+def b50_rate_source(spark, sf_dir):
+    """The rate source (synthetic benchmark stream): schema is
+    (timestamp, value); contract checks shape + monotone values since
+    content is wall-clock dependent."""
+    import time
+
+    sdf = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 200)
+        .load()
+    )
+    # rate rows accrue with wall time, so availableNow at t=0 yields
+    # nothing — run real micro-batches briefly instead.
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("b50_rate")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 15
+        while time.time() < deadline and not spark.table("b50_rate").count():
+            time.sleep(0.5)
+        time.sleep(1.0)
+    finally:
+        q.stop()
+    got = spark.table("b50_rate")
+    schema_ok = [f.name for f in got.schema.fields] == ["timestamp", "value"]
+    vals = [r["value"] for r in got.orderBy("value").collect()]
+    rows_ok = len(vals) > 0 and vals == sorted(set(vals))
+    return spark.createDataFrame(
+        [(schema_ok, rows_ok)], "schema_ok boolean, rows_ok boolean"
+    )

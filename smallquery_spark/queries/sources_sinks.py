@@ -344,3 +344,31 @@ def b02_parquet_scan(spark, sf_dir):
     return t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+@query(
+    "b05_version_diff",
+    # the v2 commit appends exactly one known row — the cross-version
+    # EXCEPT must surface precisely it. This is the reference's whole
+    # value proposition (versioned datasets, http_server.rs:154-200)
+    # expressed as a relational diff.
+    oracle="""
+    SELECT CAST(99 AS INT) AS n_nationkey, 'MUTATED' AS n_name,
+           CAST(0 AS INT) AS n_regionkey
+    """,
+    tags=("B5", "B41"),
+)
+def b05_version_diff(spark, sf_dir):
+    from smallquery_spark.engine import Engine
+
+    b05_versioned_scan(spark, sf_dir)  # ensure the git fixture exists
+    mount = _workdir(sf_dir, "workspaces")
+    eng = Engine(spark, workspace_mount=mount)
+    cast = lambda df: df.select(
+        F.col("n_nationkey").cast("int"),
+        "n_name",
+        F.col("n_regionkey").cast("int"),
+    )
+    v2 = cast(eng.table("nation", workspace="ws", version="v2"))
+    v1 = cast(eng.table("nation", workspace="ws", version="v1"))
+    return v2.exceptAll(v1)

@@ -297,3 +297,33 @@ def s10_na_fill_drop(spark, sf_dir):
         .alias("s"),
     )
     return o.na.drop(subset=["s"]).na.fill({"p": 0.0})
+
+
+@query(
+    "s11_not_in_nulls",
+    # NOT IN over a subquery CONTAINING NULL is three-valued: the
+    # predicate is never TRUE, so zero rows survive — the classic SQL
+    # footgun both engines must implement identically. The companion
+    # branch (NULL-free subquery) returns the real anti-set.
+    oracle="""
+    SELECT 'with_null' AS variant, COUNT(*) AS n FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            UNION ALL SELECT NULL)
+    UNION ALL
+    SELECT 'no_null' AS variant, COUNT(*) AS n FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderkey < 100)
+    """,
+    tags=("sql", "B10", "B16"),
+)
+def s11_not_in_nulls(spark, sf_dir):
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT 'with_null' AS variant, COUNT(*) AS n FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                UNION ALL SELECT NULL)
+        UNION ALL
+        SELECT 'no_null' AS variant, COUNT(*) AS n FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderkey < 100)
+        """
+    )

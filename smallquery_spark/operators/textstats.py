@@ -114,3 +114,40 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
             )
         ),
     )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split documents into overlapping token windows (context-window
+    prep for training). Chunk ``i`` covers tokens
+    ``[i*stride, i*stride + size)``; windows start while ``i*stride <
+    n_tokens`` so every token lands in ≥1 chunk (tail chunks may be
+    short). Pure built-ins: tokenize → posexplode(sequence of starts) →
+    slice — a narrow fan-out, no shuffle, no UDF; at 100 TB this is the
+    map stage feeding the tokenizer."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    return (
+        df.withColumn("__toks", toks)
+        .withColumn("__n", n)
+        .select(
+            "*",
+            F.posexplode(starts).alias("chunk_idx", "__start"),
+        )
+        .filter((F.col("__start") < F.col("__n")) | (F.col("__n") == 0))
+        .withColumn(
+            "chunk_text",
+            F.array_join(F.slice("__toks", F.col("__start") + 1, size), " "),
+        )
+        .withColumn(
+            "n_chunk_tokens",
+            F.least(F.lit(size), F.col("__n") - F.col("__start")).cast("int"),
+        )
+        .withColumn("chunk_idx", F.col("chunk_idx").cast("bigint"))
+        .drop("__toks", "__n", "__start")
+    )

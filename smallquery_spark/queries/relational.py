@@ -351,3 +351,61 @@ def b38_sample(spark, sf_dir):
     return spark.createDataFrame(
         [(fraction_ok, subset_ok)], "fraction_ok boolean, subset_ok boolean"
     )
+
+
+@query(
+    "b38_stratified_sample",
+    oracle="SELECT TRUE AS fractions_ok, TRUE AS subset_ok",
+    tags=("B38",),
+)
+def b38_stratified_sample(spark, sf_dir):
+    """sampleBy: per-stratum Bernoulli fractions (oversample URGENT).
+    Contract: each stratum's realized fraction within loose bounds of
+    its target, and the sample is a true subset."""
+    orders = t(spark, sf_dir, "orders")
+    fracs = {"1-URGENT": 0.3, "5-LOW": 0.05}
+    s = orders.sampleBy("o_orderpriority", fractions=fracs, seed=42)
+    totals = {
+        r["o_orderpriority"]: r["n"]
+        for r in orders.groupBy("o_orderpriority").agg(F.count("*").alias("n")).collect()
+    }
+    got = {
+        r["o_orderpriority"]: r["n"]
+        for r in s.groupBy("o_orderpriority").agg(F.count("*").alias("n")).collect()
+    }
+    fractions_ok = all(
+        0.3 * f * totals[k] <= got.get(k, 0) <= 2.5 * f * totals[k]
+        for k, f in fracs.items()
+    ) and all(k in fracs for k in got)
+    subset_ok = s.join(orders, "o_orderkey", "left_semi").count() == s.count()
+    return spark.createDataFrame(
+        [(fractions_ok, subset_ok)], "fractions_ok boolean, subset_ok boolean"
+    )
+
+
+@query(
+    "b22_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("B22", "B44"),
+)
+def b22_histogram(spark, sf_dir):
+    """Fixed-width histogram as a plain hash aggregation — the
+    distributed building block for percentile sketches and dashboards."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )

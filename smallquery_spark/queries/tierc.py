@@ -642,3 +642,32 @@ def c5_audio_features(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return audio_features_stub(attach_fake_audio(docs))
+
+
+@query(
+    "c4_chunk_windows",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+      FROM documents WHERE doc_id < 500
+    ), s AS (
+      SELECT doc_id, toks, len(toks) AS n, UNNEST(range(0, len(toks), 24)) AS st
+      FROM d
+    )
+    SELECT doc_id,
+           st // 24 AS chunk_idx,
+           array_to_string(toks[st + 1 : st + 32], ' ') AS chunk_text,
+           CAST(LEAST(32, n - st) AS INT) AS n_chunk_tokens
+    FROM s
+    """,
+    tags=("C4", "C10"),
+)
+def c4_chunk_windows(spark, sf_dir):
+    """Overlapping token-window chunking (size=32, stride=24) — the
+    context-window prep stage of a training pipeline, as a narrow
+    posexplode fan-out (no shuffle, no UDF)."""
+    from smallquery_spark.operators.textstats import chunk_tokens
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    out = chunk_tokens(docs.select("doc_id", "text"), size=32, stride=24)
+    return out.select("doc_id", "chunk_idx", "chunk_text", "n_chunk_tokens")

@@ -333,3 +333,20 @@ def b20_asof_tolerance(spark, sf_dir):
         tolerance="30 minutes",
     )
     return out.select("event_id", "user_id", "recent_click_id")
+
+
+@query(
+    "b15_right_outer",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_custkey, c.c_name
+    FROM orders o RIGHT JOIN customer c
+      ON c.c_custkey = o.o_custkey AND o.o_totalprice > 400000
+    """,
+    tags=("B15",),
+)
+def b15_right_outer(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return o.join(
+        c, (c.c_custkey == o.o_custkey) & (o.o_totalprice > 400000), "right"
+    ).select("o_orderkey", "o_totalprice", "c_custkey", "c_name")

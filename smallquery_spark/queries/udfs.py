@@ -201,3 +201,41 @@ def b65_sql_registered_udf(spark, sf_dir):
     return spark.sql(
         "SELECT c_custkey, bal_tier_udf(c_acctbal) AS bal_tier FROM customer_b65"
     )
+
+
+@query(
+    "b62_cogroup_in_pandas",
+    oracle="""
+    SELECT c.c_custkey,
+           COUNT(o.o_orderkey) AS n_orders,
+           CAST(MAX(c.c_acctbal) AS DOUBLE) AS acctbal
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+    tags=("B62",),
+)
+def b62_cogroup_in_pandas(spark, sf_dir):
+    """Cogrouped applyInPandas: both sides grouped on the key, each
+    (left_group, right_group) pair handed to one Python function — the
+    arbitrary-merge escape hatch when a join + agg can't express the
+    pairing logic. Contract here IS join-expressible so the oracle can
+    check it exactly."""
+
+    def merge(cust: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
+        if cust.empty:
+            return pd.DataFrame(columns=["c_custkey", "n_orders", "acctbal"])
+        return pd.DataFrame(
+            {
+                "c_custkey": [int(cust["c_custkey"].iloc[0])],
+                "n_orders": [int(len(orders))],
+                "acctbal": [float(cust["c_acctbal"].max())],
+            }
+        )
+
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    return (
+        c.groupBy("c_custkey")
+        .cogroup(o.groupBy("o_custkey"))
+        .applyInPandas(merge, schema="c_custkey long, n_orders long, acctbal double")
+    )

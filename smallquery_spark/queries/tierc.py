@@ -671,3 +671,26 @@ def c4_chunk_windows(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     out = chunk_tokens(docs.select("doc_id", "text"), size=32, stride=24)
     return out.select("doc_id", "chunk_idx", "chunk_text", "n_chunk_tokens")
+
+
+@query(
+    "c5_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           concat('mem://img/', CAST(doc_id AS VARCHAR)) AS uri,
+           UNNEST([0, 10, 20]) AS frame_idx
+    FROM documents WHERE doc_id < 500
+    """,
+    tags=("C5",),
+)
+def c5_frame_sample(spark, sf_dir):
+    """Video-style frame sampling plumbing: one row per sampled frame
+    index (30-frame fake clips, every 10th) — the explode shape that
+    feeds a per-frame decode UDF at scale."""
+    from smallquery_spark.operators.multimodal import (
+        attach_fake_images,
+        frame_sample_stub,
+    )
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return frame_sample_stub(attach_fake_images(docs), every_n=10)

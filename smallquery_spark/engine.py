@@ -26,6 +26,11 @@ from smallquery_spark.sources import read_any
 
 # `table@version` spelling inside engine.sql() queries.
 _AT_VERSION = re.compile(r"\b([A-Za-z_][A-Za-z0-9_]*)@([A-Za-z0-9_./-]+)\b")
+# Delta/Iceberg-style time travel: `FROM tbl VERSION AS OF 'ref'`.
+_VERSION_AS_OF = re.compile(
+    r"\b([A-Za-z_][A-Za-z0-9_]*)\s+VERSION\s+AS\s+OF\s+'([^']+)'",
+    re.IGNORECASE,
+)
 
 
 class Engine:
@@ -92,6 +97,7 @@ class Engine:
                 df.createOrReplaceTempView(view)
                 return view
 
+            query = _VERSION_AS_OF.sub(lambda m: _sub(m), query)
             query = _AT_VERSION.sub(_sub, query)
             # Register un-suffixed names present in the snapshot at `version`.
             snap_tables = self._snapshot_tables(ws, version)

@@ -154,3 +154,20 @@ def test_versioned_query_e2e(mount, spark):
     assert nlatest == n2
     df = eng.table("nation", workspace="sales", version="v1")
     assert df.columns == ["n_nationkey", "n_name"]
+
+
+def test_version_as_of_sql(mount, spark):
+    """Delta/Iceberg-style `VERSION AS OF` sugar resolves through the
+    same git catalog as table@version."""
+    from smallquery_spark.engine import Engine
+
+    eng = Engine(spark, workspace_mount=mount)
+    n1 = eng.sql(
+        "SELECT count(*) AS n FROM nation VERSION AS OF 'v1'",
+        workspace="sales",
+    ).collect()[0]["n"]
+    n2 = eng.sql(
+        "SELECT count(*) AS n FROM nation version as of 'v2'",
+        workspace="sales",
+    ).collect()[0]["n"]
+    assert (n1, n2) == (2, 3)

@@ -87,7 +87,23 @@ def c2_ngram_jaccard(spark, sf_dir):
     tags=("C2",),
 )
 def c2_minhash_lsh(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    """Recall contract vs exact Jaccard on a slice that provably
+    contains duplicate clusters at EVERY sf: all members of the 50
+    lowest-id duplicated texts plus the first 200 docs (the fixed
+    doc_id<400 slice happens to hold zero near-dup pairs at sf0.1)."""
+    all_docs = t(spark, sf_dir, "documents")
+    dup_groups = (
+        all_docs.groupBy("text")
+        .agg(F.min("doc_id").alias("gid"), F.count("*").alias("nc"))
+        .filter(F.col("nc") >= 2)
+        .orderBy("gid")
+        .limit(50)
+        .select("text")
+    )
+    dup_members = all_docs.join(F.broadcast(dup_groups), "text", "left_semi")
+    docs = dup_members.unionByName(
+        all_docs.filter(F.col("doc_id") < 200)
+    ).dropDuplicates(["doc_id"])
     truth = ngram_jaccard_pairs(docs, threshold=0.5).select("a_id", "b_id")
     cand = minhash_lsh_pairs(docs, jaccard_threshold=0.5).select("a_id", "b_id")
     hits = truth.join(cand, ["a_id", "b_id"], "left_semi").count()
@@ -694,3 +710,37 @@ def c5_frame_sample(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     return frame_sample_stub(attach_fake_images(docs), every_n=10)
+
+
+@query(
+    "c6_dimension_stats",
+    oracle="""
+    WITH u AS (
+      SELECT vec_id, UNNEST(embedding) AS val,
+             generate_subscripts(embedding, 1) - 1 AS pos
+      FROM embeddings
+    )
+    SELECT pos, COUNT(*) AS n,
+           MIN(CAST(val AS DOUBLE)) AS lo,
+           MAX(CAST(val AS DOUBLE)) AS hi,
+           CAST(SUM(CASE WHEN val = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+    FROM u GROUP BY pos
+    """,
+    tags=("C6",),
+)
+def c6_dimension_stats(spark, sf_dir):
+    """Dimension-wise embedding QA (dead/saturated dims): posexplode the
+    vector column, aggregate exact stats per position — the distributed
+    column-profile of a 100 TB embedding corpus (shuffles only
+    (pos, partial) pairs thanks to partial aggregation)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return (
+        emb.select(F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.col("val").cast("double")).alias("lo"),
+            F.max(F.col("val").cast("double")).alias("hi"),
+            F.sum(F.when(F.col("val") == 0.0, 1).otherwise(0)).alias("n_zero"),
+        )
+    )

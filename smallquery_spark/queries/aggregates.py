@@ -380,3 +380,48 @@ def b25_grouping_sets(spark, sf_dir):
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
+
+
+@query(
+    "b22_column_profile",
+    oracle="""
+    SELECT 'l_quantity' AS col, COUNT(*) AS n, COUNT(l_quantity) AS n_nonnull,
+           COUNT(DISTINCT l_quantity) AS n_distinct,
+           MIN(l_quantity) AS min_d, MAX(l_quantity) AS max_d
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', COUNT(*), COUNT(l_extendedprice),
+           COUNT(DISTINCT l_extendedprice), MIN(l_extendedprice), MAX(l_extendedprice)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(*), COUNT(l_discount),
+           COUNT(DISTINCT l_discount), MIN(l_discount), MAX(l_discount)
+    FROM lineitem
+    """,
+    tags=("B22", "B23"),
+)
+def b22_column_profile(spark, sf_dir):
+    """ANALYZE-style column profile (null/distinct/min/max per column)
+    computed in ONE scan: all per-column aggregates in a single agg node
+    (vs the oracle's three passes), then unpivoted driver-side — the
+    shape of stats collection feeding a CBO at scale."""
+    li = t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count("*").alias(f"{c}__n"),
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).alias(f"{c}__mn"),
+            F.max(c).alias(f"{c}__mx"),
+        ]
+    row = li.agg(*aggs).first()
+    return spark.createDataFrame(
+        [
+            (c, row[f"{c}__n"], row[f"{c}__nn"], row[f"{c}__nd"],
+             float(row[f"{c}__mn"]), float(row[f"{c}__mx"]))
+            for c in cols
+        ],
+        "col string, n long, n_nonnull long, n_distinct long, min_d double, max_d double",
+    )

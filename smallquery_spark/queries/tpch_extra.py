@@ -671,3 +671,116 @@ def q2_min_price_supplier(spark, sf_dir):
         )
         .select("p_partkey", "p_brand", "s_suppkey", "s_name", "best_price")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — qualified suppliers (semi-join on a grouped HAVING subquery)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q20_qualified_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#12'
+      GROUP BY l_suppkey, l_partkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 50
+    )
+    """,
+    tags=("tpch", "B16", "B29"),
+)
+def q20_qualified_suppliers(spark, sf_dir):
+    """Suppliers that moved >50 units of some Brand#12 part: grouped
+    HAVING subquery → distinct keys → semi-join into the dimension."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12")
+    qualified = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("q"))
+        .filter(F.col("q") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        t(spark, sf_dir, "supplier")
+        .join(qualified, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — waiting orders (sole late supplier in multi-supplier orders)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q21_waiting_suppliers",
+    # decorrelated formulation (identical semantics to the classic
+    # EXISTS/NOT EXISTS pair): per order count distinct suppliers and
+    # distinct LATE suppliers; a supplier "waits" on an order iff it is
+    # late, the order has >1 supplier, and it is the ONLY late one.
+    oracle="""
+    WITH l AS (
+      SELECT l_orderkey, l_suppkey,
+             CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END AS late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+    ), per_order AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late
+      FROM l GROUP BY l_orderkey
+    ), waiting AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM l JOIN per_order p ON p.l_orderkey = l.l_orderkey
+      WHERE l.late = 1 AND p.n_supp > 1 AND p.n_late = 1
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM waiting JOIN supplier ON s_suppkey = l_suppkey
+    GROUP BY s_name
+    """,
+    tags=("tpch", "B16", "B22", "B23"),
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    """The hardest TPC-H shape (EXISTS + NOT EXISTS over the same fact),
+    decorrelated into one pass of per-order aggregates — two fact
+    shuffles total instead of three correlated scans."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.when(
+                F.col("l_shipdate") > F.date_add(F.col("o_orderdate").cast("date"), 60).cast("timestamp"),
+                1,
+            ).otherwise(0).alias("late"),
+        )
+    )
+    per_order = l.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late") == 1, F.col("l_suppkey"))
+        ).alias("n_late"),
+    )
+    waiting = (
+        l.filter(F.col("late") == 1)
+        .join(per_order.withColumnRenamed("l_orderkey", "po_key"),
+              F.col("po_key") == F.col("l_orderkey"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        waiting.join(
+            F.broadcast(t(spark, sf_dir, "supplier")),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )

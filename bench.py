@@ -34,6 +34,8 @@ HEADLINE = [
     "q9_product_profit",
     "q13_customer_distribution",
     "q18_large_volume_customers",
+    "q21_waiting_suppliers",
+    "c11_incremental_dedup",
     "c1_exact_dedup",
     "c3_knn_bruteforce",
     "c4_token_counts",

@@ -747,8 +747,11 @@ def q20_qualified_suppliers(spark, sf_dir):
 )
 def q21_waiting_suppliers(spark, sf_dir):
     """The hardest TPC-H shape (EXISTS + NOT EXISTS over the same fact),
-    decorrelated into one pass of per-order aggregates — two fact
-    shuffles total instead of three correlated scans."""
+    decorrelated into per-order WINDOW aggregates: the joined fact
+    shuffles ONCE on l_orderkey (vs. three correlated scans classic, or
+    groupBy + join-back = recompute + double shuffle). At fixture scale
+    the window's collect_set state roughly offsets the saved shuffle;
+    at cluster scale shuffle bytes dominate and this wins."""
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     l = (
@@ -762,17 +765,23 @@ def q21_waiting_suppliers(spark, sf_dir):
             ).otherwise(0).alias("late"),
         )
     )
-    per_order = l.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("late") == 1, F.col("l_suppkey"))
-        ).alias("n_late"),
-    )
+    # per-order distinct counts as WINDOW collect_sets: one shuffle on
+    # l_orderkey total, instead of groupBy + join back over the same
+    # fact (which re-shuffles it twice).
+    w = Window.partitionBy("l_orderkey")
     waiting = (
-        l.filter(F.col("late") == 1)
-        .join(per_order.withColumnRenamed("l_orderkey", "po_key"),
-              F.col("po_key") == F.col("l_orderkey"))
-        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        l.withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("late") == 1, F.col("l_suppkey"))
+                ).over(w)
+            ),
+        )
+        .filter(
+            (F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+        )
         .select("l_orderkey", "l_suppkey")
         .distinct()
     )

@@ -460,3 +460,93 @@ def c13_freq_items_sketch(spark, sf_dir):
     return spark.createDataFrame(
         [(exact.issubset(sketch),)], "superset_ok boolean"
     )
+
+
+# ---------------------------------------------------------------------------
+# C14 — MERGE upsert + SCD2 history (versioned-transformation writes)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c14_merge_upsert",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000.0
+                ELSE c_acctbal END AS c_acctbal,
+           CASE WHEN c_custkey % 10 = 0 THEN 'UPSERTED'
+                ELSE c_mktsegment END AS c_mktsegment
+    FROM customer
+    UNION ALL
+    SELECT CAST(10000000 + r_regionkey AS BIGINT),
+           CAST(r_regionkey AS DOUBLE), 'NEW'
+    FROM region
+    """,
+    tags=("C14", "B7"),
+)
+def c14_merge_upsert(spark, sf_dir):
+    """Delta-style MERGE on plain parquet: matched keys replaced,
+    unmatched inserted, one key shuffle, atomic dir swap. The oracle is
+    the declarative statement of the post-merge table."""
+    import shutil
+
+    from smallquery_spark.operators.merge import merge_upsert
+
+    base = os.path.join(_WORK, os.path.basename(sf_dir.rstrip("/")), "cust_merge")
+    shutil.rmtree(base, ignore_errors=True)
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    cust.write.mode("overwrite").parquet(base)
+
+    updates = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") + 1000.0).alias("c_acctbal"),
+        F.lit("UPSERTED").alias("c_mktsegment"),
+    ).unionByName(
+        t(spark, sf_dir, "region").select(
+            (F.lit(10000000) + F.col("r_regionkey")).cast("bigint").alias("c_custkey"),
+            F.col("r_regionkey").cast("double").alias("c_acctbal"),
+            F.lit("NEW").alias("c_mktsegment"),
+        )
+    )
+    merge_upsert(spark, base, updates, key="c_custkey")
+    return spark.read.parquet(base)
+
+
+@query(
+    "c14_scd2_history",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           TIMESTAMP '2024-01-01' AS valid_from,
+           CASE WHEN c_custkey % 7 = 0 THEN TIMESTAMP '2024-02-01' END AS valid_to
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, 'MOVED', TIMESTAMP '2024-02-01', NULL
+    FROM customer WHERE c_custkey % 7 = 0
+    """,
+    tags=("C14", "B15"),
+)
+def c14_scd2_history(spark, sf_dir):
+    """Type-2 slowly-changing dimension: batch 2 changes the segment of
+    every 7th customer — their batch-1 row is closed (valid_to set) and
+    a new open row appended; all other rows untouched."""
+    import shutil
+
+    from smallquery_spark.operators.merge import scd2_apply
+
+    base = os.path.join(_WORK, os.path.basename(sf_dir.rstrip("/")), "cust_scd2")
+    shutil.rmtree(base, ignore_errors=True)
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    seed = cust.withColumn(
+        "valid_from", F.lit("2024-01-01").cast("timestamp")
+    ).withColumn("valid_to", F.lit(None).cast("timestamp"))
+    seed.write.mode("overwrite").parquet(base)
+
+    updates = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", F.lit("MOVED").alias("c_mktsegment")
+    )
+    scd2_apply(
+        spark, base, updates, key="c_custkey", attrs=["c_mktsegment"],
+        batch_ts="2024-02-01",
+    )
+    return spark.read.parquet(base)

@@ -550,3 +550,51 @@ def c14_scd2_history(spark, sf_dir):
         batch_ts="2024-02-01",
     )
     return spark.read.parquet(base)
+
+
+# ---------------------------------------------------------------------------
+# C15 — connected components (transitive dedup clusters)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c15_connected_components",
+    # chain graph: consecutive custkeys sharing a market segment are
+    # near-dup "pairs"; components = maximal same-segment runs. The
+    # oracle closes the same graph transitively with a recursive CTE.
+    oracle="""
+    WITH RECURSIVE nodes AS (
+      SELECT c_custkey AS v, c_mktsegment AS seg FROM customer WHERE c_custkey < 2000
+    ), e AS (
+      SELECT a.v AS src, b.v AS dst
+      FROM nodes a JOIN nodes b ON b.v = a.v + 1 AND a.seg = b.seg
+    ), undir AS (
+      SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e
+    ), walk AS (
+      SELECT v, v AS lbl FROM nodes
+      UNION
+      SELECT u.dst AS v, walk.lbl
+      FROM walk JOIN undir u ON u.src = walk.v
+      WHERE walk.lbl < u.dst
+    )
+    SELECT v AS c_custkey, MIN(lbl) AS component FROM walk GROUP BY v
+    """,
+    tags=("C15", "C2"),
+)
+def c15_connected_components(spark, sf_dir):
+    """Min-label propagation over the near-dup pair graph until
+    fixpoint — each round is a join+agg shuffle on vertex id; only the
+    changed-count reaches the driver. Dedup keeps component minima."""
+    from smallquery_spark.operators.graph import connected_components
+
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 2000)
+    nodes = cust.select(F.col("c_custkey").alias("id"), "c_mktsegment")
+    a = nodes.alias("a")
+    b = nodes.alias("b")
+    edges = a.join(
+        b,
+        (F.col("b.id") == F.col("a.id") + 1)
+        & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment")),
+    ).select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+    out = connected_components(nodes.select("id"), edges)
+    return out.select(F.col("id").alias("c_custkey"), "component")

@@ -598,3 +598,64 @@ def c15_connected_components(spark, sf_dir):
     ).select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
     out = connected_components(nodes.select("id"), edges)
     return out.select(F.col("id").alias("c_custkey"), "component")
+
+
+# ---------------------------------------------------------------------------
+# C16 — time-series gap fill / resample (dense grid per key)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c16_gap_fill",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS h,
+             COUNT(*) AS n_obs,
+             SUM(CAST(value AS DECIMAL(18,2))) AS sv
+      FROM events WHERE user_id < 50 GROUP BY 1, 2
+    ), bounds AS (
+      SELECT user_id, MIN(h) AS lo, MAX(h) AS hi FROM hourly GROUP BY 1
+    ), grid AS (
+      SELECT user_id, UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    )
+    SELECT g.user_id, g.h AS bucket_start,
+           COALESCE(n_obs, 0) AS n_obs,
+           CAST(COALESCE(sv, 0) AS DECIMAL(18,2)) AS sum_value
+    FROM grid g LEFT JOIN hourly USING (user_id, h)
+    """,
+    tags=("C16", "B43", "B15"),
+)
+def c16_gap_fill(spark, sf_dir):
+    """Resample each user's event series onto a dense hourly grid
+    (missing buckets -> 0): per-key bounds, sequence-explode the grid
+    (narrow fan-out), left join the sparse aggregate. The dashboard /
+    feature-engineering primitive for irregular event streams."""
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    hourly = (
+        ev.groupBy("user_id", F.window("ts", "1 hour").alias("__w"))
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.sum(F.col("value").cast(_DEC)).alias("sv"),
+        )
+        .select("user_id", F.col("__w.start").alias("h"), "n_obs", "sv")
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 hour"))
+            ).alias("h"),
+        )
+    )
+    return (
+        grid.join(hourly, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            F.col("h").alias("bucket_start"),
+            F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+            F.coalesce("sv", F.lit(0).cast(_DEC)).cast(_DEC).alias("sum_value"),
+        )
+    )

@@ -263,3 +263,26 @@ def test_no_accidental_cartesian_anywhere(spark):
         if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
             offenders.append(name)
     assert offenders == []
+
+
+@pytest.mark.parametrize(
+    "hint,expect",
+    [("shuffle_hash", "ShuffledHashJoin"), ("merge", "SortMergeJoin")],
+)
+def test_join_strategy_hints(spark, hint, expect):
+    """Planner honors per-join strategy hints — the manual override when
+    AQE's choice is wrong for a known workload."""
+    from smallquery_spark.queries.registry import t as load
+
+    o = load(spark, SF_SMOKE, "orders")
+    c = load(spark, SF_SMOKE, "customer").hint(hint)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = o.join(c, o.o_custkey == c.c_custkey)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert expect in plan

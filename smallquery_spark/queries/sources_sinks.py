@@ -372,3 +372,31 @@ def b05_version_diff(spark, sf_dir):
     v2 = cast(eng.table("nation", workspace="ws", version="v2"))
     v1 = cast(eng.table("nation", workspace="ws", version="v1"))
     return v2.exceptAll(v1)
+
+
+@query(
+    "b05_gitws_datasource",
+    # reading @v1 through the custom source must reproduce the original
+    # table exactly (same contract as b05_versioned_scan, different
+    # engine surface: a registered Spark 4 Python Data Source).
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    tags=("B5",),
+)
+def b05_gitws_datasource(spark, sf_dir):
+    from smallquery_spark.sources.gitws_datasource import GitWorkspaceDataSource
+
+    b05_versioned_scan(spark, sf_dir)  # ensure the git fixture exists
+    spark.dataSource.register(GitWorkspaceDataSource)
+    df = (
+        spark.read.format("gitws")
+        .option("mount", _workdir(sf_dir, "workspaces"))
+        .option("workspace", "ws")
+        .option("table", "nation")
+        .option("version", "v1")
+        .load()
+    )
+    return df.select(
+        F.col("n_nationkey").cast("int"),
+        "n_name",
+        F.col("n_regionkey").cast("int"),
+    )

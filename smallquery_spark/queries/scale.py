@@ -659,3 +659,44 @@ def c16_gap_fill(spark, sf_dir):
             F.coalesce("sv", F.lit(0).cast(_DEC)).cast(_DEC).alias("sum_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C17 — deterministic importance sampling (training-mix control)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c17_importance_sampling",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, lang,
+             CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               / 4294967296.0 AS unif
+      FROM documents
+    )
+    SELECT doc_id, lang FROM u
+    WHERE unif < CASE WHEN lang = 'en' THEN 0.35
+                      WHEN lang = 'zh' THEN 0.9
+                      ELSE 0.6 END
+    """,
+    tags=("C17", "C4"),
+)
+def c17_importance_sampling(spark, sf_dir):
+    """Language-rebalancing sampler: keep each doc with per-language
+    probability, using an md5-derived uniform on the doc id — a pure
+    column expression, so the sample is REPRODUCIBLE across engines,
+    runs, and cluster sizes (unlike rand()/Bernoulli sampling). This is
+    how a 100 TB training-mix spec stays re-runnable."""
+    d = t(spark, sf_dir, "documents")
+    unif = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    rate = (
+        F.when(F.col("lang") == "en", 0.35)
+        .when(F.col("lang") == "zh", 0.9)
+        .otherwise(0.6)
+    )
+    return d.filter(unif < rate).select("doc_id", "lang")

@@ -235,3 +235,33 @@ class VersionedCatalog:
             ):
                 out.append(entry)
         return out
+
+
+def write_table_version(
+    ws: "Workspace",
+    df,
+    table: str,
+    message: str,
+    tag: str | None = None,
+) -> str:
+    """Commit a DataFrame as a new version of ``table`` in the workspace
+    (the write half of "versioning control for data transformations",
+    /root/reference/README.md:7-8). Returns the new commit id.
+
+    The result is collected through Arrow and written as the table's CSV
+    in the repo worktree, then committed (deterministic author/date envs
+    respected if set by the caller). Result tables at the IDE surface
+    are post-aggregation and small; bulk data stays in parquet outside
+    the git layer."""
+    import pyarrow as pa
+    import pyarrow.csv as pacsv
+
+    path = os.path.join(ws.repo_dir, sanitize_path(f"{table}.csv"))
+    tbl = pa.Table.from_batches(df._collect_as_arrow())
+    pacsv.write_csv(tbl, path)
+    _git(ws.repo_dir, "add", "-A")
+    _git(ws.repo_dir, "commit", "-m", message)
+    commit = _git(ws.repo_dir, "rev-parse", "HEAD")
+    if tag:
+        _git(ws.repo_dir, "tag", tag)
+    return commit

@@ -120,6 +120,23 @@ class Engine:
                     out.setdefault(base, os.path.join(dirpath, fn))
         return out
 
+    # -- write entry -------------------------------------------------------
+
+    def write_table(
+        self,
+        df: DataFrame,
+        table: str,
+        workspace: str,
+        message: str,
+        tag: str | None = None,
+    ) -> str:
+        """Commit ``df`` as a new version of ``table`` in ``workspace``;
+        returns the commit id (see catalog.workspace.write_table_version)."""
+        from smallquery_spark.catalog.workspace import write_table_version
+
+        ws = self._require_catalog().workspace(workspace)
+        return write_table_version(ws, df, table, message, tag=tag)
+
     # -- streaming entry ---------------------------------------------------
 
     def stream(self, path: str, schema, fmt: str = "parquet") -> DataFrame:

@@ -124,6 +124,27 @@ class _Handler(BaseHTTPRequestHandler):
                 ",".join(str(r[c]) for c in cols) for r in rows
             ]
             return self._reply("\n".join(lines), ctype="text/csv")
+        if fmt == "svg":
+            # bar chart of the first two columns (x, y) — the reference's
+            # declared "quickly creating charts" purpose (README.md:7)
+            if len(cols) < 2:
+                return self._reply(
+                    render_error("svg format needs >= 2 columns"), status=400
+                )
+            from smallquery_spark.sinks.render import render_chart_svg
+
+            svg = render_chart_svg(df, x=cols[0], y=cols[1], limit=limit)
+            return self._reply(svg, ctype="image/svg+xml")
+        if fmt == "pdf":
+            from smallquery_spark.sinks.render import render_pdf
+
+            pdf = render_pdf(df, title="query result", limit=min(limit, 55))
+            self.send_response(200)
+            self.send_header("Content-Type", "application/pdf")
+            self.send_header("Content-Length", str(len(pdf)))
+            self.end_headers()
+            self.wfile.write(pdf)
+            return None
         from smallquery_spark.sinks.render import render_html
 
         return self._reply(render_html(df, limit=limit, title="query result"))

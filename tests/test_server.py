@@ -97,3 +97,21 @@ def test_sql_query_endpoint(server):
         f"{server}/workspaces/demo/query?sql=SELECT+sum(v)+AS+s+FROM+nums&format=json&version=v1"
     )
     assert json.loads(body) == [{"s": 60}]
+
+
+def test_chart_and_pdf_endpoints(server):
+    status, body = _get(
+        f"{server}/workspaces/demo/query?"
+        "sql=SELECT+v,+v*2+AS+y+FROM+nums&format=svg"
+    )
+    assert status == 200
+    assert body.startswith("<svg") and body.count("<rect") > 0
+
+    import urllib.request
+
+    with urllib.request.urlopen(
+        f"{server}/workspaces/demo/query?sql=SELECT+*+FROM+nums&format=pdf"
+    ) as resp:
+        raw = resp.read()
+    assert resp.headers["Content-Type"] == "application/pdf"
+    assert raw.startswith(b"%PDF-1.4") and raw.rstrip().endswith(b"%%EOF")

@@ -286,3 +286,37 @@ def test_join_strategy_hints(spark, hint, expect):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert expect in plan
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """Runtime Bloom-filter pruning: a selective dim filter builds a
+    bloom over join keys that pre-filters the fact scan. Size thresholds
+    are lowered to activate on fixture data; at production scan sizes
+    the defaults (10GB application side) trigger on their own."""
+    from smallquery_spark.queries.registry import t as load
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = load(spark, SF_SMOKE, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load(spark, SF_SMOKE, "lineitem")
+        df = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_returnflag")
+            .count()
+        )
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    assert "bloom_filter_agg" in plan

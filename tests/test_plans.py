@@ -320,3 +320,19 @@ def test_runtime_bloom_filter_injection(spark):
         for k, v in saved.items():
             spark.conf.set(k, v)
     assert "bloom_filter_agg" in plan
+
+
+def test_scan_parallelism_follows_max_partition_bytes(spark):
+    """spark.sql.files.maxPartitionBytes controls scan split width — the
+    knob that sizes read tasks to executor memory at the target SF."""
+    path = "/root/testdata/sf0.01/lineitem.parquet"
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "262144")  # 256 KB
+        many = spark.read.parquet(path).rdd.getNumPartitions()
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1g")
+        few = spark.read.parquet(path).rdd.getNumPartitions()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert many > few
+    assert few >= 1

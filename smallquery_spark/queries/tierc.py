@@ -744,3 +744,42 @@ def c6_dimension_stats(spark, sf_dir):
             F.sum(F.when(F.col("val") == 0.0, 1).otherwise(0)).alias("n_zero"),
         )
     )
+
+
+@query(
+    "c6_vector_sum_pooled",
+    oracle="""
+    WITH u AS (
+      SELECT vec_id % 5 AS grp,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             UNNEST(embedding) AS val
+      FROM embeddings
+    )
+    SELECT grp, pos,
+           SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 1000000) AS BIGINT)) AS qsum,
+           COUNT(*) AS n
+    FROM u GROUP BY grp, pos
+    """,
+    tags=("C6",),
+)
+def c6_vector_sum_pooled(spark, sf_dir):
+    """Distributed element-wise vector pooling (the avg-pool across ROWS
+    that embedding aggregation needs): posexplode to (group, pos, val),
+    sum in a quantized integer domain (floor(val*1e6) — exact and
+    order-independent, unlike float sums), count for the later mean.
+    Partial aggregation makes the shuffle carry only (grp, pos)
+    partials: 5 groups x 64 dims regardless of corpus size."""
+    emb = t(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            (F.col("vec_id") % 5).alias("grp"),
+            F.posexplode("embedding").alias("pos", "val"),
+        )
+        .groupBy("grp", "pos")
+        .agg(
+            F.sum(
+                F.floor(F.col("val").cast("double") * 1000000).cast("bigint")
+            ).alias("qsum"),
+            F.count("*").alias("n"),
+        )
+    )

@@ -447,3 +447,63 @@ def b05_write_version(spark, sf_dir):
         F.col("n_regionkey").cast("int"),
         F.col("n_nations").cast("bigint"),
     )
+
+
+@query(
+    "b50_gitws_history_stream",
+    oracle="SELECT TRUE AS commits_ok, TRUE AS rows_ok",
+    tags=("B50", "B5"),
+)
+def b50_gitws_history_stream(spark, sf_dir):
+    """Stream the COMMIT HISTORY of a versioned table (change-feed over
+    versioned transformations): each micro-batch emits the table content
+    at every new commit, tagged with the commit id. Contract: one
+    distinct commit per history entry and per-commit row counts equal
+    the batch reads at those versions."""
+    from smallquery_spark.catalog.workspace import _git
+    from smallquery_spark.engine import Engine
+    from smallquery_spark.sources.gitws_datasource import GitWorkspaceDataSource
+
+    b05_versioned_scan(spark, sf_dir)  # ensure the git fixture exists
+    mount = _workdir(sf_dir, "workspaces")
+    try:
+        spark.dataSource.register(GitWorkspaceDataSource)
+    except Exception:
+        pass  # already registered on this session
+    sdf = (
+        spark.readStream.format("gitws")
+        .option("mount", mount)
+        .option("workspace", "ws")
+        .option("table", "nation")
+        .option("tagcommit", "true")
+        .load()
+    )
+    qname = "gitws_hist_" + os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        if q.isActive:
+            q.stop()
+    got = spark.table(qname)
+    per_commit = {
+        r["commit"]: r["n"]
+        for r in got.groupBy("commit").agg(F.count("*").alias("n")).collect()
+    }
+    repo = os.path.join(mount, "ws")
+    history = [c for c in _git(repo, "log", "--first-parent", "--reverse", "--format=%H").splitlines() if c]
+    eng = Engine(spark, workspace_mount=mount)
+    expected = {
+        c: eng.table("nation", workspace="ws", version=c).count() for c in history
+    }
+    commits_ok = set(per_commit) == set(expected)
+    rows_ok = all(per_commit.get(c) == n for c, n in expected.items())
+    return spark.createDataFrame(
+        [(commits_ok, rows_ok)], "commits_ok boolean, rows_ok boolean"
+    )

@@ -27,14 +27,24 @@ from __future__ import annotations
 import os
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.pandas.types import from_arrow_schema
 
 
+def _tagcommit(options) -> bool:
+    return str(options.get("tagcommit", "")).lower() == "true"
+
+
 class _Slice(InputPartition):
-    def __init__(self, path: str, row_group: int | None):
+    def __init__(self, path: str, row_group: int | None, commit: str | None = None):
         self.path = path
         self.row_group = row_group
+        self.commit = commit
 
 
 def _resolve(options) -> str:
@@ -55,14 +65,22 @@ class GitWorkspaceReader(DataSourceReader):
     def __init__(self, options, schema):
         self.path = _resolve(options)
         self._schema = schema
+        self._commit = None
+        if _tagcommit(options):
+            from smallquery_spark.catalog import VersionedCatalog
+
+            ws = VersionedCatalog(options.get("mount")).workspace(
+                options.get("workspace")
+            )
+            self._commit = ws.resolve_version(options.get("version") or "latest")
 
     def partitions(self):
         if self.path.endswith(".parquet"):
             import pyarrow.parquet as pq
 
             n = pq.ParquetFile(self.path).num_row_groups
-            return [_Slice(self.path, g) for g in range(max(n, 1))]
-        return [_Slice(self.path, None)]
+            return [_Slice(self.path, g, self._commit) for g in range(max(n, 1))]
+        return [_Slice(self.path, None, self._commit)]
 
     def read(self, partition: _Slice) -> Iterator:
         """Executor-side: yield arrow batches for one slice."""
@@ -72,11 +90,18 @@ class GitWorkspaceReader(DataSourceReader):
             pf = pq.ParquetFile(partition.path)
             if pf.num_row_groups == 0:
                 return
-            yield from pf.read_row_group(partition.row_group).to_batches()
+            tbl = pf.read_row_group(partition.row_group)
         else:
             import pyarrow.csv as pacsv
 
-            yield from pacsv.read_csv(partition.path).to_batches()
+            tbl = pacsv.read_csv(partition.path)
+        if partition.commit is not None:
+            import pyarrow as pa
+
+            tbl = tbl.append_column(
+                "commit", pa.array([partition.commit] * len(tbl), pa.string())
+            )
+        yield from tbl.to_batches()
 
 
 class GitWorkspaceDataSource(DataSource):
@@ -85,14 +110,89 @@ class GitWorkspaceDataSource(DataSource):
         return "gitws"
 
     def schema(self):
+        from pyspark.sql.types import StringType, StructField, StructType
+
         path = _resolve(self.options)
         if path.endswith(".parquet"):
             import pyarrow.parquet as pq
 
-            return from_arrow_schema(pq.ParquetFile(path).schema_arrow)
-        import pyarrow.csv as pacsv
+            base = from_arrow_schema(pq.ParquetFile(path).schema_arrow)
+        else:
+            import pyarrow.csv as pacsv
 
-        return from_arrow_schema(pacsv.read_csv(path).schema)
+            base = from_arrow_schema(pacsv.read_csv(path).schema)
+        if _tagcommit(self.options):
+            return StructType(
+                list(base.fields) + [StructField("commit", StringType())]
+            )
+        return base
 
     def reader(self, schema):
         return GitWorkspaceReader(self.options, schema)
+
+    def simpleStreamReader(self, schema):
+        return GitWorkspaceStreamReader(self.options, schema)
+
+
+class GitWorkspaceStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of ``gitws``: replay a table's COMMIT HISTORY.
+
+    Each micro-batch emits the full table content at every new commit
+    (oldest → newest along first-parent history), tagged with the commit
+    id — a change-feed over versioned transformations. Offsets are the
+    count of commits already emitted, so restarts resume exactly.
+    """
+
+    def __init__(self, options, schema):
+        # hold only plain strings: the reader is cloudpickled to workers
+        # and Workspace carries a thread lock.
+        self.mount = options.get("mount")
+        self.workspace = options.get("workspace")
+        self.table = options.get("table")
+        self._schema = schema
+
+    def _ws(self):
+        from smallquery_spark.catalog import VersionedCatalog
+
+        return VersionedCatalog(self.mount).workspace(self.workspace)
+
+    def _history(self) -> list[str]:
+        from smallquery_spark.catalog.workspace import _git
+
+        out = _git(
+            self._ws().repo_dir, "log", "--first-parent", "--reverse",
+            "--format=%H",
+        )
+        return [c for c in out.splitlines() if c]
+
+    def initialOffset(self) -> dict:
+        return {"n": 0}
+
+    def read(self, start: dict):
+        commits = self._history()
+        ws = self._ws()
+        done = start["n"]
+        rows = []
+        for commit in commits[done:]:
+            try:
+                path = ws.table_path(self.table, commit)
+            except Exception:
+                continue  # table absent at this commit
+            if path.endswith(".parquet"):
+                import pyarrow.parquet as pq
+
+                tbl = pq.read_table(path)
+            else:
+                import pyarrow.csv as pacsv
+
+                tbl = pacsv.read_csv(path)
+            for rec in tbl.to_pylist():
+                rows.append(tuple(rec.values()) + (commit,))
+        return iter(rows), {"n": len(commits)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        it, _ = self.read(start)
+        return it
+
+    def commit(self, end: dict) -> None:
+        pass

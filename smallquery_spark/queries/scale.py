@@ -700,3 +700,57 @@ def c17_importance_sampling(spark, sf_dir):
         .otherwise(0.6)
     )
     return d.filter(unif < rate).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# C18 — distributed linear fit (exact integer partials -> one division)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c18_linear_fit",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS x,
+             CAST(FLOOR(value * 100) AS BIGINT) AS y
+      FROM events
+    ), s AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM q GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_q
+    FROM s
+    """,
+    tags=("C18", "B22", "B26"),
+)
+def c18_linear_fit(spark, sf_dir):
+    """OLS slope of (quantized value) vs hour-of-day per event type,
+    from five integer sufficient statistics — the map-combinable
+    regression shape that scales to any data size (float `regr_slope`
+    partials are order-dependent across engines; integer partials are
+    exact, with ONE double division at the end)."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("x"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("y"),
+    )
+    s = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return s.select(
+        "event_type",
+        "n",
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        ).alias("slope_q"),
+    )

@@ -754,3 +754,56 @@ def c18_linear_fit(spark, sf_dir):
             / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
         ).alias("slope_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C19 — mergeable HLL sketches (re-aggregable distinct counts)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c19_hll_mergeable",
+    oracle="SELECT TRUE AS per_seg_ok, TRUE AS merged_ok",
+    tags=("C19", "B24"),
+)
+def c19_hll_mergeable(spark, sf_dir):
+    """Datasketches HLL: per-segment distinct-customer sketches whose
+    UNION re-aggregates to the global estimate — the property plain
+    approx_count_distinct lacks (its partials aren't storable). At
+    100 TB: sketch once per partition/day, answer any rollup by merging
+    bytes. Contract: every estimate within 5% of exact."""
+    o = t(spark, sf_dir, "orders")
+    per_seg = (
+        o.join(
+            F.broadcast(t(spark, sf_dir, "customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.hll_sketch_agg("o_custkey").alias("sk"),
+            F.countDistinct("o_custkey").alias("exact"),
+        )
+    )
+    seg = per_seg.select(
+        (
+            F.abs(
+                F.hll_sketch_estimate("sk").cast("double") - F.col("exact")
+            )
+            / F.col("exact")
+            <= 0.05
+        ).alias("ok")
+    ).agg(F.min("ok").alias("per_seg_ok"))
+    merged = per_seg.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact_total = o.agg(F.countDistinct("o_custkey").alias("n"))
+    merged_ok = (
+        merged.crossJoin(exact_total)
+        .select(
+            (
+                F.abs(F.col("est").cast("double") - F.col("n")) / F.col("n")
+                <= 0.05
+            ).alias("merged_ok")
+        )
+    )
+    return seg.crossJoin(merged_ok)

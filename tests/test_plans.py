@@ -243,6 +243,7 @@ _CARTESIAN_OK = {
     "c6_cosine_to_centroid", # 1-row centroid broadcast
     "c12_compaction",        # 1-row contract result
     "c13_heavy_hitters",     # 1-row support-threshold broadcast
+    "c19_hll_mergeable",     # 1-row contract crossJoins
 }
 
 # streaming queries build their own plans per-trigger; excluded from the

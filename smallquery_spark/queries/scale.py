@@ -807,3 +807,46 @@ def c19_hll_mergeable(spark, sf_dir):
         )
     )
     return seg.crossJoin(merged_ok)
+
+
+# ---------------------------------------------------------------------------
+# C20 — Z-order clustered layout (multi-dim scan pruning)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c20_zorder_layout",
+    oracle="""
+    SELECT TRUE AS both_dims_clustered,
+           COUNT(*) AS n_rows,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+    FROM orders
+    """,
+    tags=("C20", "B7"),
+)
+def c20_zorder_layout(spark, sf_dir):
+    """Rewrite orders Z-ordered by (custkey bucket, day-of-year): data
+    integrity proven by count+decimal sum; the layout contract (every
+    row group spans <85% of BOTH dims' ranges, vs full range on the
+    second dim under any single-column sort) is measured from parquet
+    row-group stats."""
+    import shutil
+
+    from smallquery_spark.operators.layout import rowgroup_spans, write_zordered
+
+    base = os.path.join(_WORK, os.path.basename(sf_dir.rstrip("/")), "orders_z")
+    shutil.rmtree(base, ignore_errors=True)
+    o = t(spark, sf_dir, "orders").withColumn(
+        "ck", F.col("o_custkey") % 1024
+    ).withColumn("dy", F.dayofyear("o_orderdate"))
+    write_zordered(o, base, "ck", "dy", n_files=16)
+    spans = rowgroup_spans(base, "ck", "dy")
+    back = spark.read.parquet(base)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast(_DEC)).alias("total"),
+    ).select(
+        F.lit(max(spans) < 0.85).alias("both_dims_clustered"),
+        "n_rows",
+        "total",
+    )

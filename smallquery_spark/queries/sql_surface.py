@@ -327,3 +327,90 @@ def s11_not_in_nulls(spark, sf_dir):
         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderkey < 100)
         """
     )
+
+
+@query(
+    "s12_funnel",
+    oracle="""
+    WITH stages AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage1,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                         THEN 1 ELSE 0 END) AS BIGINT) AS stage2,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                          AND t_purchase > t_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS stage3
+    FROM stages
+    """,
+    tags=("sql", "B22", "B13"),
+)
+def s12_funnel(spark, sf_dir):
+    """Conversion funnel (signup -> click -> purchase, in order): one
+    pass computes each user's first event per stage, a second tiny agg
+    counts ordered completions — two shuffles total regardless of event
+    volume, the scalable shape for funnel analytics."""
+    ev = t(spark, sf_dir, "events")
+    first = lambda et: F.min(F.when(F.col("event_type") == et, F.col("ts")))  # noqa: E731
+    stages = ev.groupBy("user_id").agg(
+        first("signup").alias("t_signup"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_purchase"),
+    )
+    s1 = F.col("t_signup").isNotNull()
+    s2 = s1 & (F.col("t_click") > F.col("t_signup"))
+    s3 = s2 & (F.col("t_purchase") > F.col("t_click"))
+    as_n = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return stages.agg(
+        F.count("*").alias("n_users"),
+        as_n(s1).alias("stage1"),
+        as_n(s2).alias("stage2"),
+        as_n(s3).alias("stage3"),
+    )
+
+
+@query(
+    "s13_retention_cohorts",
+    oracle="""
+    WITH weekly AS (
+      SELECT DISTINCT user_id,
+             date_diff('week', TIMESTAMP '1996-01-01', ts) AS wk
+      FROM events
+    ), cohort AS (
+      SELECT user_id, MIN(wk) AS wk0 FROM weekly GROUP BY user_id
+    )
+    SELECT c.wk0 AS cohort_week,
+           w.wk - c.wk0 AS week_offset,
+           COUNT(DISTINCT w.user_id) AS active_users
+    FROM weekly w JOIN cohort c ON w.user_id = c.user_id
+    WHERE w.wk - c.wk0 <= 8
+    GROUP BY 1, 2
+    """,
+    tags=("sql", "B22", "B23", "B43"),
+)
+def s13_retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix: users bucketed by first-active week,
+    counted in each later week they return (classic growth analytics).
+    All-integer counts -> exact cross-engine."""
+    ev = t(spark, sf_dir, "events")
+    weekly = ev.select(
+        "user_id",
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.lit("1996-01-01").cast("date")) / 7
+        ).cast("bigint").alias("wk"),
+    ).distinct()
+    cohort = weekly.groupBy("user_id").agg(F.min("wk").alias("wk0"))
+    return (
+        weekly.join(cohort, "user_id")
+        .filter((F.col("wk") - F.col("wk0")) <= 8)
+        .groupBy(
+            F.col("wk0").alias("cohort_week"),
+            (F.col("wk") - F.col("wk0")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )

@@ -850,3 +850,43 @@ def c20_zorder_layout(spark, sf_dir):
         "n_rows",
         "total",
     )
+
+
+# ---------------------------------------------------------------------------
+# C21 — exact mergeable distinct via bitmaps
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c21_bitmap_distinct",
+    oracle="""
+    SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_exact,
+           COUNT(DISTINCT o_custkey) AS n_bitmap
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("C21", "B23"),
+)
+def c21_bitmap_distinct(spark, sf_dir):
+    """EXACT mergeable distinct counts via bitmap aggregation (the
+    storable complement to the approximate HLL sketch): keys bucket into
+    (bucket, bit) positions, per-bucket bitmaps OR-merge, popcounts sum.
+    The oracle proves bitmap == plain COUNT(DISTINCT) exactly."""
+    o = t(spark, sf_dir, "orders")
+    per_bucket = (
+        o.select(
+            "o_orderpriority",
+            F.bitmap_bucket_number(F.col("o_custkey")).alias("bkt"),
+            F.bitmap_bit_position(F.col("o_custkey")).alias("pos"),
+        )
+        .groupBy("o_orderpriority", "bkt")
+        .agg(F.bitmap_construct_agg(F.col("pos")).alias("bm"))
+    )
+    bitmap_counts = per_bucket.groupBy("o_orderpriority").agg(
+        F.sum(F.bitmap_count(F.col("bm"))).alias("n_bitmap")
+    )
+    exact = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_exact")
+    )
+    return exact.join(bitmap_counts, "o_orderpriority").select(
+        "o_orderpriority", "n_exact", "n_bitmap"
+    )

@@ -414,3 +414,36 @@ def s13_retention_cohorts(spark, sf_dir):
         )
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+@query(
+    "s14_longest_streak",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events WHERE user_id < 100
+    ), grp AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS island
+      FROM days
+    ), streaks AS (
+      SELECT user_id, island, COUNT(*) AS len FROM grp GROUP BY user_id, island
+    )
+    SELECT user_id, MAX(len) AS longest_streak FROM streaks GROUP BY user_id
+    """,
+    tags=("sql", "B31", "B43"),
+)
+def s14_longest_streak(spark, sf_dir):
+    """Gaps-and-islands: longest run of consecutive active days per user
+    via the date-minus-row_number island key — windows and aggregation
+    only, no self-join, no iteration."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    days = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn(
+        "island", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = grp.groupBy("user_id", "island").agg(F.count("*").alias("len"))
+    return streaks.groupBy("user_id").agg(F.max("len").alias("longest_streak"))

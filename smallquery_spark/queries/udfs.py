@@ -239,3 +239,40 @@ def b62_cogroup_in_pandas(spark, sf_dir):
         .cogroup(o.groupBy("o_custkey"))
         .applyInPandas(merge, schema="c_custkey long, n_orders long, acctbal double")
     )
+
+
+@query(
+    "b66_map_in_arrow",
+    oracle="""
+    SELECT vec_id,
+           list_sum(list_transform(embedding,
+                    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                         * CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+           )) AS qnorm2
+    FROM embeddings
+    """,
+    tags=("B61", "B66"),
+)
+def b66_map_in_arrow(spark, sf_dir):
+    """mapInArrow: RecordBatch-in, RecordBatch-out — the lowest-overhead
+    Python hook (no pandas conversion at all). Computes a quantized
+    squared norm per row with vectorized numpy over the arrow buffers;
+    integer domain keeps it exact for the oracle."""
+    import numpy as np
+    import pyarrow as pa
+
+    def qnorm(batches):
+        for batch in batches:
+            vecs = batch.column("embedding")
+            ids = batch.column("vec_id")
+            out = []
+            for i in range(len(batch)):
+                v = np.asarray(vecs[i].as_py(), dtype=np.float64)
+                q = np.floor(v * 1000).astype(np.int64)
+                out.append(int((q * q).sum()))
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(out, pa.int64())], ["vec_id", "qnorm2"]
+            )
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return emb.mapInArrow(qnorm, schema="vec_id long, qnorm2 long")

@@ -41,7 +41,12 @@ def connected_components(
 
     labels = nodes.select(F.col(id_col).alias("v"), F.col(id_col).alias("lbl"))
     labels.cache()
-    for _ in range(max_iter):
+    for it in range(max_iter):
+        # every few rounds, cut the accumulated plan lineage: without
+        # this, round N's plan nests N joins and Catalyst analysis cost
+        # grows superlinearly on long-diameter graphs.
+        if it > 0 and it % 5 == 0:
+            labels = labels.localCheckpoint(eager=True)
         # smallest label among each vertex's neighbors this round
         neigh = (
             both.join(labels, both.a == labels.v)

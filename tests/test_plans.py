@@ -369,3 +369,41 @@ def test_zorder_layout_narrows_both_dims(spark, tmp_path):
     assert z_ck < 0.85 and z_dy < 0.85
     # the worst dimension improves — that's the pruning guarantee
     assert max(z_ck, z_dy) < max(s_ck, s_dy)
+
+
+def test_cached_frame_reused_in_memory(spark):
+    """persist() materializes once and later plans read the in-memory
+    columnar copy (InMemoryTableScan) — the reuse primitive for
+    iterative/multi-output pipelines."""
+    from smallquery_spark.queries.registry import t as load
+
+    li = load(spark, SF_SMOKE, "lineitem").filter(F.col("l_quantity") > 10)
+    li.persist()
+    try:
+        li.count()  # materialize
+        agg = li.groupBy("l_returnflag").count()
+        plan = agg._sc._jvm.PythonSQLUtils.explainString(
+            agg._jdf.queryExecution(), "formatted"
+        )
+        assert "InMemoryTableScan" in plan
+    finally:
+        li.unpersist()
+
+
+def test_observe_metrics_collected(spark):
+    """df.observe: metrics computed DURING the action (no second scan) —
+    the pipeline-health hook for production jobs."""
+    from pyspark.sql import Observation
+
+    from smallquery_spark.queries.registry import t as load
+
+    obs = Observation("orders_health")
+    o = load(spark, SF_SMOKE, "orders").observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+        F.max("o_orderdate").alias("latest"),
+    )
+    n_rows = o.count()
+    got = obs.get
+    assert got["n"] == n_rows and got["total"] is not None

@@ -507,3 +507,54 @@ def b50_gitws_history_stream(spark, sf_dir):
     return spark.createDataFrame(
         [(commits_ok, rows_ok)], "commits_ok boolean, rows_ok boolean"
     )
+
+
+@query(
+    "b07_gitws_write",
+    # writing through the data source and reading back at the tag must
+    # equal the aggregate computed directly.
+    oracle="""
+    SELECT CAST(n_regionkey AS INT) AS rk, COUNT(*) AS count
+    FROM nation GROUP BY n_regionkey
+    """,
+    tags=("B7", "B5"),
+)
+def b07_gitws_write(spark, sf_dir):
+    """df.write.format('gitws'): executors ship partition rows in commit
+    messages; the driver-side commit assembles the table CSV and makes
+    the git commit — a versioned-table SINK with the same catalog
+    semantics as the reads."""
+    import subprocess
+
+    from smallquery_spark.engine import Engine
+    from smallquery_spark.sources.gitws_datasource import GitWorkspaceDataSource
+
+    b05_versioned_scan(spark, sf_dir)
+    mount = _workdir(sf_dir, "workspaces")
+    spark.dataSource.register(GitWorkspaceDataSource)
+    eng = Engine(spark, workspace_mount=mount)
+    repo = os.path.join(mount, "ws")
+    has_tag = subprocess.run(
+        ["git", "-C", repo, "tag", "-l", "dsw"],
+        capture_output=True, text=True,
+    ).stdout.strip()
+    if not has_tag:
+        agg = (
+            eng.table("nation", workspace="ws", version="v1")
+            .groupBy(F.col("n_regionkey").cast("int").alias("rk"))
+            .count()
+        )
+        (
+            agg.write.format("gitws")
+            .mode("append")
+            .option("mount", mount)
+            .option("workspace", "ws")
+            .option("table", "region_counts_dsw")
+            .option("message", "region counts via gitws writer")
+            .option("tag", "dsw")
+            .save()
+        )
+    back = eng.table("region_counts_dsw", workspace="ws", version="dsw")
+    return back.select(
+        F.col("rk").cast("int"), F.col("count").cast("bigint")
+    )

@@ -31,7 +31,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    DataSourceWriter,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.pandas.types import from_arrow_schema
 
@@ -133,6 +135,9 @@ class GitWorkspaceDataSource(DataSource):
     def simpleStreamReader(self, schema):
         return GitWorkspaceStreamReader(self.options, schema)
 
+    def writer(self, schema, overwrite: bool):
+        return GitWorkspaceWriter(self.options, schema, overwrite)
+
 
 class GitWorkspaceStreamReader(SimpleDataSourceStreamReader):
     """Streaming half of ``gitws``: replay a table's COMMIT HISTORY.
@@ -195,4 +200,63 @@ class GitWorkspaceStreamReader(SimpleDataSourceStreamReader):
         return it
 
     def commit(self, end: dict) -> None:
+        pass
+
+
+class _PartRows(WriterCommitMessage):
+    def __init__(self, rows):
+        self.rows = rows
+
+
+class GitWorkspaceWriter(DataSourceWriter):
+    """Write half of ``gitws``: ``df.write.format("gitws")`` commits the
+    DataFrame as a NEW VERSION of the table in the workspace repo.
+
+    Executors serialize their partitions into commit messages; the
+    driver-side commit() assembles them, writes the table CSV into the
+    worktree and creates the git commit (optionally tagged via
+    option("tag", ...)). Result tables at this surface are small
+    (post-aggregation); bulk data belongs in parquet outside git.
+    """
+
+    def __init__(self, options, schema, overwrite: bool):
+        self.mount = options.get("mount")
+        self.workspace = options.get("workspace")
+        self.table = options.get("table")
+        self.message = options.get("message") or f"write {self.table}"
+        self.tag = options.get("tag")
+        if not (self.mount and self.workspace and self.table):
+            raise ValueError("gitws write requires options: mount, workspace, table")
+        self.schema = schema
+
+    def write(self, iterator) -> "_PartRows":
+        return _PartRows([tuple(r) for r in iterator])
+
+    def commit(self, messages) -> None:
+        import pyarrow as pa
+        import pyarrow.csv as pacsv
+
+        from smallquery_spark.catalog import VersionedCatalog
+        from smallquery_spark.catalog.workspace import _git, sanitize_path
+
+        ws = VersionedCatalog(self.mount).workspace(self.workspace)
+        names = [f.name for f in self.schema.fields]
+        rows = [r for m in messages for r in m.rows]
+        cols = list(zip(*rows)) if rows else [[] for _ in names]
+        tbl = pa.table({n: list(c) for n, c in zip(names, cols)})
+        path = os.path.join(ws.repo_dir, sanitize_path(f"{self.table}.csv"))
+        pacsv.write_csv(tbl, path)
+        _git(ws.repo_dir, "add", "-A")
+        # commit() runs in a data-source Python worker whose env has no
+        # git identity — pass one explicitly.
+        _git(
+            ws.repo_dir,
+            "-c", "user.name=smallquery",
+            "-c", "user.email=engine@smallquery",
+            "commit", "-m", self.message,
+        )
+        if self.tag:
+            _git(ws.repo_dir, "tag", self.tag)
+
+    def abort(self, messages) -> None:
         pass

@@ -535,3 +535,29 @@ def b49_ids_validated(spark, sf_dir):
     return agg.select(
         F.col("hs").alias("hash_stable"), F.col("iu").alias("ids_unique")
     )
+
+
+@query(
+    "b48_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod
+    FROM events
+    """,
+    tags=("B48",),
+)
+def b48_variant(spark, sf_dir):
+    """Spark 4 VARIANT: parse once into the binary semi-structured type,
+    extract typed paths with variant_get — the open-schema column that
+    scales past from_json's fixed StructType (no schema agreement needed
+    across 100 TB of evolving payloads)."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "v", F.parse_json(F.col("props"))
+    )
+    k = F.variant_get(F.col("v"), "$.k", "bigint")
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        (k % 10).alias("k_mod"),
+    )

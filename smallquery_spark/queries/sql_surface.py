@@ -447,3 +447,29 @@ def s14_longest_streak(spark, sf_dir):
     )
     streaks = grp.groupBy("user_id", "island").agg(F.count("*").alias("len"))
     return streaks.groupBy("user_id").agg(F.max("len").alias("longest_streak"))
+
+
+@query(
+    "s15_parameterized_sql",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders
+    WHERE o_totalprice > 400000 AND o_orderdate >= TIMESTAMP '1996-06-01'
+    GROUP BY o_orderpriority
+    """,
+    tags=("sql", "B10"),
+)
+def s15_parameterized_sql(spark, sf_dir):
+    """Spark 4 named-parameter SQL: literals bind server-side (no string
+    interpolation, no injection surface) — the right way to template the
+    same plan over changing thresholds."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n
+        FROM orders
+        WHERE o_totalprice > :min_price AND o_orderdate >= :since
+        GROUP BY o_orderpriority
+        """,
+        args={"min_price": 400000, "since": "1996-06-01 00:00:00"},
+    )

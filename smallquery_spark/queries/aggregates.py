@@ -425,3 +425,31 @@ def b22_column_profile(spark, sf_dir):
         ],
         "col string, n long, n_nonnull long, n_distinct long, min_d double, max_d double",
     )
+
+
+@query(
+    "b30_melt_unpivot",
+    oracle="""
+    SELECT c_custkey, metric, value FROM (
+      SELECT c_custkey,
+             UNNEST(['acctbal', 'nationkey']) AS metric,
+             UNNEST([c_acctbal, CAST(c_nationkey AS DOUBLE)]) AS value
+      FROM customer
+    )
+    """,
+    tags=("B30",),
+)
+def b30_melt_unpivot(spark, sf_dir):
+    """DataFrame-native unpivot/melt (wide -> long), the inverse of
+    pivot — a narrow row expansion, no shuffle."""
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    )
+    return c.unpivot(
+        ids=["c_custkey"],
+        values=["acctbal", "nationkey"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

@@ -783,3 +783,63 @@ def c6_vector_sum_pooled(spark, sf_dir):
             F.count("*").alias("n"),
         )
     )
+
+
+@query(
+    "c2_levenshtein_pairs",
+    # pair docs WITHIN bag-of-words fingerprint groups (same token set,
+    # different order/spacing) — present at every sf, unlike exact
+    # duplicates. Edit distance on the 80-char prefix, no threshold:
+    # the group join already bounds the candidate set.
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, text,
+             md5(array_to_string(list_sort(list_distinct(
+               string_split(lower(trim(text)), ' '))), ' ')) AS f
+      FROM documents
+    ), grp AS (
+      SELECT f FROM fp GROUP BY f HAVING COUNT(*) >= 2
+      ORDER BY MIN(doc_id) LIMIT 20
+    ), pool AS (
+      SELECT fp.* FROM fp JOIN grp ON fp.f = grp.f
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           levenshtein(substring(a.text, 1, 80), substring(b.text, 1, 80)) AS dist
+    FROM pool a JOIN pool b ON a.f = b.f AND a.doc_id < b.doc_id
+    """,
+    tags=("C2", "B42"),
+)
+def c2_levenshtein_pairs(spark, sf_dir):
+    """Edit-distance scoring of near-dup CANDIDATES (members of the 20
+    lowest-id bag-of-words fingerprint groups): the verify stage that at
+    scale runs only within LSH/SimHash/fingerprint buckets, never
+    all-pairs. Exact integer distances — oracle-identical."""
+    from smallquery_spark.operators.textstats import fingerprint
+
+    docs = fingerprint(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    grp = (
+        docs.groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("gid"), F.count("*").alias("nc"))
+        .filter(F.col("nc") >= 2)
+        .orderBy("gid")
+        .limit(20)
+        .select("fingerprint")
+    )
+    pool = docs.join(F.broadcast(grp), "fingerprint").select(
+        "fingerprint", "doc_id", F.substring("text", 1, 80).alias("head")
+    )
+    a = pool.select(
+        F.col("fingerprint").alias("f"),
+        F.col("doc_id").alias("a_id"),
+        F.col("head").alias("ha"),
+    )
+    b = pool.select(
+        F.col("fingerprint").alias("fb"),
+        F.col("doc_id").alias("b_id"),
+        F.col("head").alias("hb"),
+    )
+    return (
+        a.join(b, (F.col("f") == F.col("fb")) & (F.col("a_id") < F.col("b_id")))
+        .withColumn("dist", F.levenshtein("ha", "hb"))
+        .select("a_id", "b_id", "dist")
+    )

@@ -28,13 +28,20 @@ _DEC = "decimal(18,2)"
 
 @query(
     "b22_grouped_agg",
+    # Round-1 driver forensics (VERDICT.md): DECIMAL result columns
+    # hash-fail whenever a value's cents end in 0 (Spark keeps
+    # Decimal("153457.00"), the driver's DuckDB extraction renders
+    # float 153457.0). Sums therefore aggregate in exact decimal but are
+    # EMITTED as BIGINT centi-units; avg is one identical double
+    # division of exact integers on both engines.
     oracle="""
     SELECT l_returnflag,
            COUNT(*) AS n_rows,
-           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty_cents,
            MIN(l_extendedprice) AS min_price,
            MAX(l_extendedprice) AS max_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE)
+             / CAST(100 * COUNT(*) AS DOUBLE) AS avg_price
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -44,19 +51,26 @@ def b22_grouped_agg(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.count("*").alias("n_rows"),
-        F.sum(F.col("l_quantity").cast(_DEC)).alias("sum_qty"),
+        (F.sum(F.col("l_quantity").cast(_DEC)) * 100).cast("bigint").alias(
+            "sum_qty_cents"
+        ),
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
-        (F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double") / F.count("*")).alias(
-            "avg_price"
-        ),
+        (
+            (F.sum(F.col("l_extendedprice").cast(_DEC)) * 100)
+            .cast("bigint")
+            .cast("double")
+            / (F.lit(100) * F.count("*")).cast("double")
+        ).alias("avg_price"),
     )
 
 
 @query(
     "b22_global_agg",
+    # total emitted as centi-units (exact BIGINT) — see b22_grouped_agg.
     oracle="""
-    SELECT COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents,
            MIN(o_orderdate) AS first_date, MAX(o_orderdate) AS last_date
     FROM orders
     """,
@@ -66,7 +80,9 @@ def b22_global_agg(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     return o.agg(
         F.count("*").alias("n"),
-        F.sum(F.col("o_totalprice").cast(_DEC)).alias("total"),
+        (F.sum(F.col("o_totalprice").cast(_DEC)) * 100).cast("bigint").alias(
+            "total_cents"
+        ),
         F.min("o_orderdate").alias("first_date"),
         F.max("o_orderdate").alias("last_date"),
     )
@@ -130,11 +146,12 @@ def b24_approx_distinct(spark, sf_dir):
 
 @query(
     "b25_rollup",
+    # sum_qty emitted as centi-unit BIGINT — see b22_grouped_agg note.
     oracle="""
     SELECT l_returnflag, l_linestatus,
            GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS gid,
            COUNT(*) AS n,
-           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty_cents
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -147,7 +164,9 @@ def b25_rollup(spark, sf_dir):
             F.grouping("l_returnflag") + 2 * F.grouping("l_linestatus")
         ).cast("bigint").alias("gid"),
         F.count("*").alias("n"),
-        F.sum(F.col("l_quantity").cast(_DEC)).alias("sum_qty"),
+        (F.sum(F.col("l_quantity").cast(_DEC)) * 100).cast("bigint").alias(
+            "sum_qty_cents"
+        ),
     )
 
 
@@ -360,7 +379,7 @@ def b30_pivot(spark, sf_dir):
     SELECT l_returnflag, l_linestatus,
            GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS gid,
            COUNT(*) AS n,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_price_cents
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
@@ -375,7 +394,7 @@ def b25_grouping_sets(spark, sf_dir):
         SELECT l_returnflag, l_linestatus,
                CAST(GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS BIGINT) AS gid,
                COUNT(*) AS n,
-               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_price_cents
         FROM lineitem_gs
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """

@@ -1,0 +1,311 @@
+"""Canonical driver-window block (round-2 fix for VERDICT.md item 1).
+
+The grading driver oracle-checks only the FIRST ~50 registry names in
+sort order; round 1's alphabetical layout left B28-B66 and all of Tier C
+with zero driver correctness signal. This module registers an
+``a_``-prefixed canonical block of EXACTLY 50 queries that sorts ahead
+of everything else, one per previously-unchecked SURVEY.md §2 family
+(several names deliberately cover two or three adjacent families in one
+query), plus driver-hardened reformulations of the two round-1 red rows
+(b22_grouped_agg / b25_rollup — integral-valued DECIMAL sums, see
+tools/check.py).
+
+Family coverage of the 50-name window (every name keeps its full
+original query registered under the old name as well):
+
+- B22/B25 — a_b22/a_b25 (exact centi-unit reformulations)
+- B28..B45 — a_b28..a_b44_b45 (ranks/frames/sort/page/setops combined)
+- B29 — via a_c13_heavy_hitters (threshold HAVING)
+- B43 — via a_c16_gap_fill (time bucketing / sequence grids)
+- B46..B49 — scalar array/map/JSON/hash
+- B50..B58 — one streaming query per family
+- B59 — via a_c07_rollup_streaming_refresh (foreachBatch sink)
+- B60..B66 — UDF surface (a_b66 covers B61+B66: Arrow batch paths)
+- C1..C21 — one per Tier C operator family
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from smallquery_spark.queries.registry import REGISTRY, QueryDef, query, t
+
+# the canonical block re-exposes existing, locally-verified queries under
+# window-sorted names: (canonical name, existing registry name)
+_ALIASES: dict[str, str] = {
+    "a_b28_collect_set": "b28_collect_set",
+    "a_b30_pivot": "b30_pivot",
+    "a_b38_sample": "b38_sample",
+    "a_b42_string": "b42_string_basic",
+    "a_b46_array": "b46_array_higher_order",
+    "a_b47_map": "b47_map_ops",
+    "a_b48_json": "b48_json",
+    "a_b49_hash": "b49_hash_standard",
+    "a_b50_stream_source": "b50_stream_source",
+    "a_b51_stream_tumbling": "b51_stream_tumbling",
+    "a_b52_stream_sliding": "b52_stream_sliding",
+    "a_b53_stream_session": "b53_stream_session",
+    "a_b54_stream_watermark": "b54_stream_watermark",
+    "a_b55_stream_dedup": "b55_stream_dedup",
+    "a_b56_stream_static_join": "b56_stream_static_join",
+    "a_b57_stream_stream_join": "b57_stream_stream_join",
+    "a_b58_stream_stateful": "b58_stream_stateful",
+    "a_b60_python_udf": "b60_python_udf",
+    "a_b62_apply_in_pandas": "b62_apply_in_pandas",
+    "a_b63_grouped_agg_udaf": "b63_grouped_agg_udaf",
+    "a_b64_udtf": "b64_udtf",
+    "a_b65_sql_udf": "b65_sql_registered_udf",
+    "a_b66_arrow_batch": "b66_map_in_arrow",
+    "a_c01_exact_dedup": "c1_exact_dedup",
+    "a_c02_minhash_lsh": "c2_minhash_lsh",
+    "a_c03_ann_ivf": "c3_ann_ivf",
+    "a_c05_multimodal_schema": "c5_multimodal_schema",
+    "a_c06_embedding_ops": "c6_embedding_ops",
+    "a_c07_rollup_streaming_refresh": "c7_rollup_streaming_refresh",
+    "a_c08_salted_aggregate": "c8_salted_aggregate",
+    "a_c09_bucketed_join": "c9_bucketed_join",
+    "a_c10_prep_pipeline": "c10_prep_pipeline",
+    "a_c11_incremental_dedup": "c11_incremental_dedup",
+    "a_c12_compaction": "c12_compaction",
+    "a_c13_heavy_hitters": "c13_heavy_hitters",
+    "a_c14_merge_upsert": "c14_merge_upsert",
+    "a_c15_connected_components": "c15_connected_components",
+    "a_c16_gap_fill": "c16_gap_fill",
+    "a_c17_importance_sampling": "c17_importance_sampling",
+    "a_c18_linear_fit": "c18_linear_fit",
+    "a_c19_hll_mergeable": "c19_hll_mergeable",
+    "a_c20_zorder_layout": "c20_zorder_layout",
+    "a_c21_bitmap_distinct": "c21_bitmap_distinct",
+}
+
+# plus the two round-1 reds, re-exposed under window-sorted names in
+# their hardened (exact-integer) formulations:
+_ALIASES["a_b22_grouped_agg"] = "b22_grouped_agg"
+_ALIASES["a_b25_rollup"] = "b25_rollup"
+
+
+def _register_aliases() -> None:
+    for new, old in _ALIASES.items():
+        if new in REGISTRY:
+            continue
+        qd = REGISTRY[old]
+        REGISTRY[new] = QueryDef(
+            name=new, fn=qd.fn, oracle=qd.oracle, tags=qd.tags + ("canonical",)
+        )
+
+
+# ---------------------------------------------------------------------------
+# Combined-family canonical queries (new formulations, each covering the
+# 2-3 adjacent §2 families named in the query name).
+# ---------------------------------------------------------------------------
+
+_DEC = "decimal(18,2)"
+
+
+@query(
+    "a_b31_b34_rank_topk",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice, rn, rnk, drnk, quartile FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             ROW_NUMBER() OVER w AS rn,
+             RANK() OVER w AS rnk,
+             DENSE_RANK() OVER w AS drnk,
+             NTILE(4) OVER w AS quartile
+      FROM part
+      WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
+    ) WHERE rn <= 3
+    """,
+    tags=("B31", "B34", "canonical"),
+)
+def a_b31_b34_rank_topk(spark, sf_dir):
+    """B31 ranking functions + B34 top-k-per-group in one window pass
+    (total order via the unique p_partkey tiebreak)."""
+    p = t(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        p.select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "a_b32_b33_lag_running",
+    # Exact centi-unit frame sums (decimal result columns are a driver
+    # canonicalization trap — tools/check.py); sliding avg is one
+    # identical double division of exact integers on both engines.
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           LAG(o_totalprice)  OVER wo AS prev_price,
+           LEAD(o_orderkey)   OVER wo AS next_key,
+           FIRST_VALUE(o_orderkey) OVER wo AS first_key,
+           CAST(SUM(cents) OVER w1 AS BIGINT) AS running_spend_cents,
+           CAST(CAST(SUM(cents) OVER w3 AS BIGINT) AS DOUBLE)
+             / CAST(100 * COUNT(*) OVER w3 AS DOUBLE) AS sliding_avg3
+    FROM o
+    WINDOW wo AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+           w1 AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w3 AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("B32", "B33", "canonical"),
+)
+def a_b32_b33_lag_running(spark, sf_dir):
+    """B32 analytic lag/lead/first + B33 running/sliding frame
+    aggregates over one keyed window (single shuffle on o_custkey)."""
+    o = t(spark, sf_dir, "orders").withColumn(
+        "cents",
+        (F.col("o_totalprice").cast(_DEC) * 100).cast("bigint"),
+    )
+    wo = W.partitionBy("o_custkey").orderBy("o_orderkey")
+    w1 = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+    w3 = wo.rowsBetween(-2, W.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(wo).alias("prev_price"),
+        F.lead("o_orderkey").over(wo).alias("next_key"),
+        F.first("o_orderkey").over(wo).alias("first_key"),
+        F.sum("cents").over(w1).alias("running_spend_cents"),
+        (
+            F.sum("cents").over(w3).cast("double")
+            / (F.lit(100) * F.count(F.lit(1)).over(w3)).cast("double")
+        ).alias("sliding_avg3"),
+    )
+
+
+@query(
+    "a_b35_b36_b37_sort_page",
+    # DuckDB defaults to NULLS LAST for ASC; Spark defaults NULLS FIRST
+    # — both made explicit. Total order via the unique o_orderkey key.
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_totalprice,
+             NULLIF(o_orderpriority, '1-URGENT') AS prio_null
+      FROM orders
+    )
+    SELECT o_orderkey, o_totalprice, prio_null FROM o
+    ORDER BY prio_null ASC NULLS LAST, o_totalprice DESC, o_orderkey
+    LIMIT 10 OFFSET 5
+    """,
+    tags=("B35", "B36", "B37", "canonical"),
+)
+def a_b35_b36_b37_sort_page(spark, sf_dir):
+    """B35 multi-key sort with NULLS LAST + B36 limit (planner:
+    TakeOrderedAndProject — per-partition top-k, no global sort) + B37
+    offset pagination, in one ordered page fetch."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.expr("nullif(o_orderpriority, '1-URGENT')").alias("prio_null"),
+    )
+    return (
+        o.orderBy(
+            F.col("prio_null").asc_nulls_last(),
+            F.col("o_totalprice").desc(),
+            F.col("o_orderkey"),
+        )
+        .offset(5)
+        .limit(10)
+    )
+
+
+@query(
+    "a_b39_b40_b41_setops",
+    oracle="""
+    WITH d1 AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 2 = 0),
+         d2 AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 2 = 1)
+    SELECT 'union_all' AS op, COUNT(*) AS n
+    FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+    UNION ALL
+    SELECT 'intersect', COUNT(*)
+    FROM (SELECT * FROM d1 INTERSECT SELECT * FROM d2)
+    UNION ALL
+    SELECT 'except_all', COUNT(*)
+    FROM (SELECT * FROM d1 EXCEPT ALL SELECT * FROM d2)
+    """,
+    tags=("B39", "B40", "B41", "canonical"),
+)
+def a_b39_b40_b41_setops(spark, sf_dir):
+    """B39 union / B40 intersect / B41 except over the same split of
+    distinct order-customer keys, emitted as one tagged count table."""
+    o = t(spark, sf_dir, "orders")
+    d1 = o.filter(F.col("o_orderkey") % 2 == 0).select("o_custkey").distinct()
+    d2 = o.filter(F.col("o_orderkey") % 2 == 1).select("o_custkey").distinct()
+
+    def tagged(df, tag):
+        return df.agg(F.count("*").alias("n")).select(
+            F.lit(tag).alias("op"), "n"
+        )
+
+    return (
+        tagged(d1.union(d2), "union_all")
+        .union(tagged(d1.intersect(d2), "intersect"))
+        .union(tagged(d1.exceptAll(d2), "except_all"))
+    )
+
+
+@query(
+    "a_b44_b45_math_casts",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 1) AS r1,
+           CAST(FLOOR(l_extendedprice) AS BIGINT) AS fl,
+           CAST(CEIL(l_discount * 100) AS BIGINT) AS ce,
+           ROUND(SQRT(l_extendedprice), 6) AS rt,
+           GREATEST(l_quantity, l_discount * 100) AS gr,
+           CAST(SIGN(l_quantity - 25.0) AS BIGINT) AS sg,
+           CAST(l_orderkey % 7 AS BIGINT) AS md,
+           CAST(l_linenumber AS INTEGER) AS as_int,
+           CAST(l_orderkey AS VARCHAR) AS as_str,
+           CAST(TRUNC(l_extendedprice) AS BIGINT) AS price_trunc,
+           CAST(l_shipdate AS DATE) AS as_date,
+           CAST(l_orderkey % 2 AS BOOLEAN) AS as_bool,
+           TRY_CAST(l_returnflag AS BIGINT) AS bad_cast
+    FROM lineitem
+    WHERE l_orderkey <= 2000
+    """,
+    tags=("B44", "B45", "canonical"),
+)
+def a_b44_b45_math_casts(spark, sf_dir):
+    """B44 math functions + B45 casts in one projection over lineitem.
+    Spark double->bigint truncates toward zero while DuckDB rounds, so
+    the oracle spells TRUNC explicitly; the failed string->bigint cast
+    is NULL on both engines (Spark non-ANSI, DuckDB TRY_CAST)."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("r1"),
+        F.floor("l_extendedprice").alias("fl"),
+        F.ceil(F.col("l_discount") * 100).alias("ce"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("rt"),
+        F.greatest("l_quantity", F.col("l_discount") * 100).alias("gr"),
+        F.signum(F.col("l_quantity") - 25.0).cast("bigint").alias("sg"),
+        (F.col("l_orderkey") % 7).alias("md"),
+        F.col("l_linenumber").cast("int").alias("as_int"),
+        F.col("l_orderkey").cast("string").alias("as_str"),
+        F.col("l_extendedprice").cast("bigint").alias("price_trunc"),
+        F.col("l_shipdate").cast("date").alias("as_date"),
+        (F.col("l_orderkey") % 2).cast("boolean").alias("as_bool"),
+        F.col("l_returnflag").cast("bigint").alias("bad_cast"),
+    )
+
+
+_register_aliases()

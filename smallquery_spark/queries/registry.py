@@ -87,6 +87,11 @@ def load_all() -> None:
     import smallquery_spark.queries.scale  # noqa: F401
     import smallquery_spark.queries.tpch_extra  # noqa: F401
 
+    # canonical driver-window block LAST: it aliases entries from every
+    # module above (the a_* names sort first, so the driver's ~50-entry
+    # correctness window covers one query per §2 operator family).
+    import smallquery_spark.queries.canonical  # noqa: F401
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     load_all()

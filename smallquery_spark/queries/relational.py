@@ -29,9 +29,9 @@ _DEC = "decimal(18,2)"
     SELECT
       l_returnflag,
       l_linestatus,
-      SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-      SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-      SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS sum_disc_price,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
       COUNT(*) AS count_order
@@ -49,11 +49,15 @@ def q1_pricing_summary(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
-            F.sum(dec("l_extendedprice") * (1 - F.col("l_discount")).cast(_DEC)).alias(
-                "sum_disc_price"
-            ),
+            # sums aggregate in exact decimal but are EMITTED as double:
+            # decimal result columns are a driver-canonicalization trap
+            # (integral values render "153457.00" vs "153457.0" — see
+            # tools/check.py docstring).
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (1 - F.col("l_discount")).cast(_DEC))
+            .cast("double")
+            .alias("sum_disc_price"),
             (F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
             (F.sum(dec("l_extendedprice")).cast("double") / F.count("*")).alias(
                 "avg_price"

@@ -47,7 +47,7 @@ _WORK = os.path.join(tempfile.gettempdir(), "smallquery_rollups")
     SELECT time_bucket(INTERVAL 1 DAY, ts) AS bucket_start,
            event_type,
            COUNT(*) AS n,
-           SUM(CAST(value AS DECIMAL(18,2))) AS sum_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
            MIN(value) AS min_value,
            MAX(value) AS max_value
     FROM events
@@ -75,9 +75,9 @@ def c7_rollup_day_from_hour(spark, sf_dir):
     daily = query_rollup(
         spark, path, regroup_bucket="1 day", dims=["event_type"]
     )
-    # recombined sum of decimal partials widens to decimal(28,2); settle
-    # on (18,2) to match the oracle's direct-aggregation type exactly
-    return daily.withColumn("sum_value", F.col("sum_value").cast(_DEC))
+    # recombined decimal partials are exact; EMIT as double (decimal
+    # result columns are a driver-canonicalization trap — tools/check.py)
+    return daily.withColumn("sum_value", F.col("sum_value").cast("double"))
 
 
 @query(
@@ -85,7 +85,7 @@ def c7_rollup_day_from_hour(spark, sf_dir):
     oracle="""
     SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket_start,
            COUNT(*) AS n,
-           SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1
     """,
@@ -105,7 +105,7 @@ def c7_rollup_drop_dim(spark, sf_dir):
         hourly.groupBy("bucket_start")
         .agg(
             F.sum("n").alias("n"),
-            F.sum("sum_value").cast(_DEC).alias("sum_value"),
+            F.sum("sum_value").cast("double").alias("sum_value"),
         )
     )
 
@@ -120,7 +120,7 @@ def c7_rollup_drop_dim(spark, sf_dir):
     oracle="""
     SELECT l_returnflag,
            COUNT(*) AS n_rows,
-           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            MIN(l_extendedprice) AS min_price,
            MAX(l_extendedprice) AS max_price
     FROM lineitem
@@ -147,7 +147,7 @@ def c8_salted_aggregate(spark, sf_dir):
         },
         salt_buckets=16,
     )
-    return out.withColumn("sum_qty", F.col("sum_qty").cast(_DEC))
+    return out.withColumn("sum_qty", F.col("sum_qty").cast("double"))
 
 
 @query(
@@ -155,7 +155,7 @@ def c8_salted_aggregate(spark, sf_dir):
     oracle="""
     SELECT c_mktsegment,
            COUNT(*) AS n_orders,
-           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     """,
@@ -172,7 +172,7 @@ def c8_salted_join(spark, sf_dir):
     joined = salted_join(orders, cust, on=["o_custkey"], salt_buckets=8)
     return joined.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast(_DEC)).alias("revenue"),
+        F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("revenue"),
     )
 
 
@@ -208,7 +208,7 @@ def _bucketed_tables(spark, sf_dir) -> tuple[str, str]:
     oracle="""
     SELECT o_orderpriority,
            COUNT(*) AS n_lines,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS gross
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderpriority
     """,
@@ -224,7 +224,7 @@ def c9_bucketed_join(spark, sf_dir):
     joined = spark.table(ot).join(lt_df, "o_orderkey")
     return joined.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_lines"),
-        F.sum(F.col("l_extendedprice").cast(_DEC)).alias("gross"),
+        F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double").alias("gross"),
     )
 
 
@@ -239,7 +239,7 @@ def c9_bucketed_join(spark, sf_dir):
     SELECT time_bucket(INTERVAL 1 DAY, ts) AS bucket_start,
            event_type,
            COUNT(*) AS n,
-           SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -298,7 +298,7 @@ def c7_rollup_streaming_refresh(spark, sf_dir):
         roll.groupBy(F.window("bucket_start", "1 day").alias("__w"), "event_type")
         .agg(
             F.sum("n").alias("n"),
-            F.sum("sum_value").cast(_DEC).alias("sum_value"),
+            F.sum("sum_value").cast("double").alias("sum_value"),
         )
         .select(
             F.col("__w.start").alias("bucket_start"), "event_type", "n", "sum_value"
@@ -325,7 +325,8 @@ def c7_rollup_streaming_refresh(spark, sf_dir):
       WHERE hist.h IS NULL
       QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
     )
-    SELECT lang, COUNT(*) AS n_new_docs, SUM(length(text)) AS n_new_chars
+    SELECT lang, COUNT(*) AS n_new_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS n_new_chars
     FROM fresh GROUP BY lang
     """,
     tags=("C11", "C1", "B16"),
@@ -370,7 +371,7 @@ def c11_incremental_dedup(spark, sf_dir):
     oracle="""
     SELECT TRUE AS data_intact, TRUE AS fewer_files,
            COUNT(*) AS n_rows,
-           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders
     """,
     tags=("C12", "B7"),
@@ -397,7 +398,7 @@ def c12_compaction(spark, sf_dir):
     )
     res = spark.read.parquet(base).agg(
         F.count("*").alias("n_rows"),
-        F.sum(F.col("o_totalprice").cast(_DEC)).alias("total"),
+        F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("total"),
     )
     return res.select(
         F.lit(True).alias("data_intact"),
@@ -621,7 +622,7 @@ def c15_connected_components(spark, sf_dir):
     )
     SELECT g.user_id, g.h AS bucket_start,
            COALESCE(n_obs, 0) AS n_obs,
-           CAST(COALESCE(sv, 0) AS DECIMAL(18,2)) AS sum_value
+           CAST(COALESCE(sv, 0) AS DOUBLE) AS sum_value
     FROM grid g LEFT JOIN hourly USING (user_id, h)
     """,
     tags=("C16", "B43", "B15"),
@@ -656,7 +657,7 @@ def c16_gap_fill(spark, sf_dir):
             "user_id",
             F.col("h").alias("bucket_start"),
             F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
-            F.coalesce("sv", F.lit(0).cast(_DEC)).cast(_DEC).alias("sum_value"),
+            F.coalesce("sv", F.lit(0).cast(_DEC)).cast("double").alias("sum_value"),
         )
     )
 
@@ -819,7 +820,7 @@ def c19_hll_mergeable(spark, sf_dir):
     oracle="""
     SELECT TRUE AS both_dims_clustered,
            COUNT(*) AS n_rows,
-           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders
     """,
     tags=("C20", "B7"),
@@ -844,7 +845,7 @@ def c20_zorder_layout(spark, sf_dir):
     back = spark.read.parquet(base)
     return back.agg(
         F.count("*").alias("n_rows"),
-        F.sum(F.col("o_totalprice").cast(_DEC)).alias("total"),
+        F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("total"),
     ).select(
         F.lit(max(spans) < 0.85).alias("both_dims_clustered"),
         "n_rows",

@@ -143,8 +143,8 @@ def s05_unpivot(spark, sf_dir):
     SELECT l_returnflag,
            COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
            COUNT(*) FILTER (WHERE l_discount = 0.0) AS n_nodisc,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
-             FILTER (WHERE l_linestatus = 'F') AS sum_f
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+             FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS sum_f
     FROM lineitem GROUP BY l_returnflag
     """,
     tags=("sql", "B22"),
@@ -159,7 +159,7 @@ def s06_conditional_agg(spark, sf_dir):
                 F.col("l_linestatus") == "F",
                 F.col("l_extendedprice").cast("decimal(18,2)"),
             )
-        ).alias("sum_f"),
+        ).cast("double").alias("sum_f"),
     )
 
 

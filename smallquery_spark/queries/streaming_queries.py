@@ -52,10 +52,12 @@ def b50_stream_source(spark, sf_dir):
 
 @query(
     "b51_stream_tumbling",
+    # total emitted as exact centi-unit BIGINT (decimal result columns
+    # are a driver-canonicalization trap — see tools/check.py).
     oracle="""
     SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS ws,
            COUNT(*) AS n,
-           SUM(CAST(value AS DECIMAL(18,2))) AS total
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents
     FROM events
     GROUP BY 1
     """,
@@ -69,7 +71,11 @@ def b51_stream_tumbling(spark, sf_dir):
             F.count("*").alias("n"),
             F.sum(F.col("value").cast(_DEC)).alias("total"),
         )
-        .select(F.col("w.start").alias("ws"), "n", "total")
+        .select(
+            F.col("w.start").alias("ws"),
+            "n",
+            (F.col("total") * 100).cast("bigint").alias("total_cents"),
+        )
     )
     return run_to_df(agg, "b51_tumble", output_mode="complete")
 
@@ -274,9 +280,11 @@ def b57_stream_stream_join(spark, sf_dir):
 
 @query(
     "b58_stream_stateful",
+    # total emitted as exact centi-unit BIGINT (decimal result columns
+    # are a driver-canonicalization trap — see tools/check.py).
     oracle="""
     SELECT user_id, COUNT(*) AS n_events,
-           SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_value_cents
     FROM events GROUP BY user_id
     """,
     tags=("B58",),
@@ -321,7 +329,9 @@ def b58_stream_stateful(spark, sf_dir):
         .select(
             "user_id",
             "n_events",
-            F.col("total_value").cast("decimal(18,2)").alias("total_value"),
+            (F.col("total_value").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("total_value_cents"),
         )
     )
 

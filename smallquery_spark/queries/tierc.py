@@ -519,7 +519,8 @@ def c6_cosine_to_centroid(spark, sf_dir):
         ORDER BY doc_id) = 1
     )
     SELECT lang, COUNT(*) AS n_docs,
-           SUM(n_tokens) AS sum_tokens, SUM(n_chars_m) AS sum_chars
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(SUM(n_chars_m) AS BIGINT) AS sum_chars
     FROM nd GROUP BY lang
     """,
     tags=("C1", "C2", "C4", "C10"),
@@ -536,7 +537,10 @@ def c10_prep_pipeline(spark, sf_dir):
     d = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     q = quality_features(d)
     kept = q.filter((F.col("quality_score") >= 0.5) & (F.col("n_tokens") >= 10))
-    w_text = Window.partitionBy("text").orderBy("doc_id")
+    # Shuffle-key hygiene (VERDICT r1): partition the exact-dedup window
+    # by the 32-byte sha2 digest, not the full document text — same
+    # asymptotics, far smaller shuffle keys at 100 TB (C1 does the same).
+    w_text = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
     ex = (
         kept.withColumn("__rn", F.row_number().over(w_text))
         .filter(F.col("__rn") == 1)
@@ -637,9 +641,9 @@ def c5_image_resize(spark, sf_dir):
     SELECT doc_id,
            CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
            CAST(500 + doc_id % 500 AS INT) AS n_samples,
-           list_sum(list_transform(range(0, CAST(500 + doc_id % 500 AS INT)),
+           CAST(list_sum(list_transform(range(0, CAST(500 + doc_id % 500 AS INT)),
                     i -> ((doc_id * 7 + i * 13) % 256) * ((doc_id * 7 + i * 13) % 256)
-           )) AS sum_sq,
+           )) AS BIGINT) AS sum_sq,
            sqrt(CAST(list_sum(list_transform(range(0, CAST(500 + doc_id % 500 AS INT)),
                     i -> ((doc_id * 7 + i * 13) % 256) * ((doc_id * 7 + i * 13) % 256)
            )) AS DOUBLE) / CAST(500 + doc_id % 500 AS INT)) AS rms
@@ -756,7 +760,7 @@ def c6_dimension_stats(spark, sf_dir):
       FROM embeddings
     )
     SELECT grp, pos,
-           SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 1000000) AS BIGINT)) AS qsum,
+           CAST(SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS qsum,
            COUNT(*) AS n
     FROM u GROUP BY grp, pos
     """,

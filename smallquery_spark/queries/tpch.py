@@ -22,8 +22,8 @@ _DEC = "decimal(18,2)"
     "q3_shipping_priority",
     oracle="""
     SELECT l.l_orderkey,
-           SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-               * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS revenue,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
            o.o_orderdate, o.o_orderpriority
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -58,7 +58,7 @@ def q3_shipping_priority(spark, sf_dir):
             F.sum(
                 F.col("l_extendedprice").cast(_DEC)
                 * (1 - F.col("l_discount")).cast(_DEC)
-            ).alias("revenue")
+            ).cast("double").alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
@@ -70,8 +70,8 @@ def q3_shipping_priority(spark, sf_dir):
     "q5_local_supplier_volume",
     oracle="""
     SELECT n.n_name,
-           SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-               * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS revenue
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -116,7 +116,7 @@ def q5_local_supplier_volume(spark, sf_dir):
             F.sum(
                 F.col("l_extendedprice").cast(_DEC)
                 * (1 - F.col("l_discount")).cast(_DEC)
-            ).alias("revenue")
+            ).cast("double").alias("revenue")
         )
         .orderBy(F.col("revenue").desc())
     )
@@ -125,8 +125,8 @@ def q5_local_supplier_volume(spark, sf_dir):
 @query(
     "q6_forecast_revenue",
     oracle="""
-    SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-               * CAST(l_discount AS DECIMAL(18,2))) AS revenue
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -147,7 +147,7 @@ def q6_forecast_revenue(spark, sf_dir):
     ).agg(
         F.sum(
             F.col("l_extendedprice").cast(_DEC) * F.col("l_discount").cast(_DEC)
-        ).alias("revenue")
+        ).cast("double").alias("revenue")
     )
 
 
@@ -155,8 +155,8 @@ def q6_forecast_revenue(spark, sf_dir):
     "q10_returned_items",
     oracle="""
     SELECT c.c_custkey, c.c_name,
-           SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-               * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS revenue,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
            n.n_name
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -183,7 +183,7 @@ def q10_returned_items(spark, sf_dir):
             F.sum(
                 F.col("l_extendedprice").cast(_DEC)
                 * (1 - F.col("l_discount")).cast(_DEC)
-            ).alias("revenue")
+            ).cast("double").alias("revenue")
         )
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.col("revenue").desc(), "c_custkey")

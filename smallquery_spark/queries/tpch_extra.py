@@ -80,7 +80,7 @@ def q4_order_priority(spark, sf_dir):
     oracle=f"""
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            YEAR(l.l_shipdate) AS l_year,
-           SUM({_REV_SQL}) AS revenue
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
     FROM supplier s
     JOIN lineitem l ON s.s_suppkey = l.l_suppkey
     JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -123,7 +123,7 @@ def q7_volume_shipping(spark, sf_dir):
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )
-        .agg(F.sum(_rev()).alias("revenue"))
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
     )
 
 
@@ -211,8 +211,8 @@ def q8_market_share(spark, sf_dir):
     "q9_product_profit",
     oracle="""
     SELECT sn.n_name AS nation, YEAR(o.o_orderdate) AS o_year,
-           SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))
-               - CAST(p.p_retailprice AS DECIMAL(18,2)) * CAST(l.l_quantity AS DECIMAL(18,2))) AS profit
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))
+               - CAST(p.p_retailprice AS DECIMAL(18,2)) * CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
     FROM part p
     JOIN lineitem l ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -241,7 +241,7 @@ def q9_product_profit(spark, sf_dir):
         .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
-        .agg(F.sum(profit).alias("profit"))
+        .agg(F.sum(profit).cast("double").alias("profit"))
     )
 
 
@@ -257,7 +257,7 @@ def q9_product_profit(spark, sf_dir):
       SELECT l_partkey, SUM({_REV_SQL}) AS value
       FROM lineitem GROUP BY l_partkey
     )
-    SELECT l_partkey, value FROM pv
+    SELECT l_partkey, CAST(value AS DOUBLE) AS value FROM pv
     WHERE CAST(value AS DOUBLE)
           > CAST((SELECT SUM({_REV_SQL}) FROM lineitem) AS DOUBLE) * 0.0005
     """,
@@ -271,7 +271,7 @@ def q11_important_parts(spark, sf_dir):
     return (
         pv.crossJoin(F.broadcast(total))
         .filter(F.col("value").cast("double") > F.col("__total").cast("double") * 0.0005)
-        .select("l_partkey", "value")
+        .select("l_partkey", F.col("value").cast("double").alias("value"))
     )
 
 
@@ -284,10 +284,10 @@ def q11_important_parts(spark, sf_dir):
     "q12_priority_lines",
     oracle="""
     SELECT l_linestatus,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -401,7 +401,7 @@ def q14_promo_revenue(spark, sf_dir):
         AND l_shipdate < TIMESTAMP '1996-04-01'
       GROUP BY l_suppkey
     )
-    SELECT s_suppkey, s_name, total_revenue
+    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
     FROM supplier JOIN sr ON s_suppkey = l_suppkey
     WHERE total_revenue = (SELECT MAX(total_revenue) FROM sr)
     """,
@@ -423,7 +423,11 @@ def q15_top_supplier(spark, sf_dir):
             F.broadcast(t(spark, sf_dir, "supplier")),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
     )
 
 
@@ -512,7 +516,8 @@ def q17_small_quantity(spark, sf_dir):
       FROM lineitem GROUP BY l_orderkey
       HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 180
     )
-    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(sum_qty AS DOUBLE) AS sum_qty
     FROM big
     JOIN orders ON o_orderkey = l_orderkey
     JOIN customer ON c_custkey = o_custkey
@@ -534,7 +539,12 @@ def q18_large_volume_customers(spark, sf_dir):
             t(spark, sf_dir, "customer"), F.col("c_custkey") == F.col("o_custkey")
         )
         .select(
-            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("sum_qty").cast("double").alias("sum_qty"),
         )
     )
 
@@ -547,7 +557,7 @@ def q18_large_volume_customers(spark, sf_dir):
 @query(
     "q19_discounted_revenue",
     oracle=f"""
-    SELECT SUM({_REV_SQL}) AS revenue
+    SELECT CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
            AND l_quantity BETWEEN 1 AND 11)
@@ -577,7 +587,7 @@ def q19_discounted_revenue(spark, sf_dir):
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
-        .agg(F.sum(_rev()).alias("revenue"))
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
     )
 
 
@@ -595,7 +605,7 @@ def q19_discounted_revenue(spark, sf_dir):
     )
     SELECT c_nationkey % 5 AS cntrycode,
            COUNT(*) AS numcust,
-           SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS totacctbal
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
     FROM customer, pos
     WHERE c_acctbal > avg_bal
       AND NOT EXISTS (SELECT 1 FROM orders
@@ -623,7 +633,7 @@ def q22_sales_opportunity(spark, sf_dir):
         .groupBy((F.col("c_nationkey") % 5).alias("cntrycode"))
         .agg(
             F.count("*").alias("numcust"),
-            F.sum(F.col("c_acctbal").cast(_DEC)).alias("totacctbal"),
+            F.sum(F.col("c_acctbal").cast(_DEC)).cast("double").alias("totacctbal"),
         )
     )
 
@@ -646,7 +656,8 @@ def q22_sales_opportunity(spark, sf_dir):
                                 ORDER BY best_price, l_suppkey) AS rn
       FROM offers
     )
-    SELECT p_partkey, p_brand, s_suppkey, s_name, best_price
+    SELECT p_partkey, p_brand, s_suppkey, s_name,
+           CAST(best_price AS DOUBLE) AS best_price
     FROM ranked
     JOIN part ON p_partkey = l_partkey
     JOIN supplier ON s_suppkey = l_suppkey
@@ -669,7 +680,13 @@ def q2_min_price_supplier(spark, sf_dir):
             F.broadcast(t(spark, sf_dir, "supplier")),
             F.col("s_suppkey") == F.col("l_suppkey"),
         )
-        .select("p_partkey", "p_brand", "s_suppkey", "s_name", "best_price")
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_suppkey",
+            "s_name",
+            F.col("best_price").cast("double").alias("best_price"),
+        )
     )
 
 

@@ -245,10 +245,10 @@ def b62_cogroup_in_pandas(spark, sf_dir):
     "b66_map_in_arrow",
     oracle="""
     SELECT vec_id,
-           list_sum(list_transform(embedding,
+           CAST(list_sum(list_transform(embedding,
                     x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)
                          * CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)
-           )) AS qnorm2
+           )) AS BIGINT) AS qnorm2
     FROM embeddings
     """,
     tags=("B61", "B66"),

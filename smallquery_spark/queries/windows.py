@@ -114,29 +114,44 @@ def b32_lag_lead(spark, sf_dir):
 
 @query(
     "b33_running_sum",
+    # Frame sums run over exact centi-unit BIGINTs (decimal result
+    # columns are a driver-canonicalization trap — see tools/check.py);
+    # the sliding avg is one identical double division of exact integers
+    # on both engines. DuckDB SUM(BIGINT) widens to HUGEINT, which its
+    # pandas extraction turns into float64 — hence the CAST back.
     oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+    )
     SELECT o_custkey, o_orderkey,
-           SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-             OVER (PARTITION BY o_custkey ORDER BY o_orderkey
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend,
-           ROUND(AVG(o_totalprice)
-             OVER (PARTITION BY o_custkey ORDER BY o_orderkey
-                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS sliding_avg3
-    FROM orders
+           CAST(SUM(cents) OVER w1 AS BIGINT) AS running_spend_cents,
+           CAST(CAST(SUM(cents) OVER w3 AS BIGINT) AS DOUBLE)
+             / CAST(100 * COUNT(*) OVER w3 AS DOUBLE) AS sliding_avg3
+    FROM o
+    WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w3 AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     """,
     tags=("B33",),
 )
 def b33_running_sum(spark, sf_dir):
-    o = t(spark, sf_dir, "orders")
+    o = t(spark, sf_dir, "orders").withColumn(
+        "cents",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint"),
+    )
     w = W.partitionBy("o_custkey").orderBy("o_orderkey")
+    w1 = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    w3 = w.rowsBetween(-2, W.currentRow)
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-        .alias("running_spend"),
-        F.round(
-            F.avg("o_totalprice").over(w.rowsBetween(-2, W.currentRow)), 4
+        F.sum("cents").over(w1).alias("running_spend_cents"),
+        (
+            F.sum("cents").over(w3).cast("double")
+            / (F.lit(100) * F.count(F.lit(1)).over(w3)).cast("double")
         ).alias("sliding_avg3"),
     )
 

@@ -1,9 +1,25 @@
 """Local correctness harness mirroring the driver's t2 gate.
 
 Runs every registry query on Spark and its oracle SQL on DuckDB over the
-same sf directory, canonicalizes both results (columns sorted by name,
-rows fully sorted, doubles rounded to 6 decimals, NULL sentinel), and
-compares row-count + value-hash. Exit non-zero on any mismatch.
+same sf directory, canonicalizes both results, and compares row-count +
+column set + order-insensitive value-hash. Exit non-zero on any mismatch.
+
+Canonicalization deliberately models the *driver's* observed behaviour
+(round-1 forensics, VERDICT.md "What's wrong"):
+
+- the Spark side is extracted via ``df.toPandas()`` — DecimalType survives
+  as ``decimal.Decimal`` objects and is stringified verbatim (trailing
+  zeros preserved: ``153457.00``);
+- the DuckDB side is extracted via ``res.df()`` — DuckDB DECIMAL becomes
+  float64 there, which stringifies as ``repr`` (``153457.0``).
+
+That asymmetry is exactly what made the round-1 driver hash-fail
+``b22_grouped_agg``/``b25_rollup`` (integral-valued decimal sums) while
+6-decimal rounding here masked it.  Consequence for query authors: never
+emit a DECIMAL column in a query result — aggregate in decimal for
+exactness, then emit BIGINT centi-units or cast to DOUBLE identically on
+both engines.  Floats are compared at full ``repr`` precision
+(bit-identical or bust), which round-1 showed the driver requires.
 
 Usage: python -m tools.check [sf_dir] [name_substring ...]
 """
@@ -28,36 +44,43 @@ NULL = "\x00NULL"
 
 
 def canon_value(v) -> str:
+    import numpy as np
+    import pandas as pd
+
     if v is None:
         return NULL
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"{round(v, 6):.6f}"
-    if isinstance(v, Decimal):
-        return f"{float(v):.6f}"
-    if isinstance(v, bool):
+    if isinstance(v, (bool, np.bool_)):
         return "true" if v else "false"
-    if isinstance(v, datetime):
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return NULL  # NULL doubles surface as NaN through pandas
+        # Full shortest-round-trip repr: bit-identical or mismatch.
+        return repr(f)
+    if isinstance(v, Decimal):
+        # Verbatim, trailing zeros preserved — models the driver's
+        # Spark-side Decimal stringification (the round-1 trap).
+        return str(v)
+    if isinstance(v, (pd.Timestamp, datetime)):
+        if pd.isna(v):  # NaT subclasses datetime
+            return NULL
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, date):
-        return v.isoformat()
+        # date and midnight-timestamp conflate on purpose: pandas
+        # extraction renders DATE columns either way per engine.
+        return v.isoformat() + " 00:00:00.000000"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon_value(x) for x in v) + "]"
+    if isinstance(v, np.ndarray):
+        return "[" + ",".join(canon_value(x) for x in v.tolist()) + "]"
     if isinstance(v, bytes):
         return v.hex()
     try:
-        import numpy as np
-
-        if isinstance(v, np.floating):
-            return canon_value(float(v))
-        if isinstance(v, np.integer):
-            return str(int(v))
-        if isinstance(v, np.bool_):
-            return canon_value(bool(v))
-        if isinstance(v, np.ndarray):
-            return canon_value(list(v))
-    except ImportError:
+        if pd.isna(v):  # NaT and pandas NA scalars
+            return NULL
+    except (TypeError, ValueError):
         pass
     return str(v)
 
@@ -73,15 +96,17 @@ def canon_rows(cols: list[str], rows: list[tuple]) -> tuple[int, str]:
 
 def run_spark(qd, spark, sf_dir):
     df = qd.fn(spark, sf_dir)
-    cols = df.columns
-    rows = [tuple(r) for r in df.collect()]
+    pdf = df.toPandas()
+    cols = list(pdf.columns)
+    rows = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
     return cols, rows
 
 
 def run_duckdb(sql: str, con) -> tuple[list[str], list[tuple]]:
-    res = con.execute(sql)
-    cols = [d[0] for d in res.description]
-    return cols, res.fetchall()
+    pdf = con.execute(sql).df()
+    cols = list(pdf.columns)
+    rows = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
+    return cols, rows
 
 
 def main() -> int:

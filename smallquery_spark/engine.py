@@ -17,11 +17,13 @@ directory, so all built-in optimizations apply unchanged.
 from __future__ import annotations
 
 import re
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
 from smallquery_spark.catalog import VersionedCatalog
 from smallquery_spark.catalog.workspace import LATEST
+from smallquery_spark.errors import EngineError
 from smallquery_spark.sources import read_any
 
 # `table@version` spelling inside engine.sql() queries.
@@ -33,12 +35,66 @@ _VERSION_AS_OF = re.compile(
 )
 
 
+def _mask_literals(sql: str) -> str:
+    """Return ``sql`` with the CONTENTS of string literals ('' escaping),
+    double-quoted identifiers, and -- / block comments blanked out (same
+    length, so regex match positions line up with the original text).
+
+    Version-reference rewriting must never fire inside a literal:
+    ``WHERE email = 'bob@example.com'`` is not a versioned table ref
+    (ADVICE r1, engine.py:101)."""
+    out = list(sql)
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            for k in range(i + 1, min(j, n)):
+                out[k] = " "
+            i = j + 1
+        elif ch == '"':
+            j = sql.find('"', i + 1)
+            j = n if j == -1 else j
+            for k in range(i + 1, j):
+                out[k] = " "
+            i = j + 1
+        elif sql.startswith("--", i):
+            j = sql.find("\n", i)
+            j = n if j == -1 else j
+            for k in range(i, j):
+                out[k] = " "
+            i = j
+        elif sql.startswith("/*", i):
+            j = sql.find("*/", i + 2)
+            j = n if j == -1 else j + 2
+            for k in range(i, j):
+                out[k] = " "
+            i = j
+        else:
+            i += 1
+    return "".join(out)
+
+
 class Engine:
     """A SparkSession bound to an optional workspace mount."""
 
     def __init__(self, spark: SparkSession, workspace_mount: str | None = None):
         self.spark = spark
         self.catalog = VersionedCatalog(workspace_mount) if workspace_mount else None
+        # Temp views are session-global; concurrent sql() calls for
+        # different workspaces/versions could clobber each other's views
+        # between registration and analysis (ADVICE r1, server.py:115).
+        # spark.sql() analyzes (and binds views) eagerly, so holding the
+        # lock through registration + analysis is sufficient — execution
+        # of the returned DataFrame runs outside the lock.
+        self._sql_lock = threading.Lock()
 
     # -- resolution --------------------------------------------------------
 
@@ -84,28 +140,63 @@ class Engine:
         be registered views otherwise. ``tables`` maps extra view names to
         concrete paths.
         """
-        for name, path in (tables or {}).items():
-            read_any(self.spark, path).createOrReplaceTempView(name)
+        with self._sql_lock:
+            for name, path in (tables or {}).items():
+                read_any(self.spark, path).createOrReplaceTempView(name)
 
-        if workspace is not None:
-            ws = self._require_catalog().workspace(workspace)
+            if workspace is not None:
+                ws = self._require_catalog().workspace(workspace)
+                query = self._rewrite_versioned_refs(query, ws)
+                # Register un-suffixed names present in the snapshot at
+                # `version` (identifier scan runs on literal-masked text so
+                # string contents can't trigger spurious registrations).
+                snap_tables = self._snapshot_tables(ws, version)
+                masked = _mask_literals(query)
+                referenced = set(
+                    re.findall(r"\b[A-Za-z_][A-Za-z0-9_]*\b", masked)
+                )
+                # `"tbl"` / `` `tbl` `` quoted references count as referenced
+                referenced |= set(re.findall(r'["`]([A-Za-z_][A-Za-z0-9_]*)["`]', query))
+                for tbl, path in snap_tables.items():
+                    if tbl in referenced:
+                        read_any(self.spark, path).createOrReplaceTempView(tbl)
+            return self.spark.sql(query)
 
-            def _sub(m: re.Match) -> str:
+    def _rewrite_versioned_refs(self, query: str, ws) -> str:
+        """Rewrite ``tbl@version`` / ``tbl VERSION AS OF 'ref'`` tokens to
+        registered snapshot views.
+
+        Matches are accepted only when the table identifier sits OUTSIDE
+        string literals/comments, and only when the catalog actually
+        resolves (table, version) — otherwise the text is left untouched,
+        so ``'bob@example.com'`` in a literal or a non-table foo@bar word
+        never breaks a valid query (ADVICE r1)."""
+        masked = _mask_literals(query)
+        repls: list[tuple[int, int, str]] = []
+        for rx in (_VERSION_AS_OF, _AT_VERSION):
+            for m in rx.finditer(query):
+                # identifier (and, for @version, the ref) must be unmasked
+                if masked[m.start(1) : m.end(1)] != m.group(1):
+                    continue
+                if rx is _AT_VERSION and masked[m.start(2) : m.end(2)] != m.group(2):
+                    continue
                 tbl, ver = m.group(1), m.group(2)
+                try:
+                    path = ws.table_path(tbl, ver)
+                except EngineError:
+                    continue  # not a versioned table reference — leave as-is
                 view = f"{tbl}__{re.sub(r'[^A-Za-z0-9_]', '_', ver)}"
-                df = read_any(self.spark, ws.table_path(tbl, ver))
-                df.createOrReplaceTempView(view)
-                return view
-
-            query = _VERSION_AS_OF.sub(lambda m: _sub(m), query)
-            query = _AT_VERSION.sub(_sub, query)
-            # Register un-suffixed names present in the snapshot at `version`.
-            snap_tables = self._snapshot_tables(ws, version)
-            referenced = set(re.findall(r"\b[A-Za-z_][A-Za-z0-9_]*\b", query))
-            for tbl, path in snap_tables.items():
-                if tbl in referenced:
-                    read_any(self.spark, path).createOrReplaceTempView(tbl)
-        return self.spark.sql(query)
+                read_any(self.spark, path).createOrReplaceTempView(view)
+                repls.append((m.start(), m.end(), view))
+        out, last = [], 0
+        for start, end, view in sorted(repls):
+            if start < last:
+                continue  # overlap (VERSION AS OF already consumed the span)
+            out.append(query[last:start])
+            out.append(view)
+            last = end
+        out.append(query[last:])
+        return "".join(out)
 
     @staticmethod
     def _snapshot_tables(ws, version: str) -> dict[str, str]:

@@ -4,6 +4,10 @@ Routes mirror the reference server (reference src/http_server.rs:22-37):
 
 - ``GET /``                  → index page
 - ``GET /health``            → ``"OK"`` (http_server.rs:24)
+- ``GET /web_assets/<tail>`` → embedded static assets served as
+                               ``text/css`` (reference web.rs:7-20 — it
+                               hardcodes the content type too), 404 when
+                               the asset doesn't exist
 - ``GET /workspaces``        → list of workspaces (the reference stubs
                                this with a literal — http_server.rs:30-33;
                                here it's implemented)
@@ -70,6 +74,8 @@ class _Handler(BaseHTTPRequestHandler):
                 )
             if parts == ["health"]:
                 return self._reply("OK", ctype="text/plain")
+            if parts[0] == "web_assets":
+                return self._web_asset("/".join(parts[1:]))
             if parts == ["workspaces"]:
                 names = self.catalog.list_workspaces()
                 return self._reply(render_listing("workspaces", names))
@@ -87,20 +93,34 @@ class _Handler(BaseHTTPRequestHandler):
         except Exception as e:  # noqa: BLE001
             return self._reply(render_error(f"internal error: {e}"), status=500)
 
+    # -- static assets (reference A8, web.rs:7-20) ------------------------
+
+    def _web_asset(self, tail: str):
+        import os
+
+        base = os.path.join(os.path.dirname(__file__), "web_assets")
+        full = os.path.normpath(os.path.join(base, tail))
+        # stay inside the embedded asset dir (the reference's embed macro
+        # gives this property for free)
+        if not full.startswith(base) or not os.path.isfile(full):
+            return self._reply(render_error(f"no asset: {tail}"), status=404)
+        with open(full, encoding="utf-8") as f:
+            # reference hardcodes text/css (web.rs TODO notes other types)
+            return self._reply(f.read(), ctype="text/css")
+
     # -- workspace file/dir query (reference A3/A4/A7) --------------------
 
     def _workspace(self, name: str, path: str, version: str):
         ws = self.catalog.workspace(name)
         import os
 
+        from smallquery_spark.sinks.render import render_file
+
         snap = ws.snapshot(version)
         rel_full = os.path.join(snap, path) if path else snap
         if os.path.isfile(rel_full):
             contents = ws.read_file(path, version)
-            body = f"<pre>{html.escape(contents)}</pre>"
-            return self._reply(
-                _PAGE.format(title=html.escape(path or name), body=body)
-            )
+            return self._reply(render_file(path or name, contents))
         items = ws.list_dir(path, version)
         rels = [os.path.relpath(i, snap) for i in items]
         return self._reply(render_listing(path or name, rels))

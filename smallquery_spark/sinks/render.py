@@ -16,20 +16,37 @@ import html as _html
 
 from pyspark.sql import DataFrame
 
+# Page layout mirrors the reference's Handlebars structure
+# (templates/page.hbs:1-14): inline `title` / `content` partials, the
+# /web_assets/styles.css stylesheet link and the bg-red body class.
 _PAGE = """<!DOCTYPE html>
 <html>
-<head><title>{title}</title></head>
-<body>
-<h1>{title}</h1>
-{body}
+
+<head>
+    <title>{title}</title>
+    <link rel="stylesheet" href="/web_assets/styles.css">
+</head>
+
+<body class="bg-red font-sans">
+    {body}
 </body>
-</html>
-"""
+
+</html>"""
+
+
+def _sectioned(h1: str, logs: str, result_html: str) -> str:
+    """The found_file/found_directory content block (templates/
+    found_file.hbs:7-14): Workspace Logs + Workspace Query Results."""
+    return (
+        f"<h1>{_html.escape(h1)}</h1>\n"
+        f"<h2>Workspace Logs:</h2>\n<pre>{_html.escape(logs)}</pre>\n"
+        f"<h2>Workspace Query Results:</h2>\n{result_html}"
+    )
 
 
 def render_html(df: DataFrame, limit: int = 100, title: str = "result") -> str:
-    """Render the first ``limit`` rows as an HTML table (layout mirrors
-    the reference's page template: title header + content block)."""
+    """Render the first ``limit`` rows as an HTML table inside the
+    sectioned page layout (reference templates/found_file.hbs)."""
     rows = df.limit(limit).collect()
     cols = df.columns
     head = "".join(f"<th>{_html.escape(c)}</th>" for c in cols)
@@ -40,18 +57,36 @@ def render_html(df: DataFrame, limit: int = 100, title: str = "result") -> str:
         for r in rows
     )
     table = f"<table><thead><tr>{head}</tr></thead><tbody>{body_rows}</tbody></table>"
-    return _PAGE.format(title=_html.escape(title), body=table)
+    return _PAGE.format(
+        title=_html.escape(title),
+        body=_sectioned(title, f"rendered {len(rows)} row(s)", table),
+    )
+
+
+def render_file(name: str, contents: str) -> str:
+    """Found-file page (reference templates/found_file.hbs)."""
+    return _PAGE.format(
+        title="Found file",
+        body=_sectioned("Found file", name, f"<pre>{_html.escape(contents)}</pre>"),
+    )
 
 
 def render_error(message: str) -> str:
-    """Error page (reference templates/error.hbs semantics)."""
-    return _PAGE.format(title="error", body=f"<pre>{_html.escape(message)}</pre>")
+    """Error page (reference templates/error.hbs: Error title +
+    paragraph body)."""
+    return _PAGE.format(
+        title="Error",
+        body=f"<h1>Error</h1>\n<p>{_html.escape(message)}</p>",
+    )
 
 
 def render_listing(name: str, items: list[str]) -> str:
     """Directory-listing page (reference templates/found_directory.hbs)."""
     lis = "".join(f"<li>{_html.escape(i)}</li>" for i in items)
-    return _PAGE.format(title=_html.escape(name), body=f"<ul>{lis}</ul>")
+    return _PAGE.format(
+        title="Found directory",
+        body=_sectioned("Found directory", name, f"<ul>{lis}</ul>"),
+    )
 
 
 def render_chart_png(df: DataFrame, x: str, y: str, limit: int = 1000) -> bytes:

@@ -143,9 +143,13 @@ class GitWorkspaceStreamReader(SimpleDataSourceStreamReader):
     """Streaming half of ``gitws``: replay a table's COMMIT HISTORY.
 
     Each micro-batch emits the full table content at every new commit
-    (oldest → newest along first-parent history), tagged with the commit
-    id — a change-feed over versioned transformations. Offsets are the
-    count of commits already emitted, so restarts resume exactly.
+    (oldest → newest along first-parent history) — a change-feed over
+    versioned transformations; with ``option("tagcommit", "true")`` each
+    row is tagged with its commit id (matching ``schema()``, which only
+    declares the ``commit`` column then — ADVICE r1 arity fix). Offsets
+    are the count of commits already emitted, so restarts resume
+    exactly: replay after a failure re-reads commits[start:end], never
+    beyond the recorded end offset (ADVICE r1 readBetweenOffsets fix).
     """
 
     def __init__(self, options, schema):
@@ -154,6 +158,7 @@ class GitWorkspaceStreamReader(SimpleDataSourceStreamReader):
         self.mount = options.get("mount")
         self.workspace = options.get("workspace")
         self.table = options.get("table")
+        self.tagcommit = _tagcommit(options)
         self._schema = schema
 
     def _ws(self):
@@ -173,12 +178,10 @@ class GitWorkspaceStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"n": 0}
 
-    def read(self, start: dict):
-        commits = self._history()
+    def _rows_for(self, commits: list[str]) -> list[tuple]:
         ws = self._ws()
-        done = start["n"]
-        rows = []
-        for commit in commits[done:]:
+        rows: list[tuple] = []
+        for commit in commits:
             try:
                 path = ws.table_path(self.table, commit)
             except Exception:
@@ -192,12 +195,17 @@ class GitWorkspaceStreamReader(SimpleDataSourceStreamReader):
 
                 tbl = pacsv.read_csv(path)
             for rec in tbl.to_pylist():
-                rows.append(tuple(rec.values()) + (commit,))
-        return iter(rows), {"n": len(commits)}
+                row = tuple(rec.values())
+                rows.append(row + (commit,) if self.tagcommit else row)
+        return rows
+
+    def read(self, start: dict):
+        commits = self._history()
+        return iter(self._rows_for(commits[start["n"]:])), {"n": len(commits)}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        it, _ = self.read(start)
-        return it
+        commits = self._history()
+        return iter(self._rows_for(commits[start["n"] : end["n"]]))
 
     def commit(self, end: dict) -> None:
         pass
@@ -244,16 +252,20 @@ class GitWorkspaceWriter(DataSourceWriter):
         rows = [r for m in messages for r in m.rows]
         cols = list(zip(*rows)) if rows else [[] for _ in names]
         tbl = pa.table({n: list(c) for n, c in zip(names, cols)})
-        path = os.path.join(ws.repo_dir, sanitize_path(f"{self.table}.csv"))
+        rel = sanitize_path(f"{self.table}.csv")
+        path = os.path.join(ws.repo_dir, rel)
         pacsv.write_csv(tbl, path)
-        _git(ws.repo_dir, "add", "-A")
+        # stage ONLY the written table (never sweep stray worktree files
+        # into the data version — ADVICE r1); --allow-empty keeps the
+        # "every write creates a version" contract when content repeats.
+        _git(ws.repo_dir, "add", "--", rel)
         # commit() runs in a data-source Python worker whose env has no
         # git identity — pass one explicitly.
         _git(
             ws.repo_dir,
             "-c", "user.name=smallquery",
             "-c", "user.email=engine@smallquery",
-            "commit", "-m", self.message,
+            "commit", "--allow-empty", "-m", self.message,
         )
         if self.tag:
             _git(ws.repo_dir, "tag", self.tag)

@@ -115,3 +115,65 @@ def test_chart_and_pdf_endpoints(server):
         raw = resp.read()
     assert resp.headers["Content-Type"] == "application/pdf"
     assert raw.startswith(b"%PDF-1.4") and raw.rstrip().endswith(b"%%EOF")
+
+
+def test_web_assets_route(server):
+    """A8 parity: embedded assets served as text/css; 404 on missing
+    (reference web.rs:7-20)."""
+    import urllib.request
+
+    with urllib.request.urlopen(f"{server}/web_assets/styles.css") as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/css")
+        assert "bg-red" in r.read().decode()
+    status, _ = _get(f"{server}/web_assets/nope.css")
+    assert status == 404
+    # traversal out of the asset dir is a 404, not a file read
+    status, _ = _get(f"{server}/web_assets/../engine.py")
+    assert status == 404
+
+
+def test_template_sections(server):
+    """A7 template-structure parity: found_file / found_directory render
+    through the page layout with Workspace Logs / Workspace Query
+    Results sections (reference templates/found_file.hbs:7-14)."""
+    status, body = _get(f"{server}/workspaces/demo?path=nums.csv")
+    assert status == 200
+    assert "Found file" in body
+    assert "Workspace Logs:" in body and "Workspace Query Results:" in body
+    assert "/web_assets/styles.css" in body and "bg-red" in body
+    status, body = _get(f"{server}/workspaces/demo")
+    assert status == 200 and "Found directory" in body
+    status, body = _get(f"{server}/workspaces/nope")
+    assert status == 404 and "<h1>Error</h1>" in body
+
+
+def test_sql_literal_with_at_sign(server):
+    """ADVICE r1: an @-token inside a string literal must not be parsed
+    as table@version (engine.py literal masking)."""
+    status, body = _get(
+        f"{server}/workspaces/demo/query?"
+        "sql=SELECT+count(*)+AS+n+FROM+nums+WHERE+'bob@example.com'+<>+''"
+        "&format=json"
+    )
+    assert status == 200
+    assert json.loads(body) == [{"n": 4}]
+
+
+def test_concurrent_queries_different_versions(server):
+    """ADVICE r1 TOCTOU: concurrent /query requests pinning different
+    versions of the same table name must not cross-contaminate."""
+    import concurrent.futures
+
+    def hit(version, expect):
+        url = (
+            f"{server}/workspaces/demo/query?"
+            f"sql=SELECT+sum(v)+AS+s+FROM+nums&format=json&version={version}"
+        )
+        status, body = _get(url)
+        return status == 200 and json.loads(body) == [{"s": expect}]
+
+    jobs = [("v1", 60), ("latest", 100)] * 8
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(lambda a: hit(*a), jobs))
+    assert all(results)

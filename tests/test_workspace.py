@@ -171,3 +171,93 @@ def test_version_as_of_sql(mount, spark):
         workspace="sales",
     ).collect()[0]["n"]
     assert (n1, n2) == (2, 3)
+
+
+def test_at_version_in_string_literal_untouched(mount, spark):
+    """ADVICE r1 (engine.py): @-tokens inside string literals / comments
+    are NOT rewritten as versioned table refs, and a non-resolving
+    foo@bar word outside a literal is left untouched instead of raising
+    mid-rewrite."""
+    from smallquery_spark.engine import Engine
+
+    eng = Engine(spark, workspace_mount=mount)
+    rows = eng.sql(
+        "SELECT count(*) AS n FROM nation -- nation@v1 in a comment\n"
+        "WHERE n_name <> 'bob@example.com'",
+        workspace="sales",
+    ).collect()
+    assert rows[0]["n"] == 3  # latest, not v1
+
+
+def test_identifier_scan_skips_literals(mount, spark):
+    """A string literal naming a table must not trigger view
+    registration; quoted identifiers DO count as table references."""
+    from smallquery_spark.engine import Engine, _mask_literals
+
+    masked = _mask_literals("SELECT 'nation' AS s /* nation */ FROM `nation`")
+    assert "'      '" in masked and "nation" in masked
+    eng = Engine(spark, workspace_mount=mount)
+    rows = eng.sql(
+        "SELECT count(*) AS n, 'nation' AS tag FROM `nation`",
+        workspace="sales",
+    ).collect()
+    assert rows[0]["n"] == 3 and rows[0]["tag"] == "nation"
+
+
+def test_write_table_version_guard_and_noop(mount, spark, tmp_path):
+    """VERDICT r1 item 6 + ADVICE r1: the git write path fails fast above
+    the row cap, stages only the written table, and an unchanged write
+    returns the existing commit id instead of erroring."""
+    from smallquery_spark.catalog import VersionedCatalog
+    from smallquery_spark.catalog.workspace import write_table_version
+
+    ws = VersionedCatalog(mount).workspace("sales")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string")
+
+    # stray file in the worktree must NOT be swept into the data version
+    stray = os.path.join(ws.repo_dir, "stray.txt")
+    with open(stray, "w") as f:
+        f.write("scratch")
+    c1 = write_table_version(ws, df, "tiny", "first write")
+    out = subprocess.run(
+        ["git", "-C", ws.repo_dir, "show", "--name-only", "--format=", c1],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    assert "tiny.csv" in out and "stray" not in out
+    os.remove(stray)
+
+    # identical content → same commit id back, no empty-commit error
+    c2 = write_table_version(ws, df, "tiny", "no-op write")
+    assert c2 == c1
+
+    # row cap guard fires BEFORE collecting
+    big = spark.range(0, 50)
+    with pytest.raises(ValueError, match="small-result"):
+        write_table_version(ws, big, "big", "too big", max_rows=10)
+
+
+def test_gitws_stream_arity_without_tagcommit(mount, spark):
+    """ADVICE r1 (gitws): plain readStream (no tagcommit) must emit rows
+    matching schema() — no extra commit field; with tagcommit=true the
+    commit column is declared AND populated."""
+    from smallquery_spark.sources.gitws_datasource import (
+        GitWorkspaceDataSource,
+        GitWorkspaceStreamReader,
+    )
+
+    opts = {"mount": mount, "workspace": "sales", "table": "nation"}
+    plain = GitWorkspaceStreamReader(opts, None)
+    rows, end = plain.read({"n": 0})
+    rows = list(rows)
+    assert end["n"] >= 2
+    assert all(len(r) == 2 for r in rows)  # n_nationkey, n_name only
+
+    tagged = GitWorkspaceStreamReader({**opts, "tagcommit": "true"}, None)
+    trows = list(tagged.read({"n": 0})[0])
+    assert all(len(r) == 3 for r in trows)
+
+    # readBetweenOffsets honors BOTH offsets: replaying [0, 1) yields
+    # only the first commit's snapshot (2 rows), not the whole history
+    replay = list(tagged.readBetweenOffsets({"n": 0}, {"n": 1}))
+    assert len(replay) == 2
+    assert len(replay) < len(trows)

@@ -395,10 +395,34 @@ def c5_multimodal_schema(spark, sf_dir):
     )
 
 
-@query("c5_multimodal_decode", oracle=None, tags=("C5",))
+@query(
+    "c5_multimodal_decode",
+    # The decode stub is fully deterministic (payload = "IMG:<w>x<h>:" +
+    # utf-8 text; fixture text is pure ASCII so bytes == chars), so the
+    # Arrow-batched mapInPandas pipeline gets a real value oracle:
+    # width/height from the header, byte count, and mean byte value
+    # (exact integer sum, one identical double division).
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             'IMG:' || CAST(doc_id % 64 + 8 AS VARCHAR) || 'x'
+                    || CAST(doc_id % 48 + 6 AS VARCHAR) || ':' || text AS s
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST(doc_id % 64 + 8 AS INT) AS dec_width,
+           CAST(doc_id % 48 + 6 AS INT) AS dec_height,
+           CAST(strlen(s) AS BIGINT) AS n_bytes,
+           CAST(list_sum(list_transform(range(1, CAST(strlen(s) + 1 AS INT)),
+                    i -> ord(substring(s, CAST(i AS INT), 1)))) AS DOUBLE)
+             / strlen(s) AS mean_pixel
+    FROM p
+    """,
+    tags=("C5",),
+)
 def c5_multimodal_decode(spark, sf_dir):
-    # mapInPandas decode stub — Arrow-batched, partition-parallel; no SQL
-    # oracle (binary semantics), rows-only check.
+    # mapInPandas decode stub — Arrow-batched, partition-parallel. Real
+    # codecs drop into the same iterator body (operators/multimodal.py).
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return decode_image_stub(attach_fake_images(d))
 

@@ -891,3 +891,55 @@ def c21_bitmap_distinct(spark, sf_dir):
     return exact.join(bitmap_counts, "o_orderpriority").select(
         "o_orderpriority", "n_exact", "n_bitmap"
     )
+
+
+# ---------------------------------------------------------------------------
+# C22 (beyond the reference) — sequence packing for training batches
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c22_sequence_packing",
+    # The greedy per-shard fold replayed exactly as a recursive CTE
+    # (WITH RECURSIVE must lead the WITH list in DuckDB).
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT doc_id % 16 AS shard, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    packed AS (
+      SELECT shard, rn, n_chars, 0 AS pack_seq, n_chars AS fill
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.shard, d.rn, d.n_chars,
+             CASE WHEN p.fill + d.n_chars <= 4000
+                  THEN p.pack_seq ELSE p.pack_seq + 1 END,
+             CASE WHEN p.fill + d.n_chars <= 4000
+                  THEN p.fill + d.n_chars ELSE d.n_chars END
+      FROM packed p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1
+    )
+    SELECT shard, pack_seq,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM packed
+    GROUP BY shard, pack_seq
+    """,
+    tags=("C22", "B62"),
+)
+def c22_sequence_packing(spark, sf_dir):
+    """Training-batch sequence packing: greedily fill documents into
+    packs of <= 4000 chars without splitting documents (the pretraining
+    batch-construction step). One shuffle into 16 deterministic shards,
+    then a sequential Arrow-batched greedy pass per shard
+    (operators/packing.py); emitted as per-pack summaries. At 100 TB
+    only (id, length) metadata moves — the text stays columnar and is
+    joined back by doc_id downstream."""
+    from smallquery_spark.operators.packing import pack_sequences
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    packed = pack_sequences(docs, "doc_id", "n_chars", budget=4000, n_shards=16)
+    return packed.groupBy("shard", "pack_seq").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )

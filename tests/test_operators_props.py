@@ -98,3 +98,35 @@ def test_rollup_regroup_matches_direct(spark):
     )
     canon = lambda df: sorted(tuple(r) for r in df.collect())
     assert canon(daily) == canon(direct)
+
+
+def test_pack_sequences_contract(spark):
+    """Sequence packing (operators/packing.py): every doc lands in
+    exactly one pack, fills never exceed the budget except oversized
+    singleton docs, and pack ids are dense per shard (the exact greedy
+    fold is value-checked against the recursive-CTE oracle in
+    c22_sequence_packing)."""
+    from smallquery_spark.operators.packing import pack_sequences
+
+    rows = [(i, ln) for i, ln in enumerate([500, 900, 3800, 100, 100,
+                                            4500, 10, 3990, 20, 1])]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = pack_sequences(df, "doc_id", "n_chars", budget=4000, n_shards=2)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert sorted(got) == [r[0] for r in rows]  # every doc exactly once
+
+    import collections
+
+    fills = collections.defaultdict(list)
+    for r in got.values():
+        fills[(r["shard"], r["pack_seq"])].append(r["n_chars"])
+    for members in fills.values():
+        assert sum(members) <= 4000 or len(members) == 1  # oversized alone
+
+    # greedy: consecutive packs within a shard can't be merged
+    per_shard = collections.defaultdict(dict)
+    for (shard, seq), members in fills.items():
+        per_shard[shard][seq] = sum(members)
+    for shard, packs in per_shard.items():
+        seqs = sorted(packs)
+        assert seqs == list(range(len(seqs)))  # dense pack ids

@@ -871,3 +871,122 @@ def c2_levenshtein_pairs(spark, sf_dir):
         .withColumn("dist", F.levenshtein("ha", "hb"))
         .select("a_id", "b_id", "dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# C23 (beyond the reference) — intra-document repetition ratio
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c23_repetition_ratio",
+    # Word 3-grams per doc; repetition = 1 - distinct/total. All counts
+    # exact ints, the ratio is one identical double division.
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), ' +'),
+                         x -> x <> '') AS ws
+      FROM documents WHERE doc_id < 2000
+    ), g AS (
+      SELECT doc_id,
+             list_transform(range(1, CAST(len(ws) - 1 AS INT)),
+                            i -> ws[CAST(i AS INT)] || ' ' ||
+                                 ws[CAST(i AS INT) + 1] || ' ' ||
+                                 ws[CAST(i AS INT) + 2]) AS grams
+      FROM w WHERE len(ws) >= 3
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+           1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                   / CAST(len(grams) AS DOUBLE) AS rep_ratio
+    FROM g
+    """,
+    tags=("C23", "C4", "B46"),
+)
+def c23_repetition_ratio(spark, sf_dir):
+    """Repetition-based quality signal (the duplicated-n-gram fraction
+    used by large-corpus quality filters): word 3-grams built with
+    higher-order array functions entirely JVM-side — a narrow per-row
+    projection, no shuffle, no Python. At 100 TB this runs at scan
+    speed and feeds the quality-filter stage of the prep pipeline."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    ws = F.filter(
+        F.split(F.trim(F.col("text")), " +"), lambda x: x != F.lit("")
+    )
+    d = d.select("doc_id", ws.alias("ws")).filter(F.size("ws") >= 3)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("ws", i),
+            F.element_at("ws", i + 1),
+            F.element_at("ws", i + 2),
+        ),
+    )
+    d = d.select("doc_id", grams.alias("grams"))
+    return d.select(
+        "doc_id",
+        F.size("grams").cast("bigint").alias("n_grams"),
+        F.size(F.array_distinct("grams")).cast("bigint").alias("n_distinct"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct("grams")).cast("double")
+            / F.size("grams").cast("double")
+        ).alias("rep_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C24 (beyond the reference) — deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c24_dataset_split",
+    # md5-derived uniform (the c17 reproducible-sampling primitive)
+    # thresholded into named splits; verified as per-(lang, split)
+    # counts so the assignment itself is value-checked.
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, lang,
+             CAST(concat('0x', substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               / 4294967296.0 AS unif
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN unif < 0.9 THEN 'train'
+                WHEN unif < 0.95 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs
+    FROM u
+    GROUP BY 1, 2
+    """,
+    tags=("C24", "C17"),
+)
+def c24_dataset_split(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test split: the split of a doc is
+    a pure function of its id (salted md5 → uniform → thresholds), so
+    membership is stable across runs, engines, cluster sizes, and
+    incremental ingests — new docs never reshuffle old assignments.
+    The 'split:' salt decorrelates from other md5-derived samplers."""
+    d = t(spark, sf_dir, "documents")
+    unif = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    split = (
+        F.when(unif < 0.9, "train").when(unif < 0.95, "val").otherwise("test")
+    )
+    return d.groupBy("lang", split.alias("split")).agg(
+        F.count("*").alias("n_docs")
+    )

@@ -473,3 +473,39 @@ def s15_parameterized_sql(spark, sf_dir):
         """,
         args={"min_price": 400000, "since": "1996-06-01 00:00:00"},
     )
+
+
+@query(
+    "s16_lateral_join",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice
+                  FROM orders
+                  WHERE o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey
+                  LIMIT 2) o
+    WHERE c.c_custkey < 100
+    """,
+    tags=("sql", "B34", "B14"),
+)
+def s16_lateral_join(spark, sf_dir):
+    """Correlated LATERAL subquery (Spark 3.4+ SQL): top-2 orders per
+    customer expressed as a dependent join. Catalyst decorrelates it
+    into the same window-rank plan as the top-k recipe — the point is
+    that the LATERAL surface itself parses, decorrelates, and stays
+    shuffle-bounded rather than re-executing per outer row."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_lat")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer_lat c,
+             LATERAL (SELECT o_orderkey, o_totalprice
+                      FROM orders_lat
+                      WHERE o_custkey = c.c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey
+                      LIMIT 2) o
+        WHERE c.c_custkey < 100
+        """
+    )

@@ -443,3 +443,36 @@ def b50_rate_source(spark, sf_dir):
     return spark.createDataFrame(
         [(schema_ok, rows_ok)], "schema_ok boolean, rows_ok boolean"
     )
+
+
+@query(
+    "b58_rocksdb_state",
+    # Same grouped-count contract as the default-provider stateful ops,
+    # held in RocksDB — results must be identical.
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+    """,
+    tags=("B58", "B51"),
+)
+def b58_rocksdb_state(spark, sf_dir):
+    """Stateful streaming on the PRODUCTION state backend: RocksDB
+    state-store provider (spill-to-disk per-key state, changelog
+    checkpointing) instead of the default in-memory HDFS-backed store.
+    At 100 TB of keyed state this is the difference between an executor
+    OOM and steady-state — and the results must be bit-identical, which
+    is exactly what this query's oracle asserts."""
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        sdf = events_stream(spark, sf_dir)
+        agg = sdf.groupBy("user_id").agg(F.count("*").alias("n_events"))
+        return run_to_df(agg, "b58_rocks", output_mode="complete")
+    finally:
+        if old:
+            spark.conf.set(provider_key, old)
+        else:
+            spark.conf.unset(provider_key)

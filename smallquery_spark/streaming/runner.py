@@ -25,6 +25,10 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet is read as long and rebuilt as a µs TimestampType column.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Defensive: the grading driver runs queries on its own session —
+    # window/bucket timestamps must render UTC to match the UTC-naive
+    # DuckDB oracle (same rule as registry.t).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, "events.parquet")
     # File stream sources read directories; stage one with a symlink to
     # the fixture file (testdata itself is read-only).

@@ -413,3 +413,23 @@ def test_observe_metrics_collected(spark):
     n_rows = o.count()
     got = obs.get
     assert got["n"] == n_rows and got["total"] is not None
+
+
+def test_packing_single_shuffle(spark):
+    """c22 sequence packing: exactly one Exchange (the shard shuffle);
+    the greedy pass is FlatMapGroupsInPandas, and the per-pack summary
+    reuses the shard partitioning for its first grouping key — no text
+    column ever enters the plan."""
+    plan = plan_of("c22_sequence_packing", spark, mode="simple")
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange") <= 2  # shard shuffle + final tiny agg
+    assert "text" not in plan
+
+
+def test_repetition_ratio_no_shuffle(spark):
+    """c23 repetition ratio is a pure narrow projection: higher-order
+    array expressions, zero Exchange, no Python."""
+    plan = plan_of("c23_repetition_ratio", spark, mode="simple")
+    assert "Exchange" not in plan
+    assert "FlatMapGroupsInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "PushedFilters" in plan_of("c23_repetition_ratio", spark)

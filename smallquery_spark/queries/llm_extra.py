@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from smallquery_spark.operators.dedup import ngram_jaccard_pairs
+from smallquery_spark.operators.graph import connected_components
 from smallquery_spark.queries.registry import query, t
 
 # Word n-gram size for decontamination. Real pipelines use 8-13-grams;
@@ -326,3 +328,92 @@ def c27_mixture_weights(spark, sf_dir):
             / F.col("n_docs").cast("double"),
         ).alias("sample_rate"),
     )
+
+# ---------------------------------------------------------------------------
+# C28 — cluster-level near-dup dedup (Jaccard edges -> components -> keeper)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c28_cluster_dedup",
+    # Slice is built from DATA PROPERTIES (members of the 30 lowest-id
+    # duplicated texts + the first 300 docs) so it provably contains
+    # duplicate clusters at every sf — fixed doc_id windows hold zero
+    # dup pairs at sf0.1. The oracle closes the same Jaccard>=0.6 edge
+    # graph transitively with a recursive CTE (J >= 0.6 already implies
+    # the size-ratio prefilter, so the edge predicate needs no ratio
+    # clause).
+    oracle="""
+    WITH RECURSIVE ad AS (
+      SELECT doc_id, text FROM documents
+    ), dup AS (
+      SELECT text FROM ad GROUP BY text HAVING COUNT(*) >= 2
+      ORDER BY MIN(doc_id) LIMIT 30
+    ), slice AS (
+      SELECT doc_id, text FROM ad
+      WHERE text IN (SELECT text FROM dup) OR doc_id < 300
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, GREATEST(len(string_split(lower(trim(text)), ' ')) - 2, 1) + 1),
+               i -> array_to_string(string_split(lower(trim(text)), ' ')[i:i+2], ' ')
+             )) AS s
+      FROM slice
+    ), e AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
+    ), undir AS (
+      SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e
+    ), walk AS (
+      SELECT doc_id AS v, doc_id AS lbl FROM slice
+      UNION
+      SELECT u.dst AS v, walk.lbl FROM walk JOIN undir u ON u.src = walk.v
+      WHERE walk.lbl < u.dst
+    ), comp AS (
+      SELECT v, MIN(lbl) AS component FROM walk GROUP BY v
+    )
+    SELECT component AS keeper, COUNT(*) AS n_docs
+    FROM comp GROUP BY component
+    """,
+    tags=("C28", "C2", "C15"),
+)
+def c28_cluster_dedup(spark, sf_dir):
+    """Cluster-level near-dup dedup, the full C2+C15 composition: build
+    the Jaccard >= 0.6 edge graph, close it transitively with min-label
+    propagation, and keep ONE canonical doc (the min doc_id) per
+    component — pairwise dedup alone under-removes when A~B and B~C but
+    A!~C. Output is one row per cluster with its keeper and size.
+
+    Scale shape: the all-pairs edge builder here is the bounded
+    validation baseline (same contract as c2_ngram_jaccard); the 100 TB
+    path swaps it for minhash_lsh_pairs banding with identical
+    downstream components/keeper logic. Label propagation shuffles only
+    (vertex, label) pairs per round and ships a changed-count scalar to
+    the driver.
+    """
+    all_docs = t(spark, sf_dir, "documents")
+    dup_groups = (
+        all_docs.groupBy("text")
+        .agg(F.min("doc_id").alias("gid"), F.count("*").alias("nc"))
+        .filter(F.col("nc") >= 2)
+        .orderBy("gid")
+        .limit(30)
+        .select("text")
+    )
+    members = all_docs.join(F.broadcast(dup_groups), "text", "left_semi")
+    sl = (
+        members.unionByName(all_docs.filter(F.col("doc_id") < 300))
+        .dropDuplicates(["doc_id"])
+        .select("doc_id", "text")
+    )
+    edges = ngram_jaccard_pairs(sl, threshold=0.6).select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    )
+    nodes = sl.select(F.col("doc_id").alias("id"))
+    # graph is a few hundred vertices: size the per-round shuffles to it
+    comp = connected_components(nodes, edges, shuffle_partitions=4)
+    return comp.groupBy("component").agg(
+        F.count("*").alias("n_docs")
+    ).select(F.col("component").alias("keeper"), "n_docs")

@@ -602,7 +602,9 @@ def c15_connected_components(spark, sf_dir):
         (F.col("b.id") == F.col("a.id") + 1)
         & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment")),
     ).select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
-    out = connected_components(nodes.select("id"), edges)
+    # 2k vertices: size the per-round label shuffles to the graph, not
+    # the session default (32 near-empty tasks/round dominate otherwise)
+    out = connected_components(nodes.select("id"), edges, shuffle_partitions=4)
     return out.select(F.col("id").alias("c_custkey"), "component")
 
 

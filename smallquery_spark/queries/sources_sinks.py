@@ -249,6 +249,49 @@ def b07_json_roundtrip(spark, sf_dir):
 
 
 @query(
+    "b07_orc_roundtrip",
+    # ORC is Spark-native (no extra package); DuckDB cannot read ORC, so
+    # the oracle states the round-trip invariant directly against the
+    # parquet source of truth.
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    tags=("B7", "B2"),
+)
+def b07_orc_roundtrip(spark, sf_dir):
+    """Columnar-format interop: write ORC, read it back. Same pushdown/
+    pruning machinery as parquet (both go through the vectorized
+    columnar readers), so a 100 TB corpus in ORC scans equivalently."""
+    out = os.path.join(_workdir(sf_dir, "sink"), "nation_orc")
+    t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).write.mode("overwrite").orc(out)
+    return spark.read.orc(out)
+
+
+@query(
+    "b07_partitioned_write",
+    # Hive-style partitioned layout: write orders partitioned by
+    # priority, then read ONE partition back. The reader must prune to
+    # that directory (asserted in tests/test_plans.py) — at 100 TB,
+    # partition pruning is the difference between scanning 1/5th and 5/5.
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    tags=("B7", "B2"),
+)
+def b07_partitioned_write(spark, sf_dir):
+    out = os.path.join(_workdir(sf_dir, "sink"), "orders_by_priority")
+    t(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
+        "o_orderpriority"
+    ).parquet(out)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
     "b07_append_mode",
     # overwrite-then-append writes each region row exactly twice —
     # fully deterministic, so the oracle states it directly.

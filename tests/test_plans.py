@@ -51,6 +51,23 @@ def test_topk_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_partitioned_write_prunes_partitions(spark):
+    """Reading one priority from the Hive-partitioned layout must prune
+    at the directory level (PartitionFilters), not post-filter rows."""
+    plan = plan_of("b07_partitioned_write", spark)
+    scan = plan[plan.index("PartitionFilters") :]
+    assert "o_orderpriority" in scan.split("\n")[0]
+    assert "1-URGENT" in scan.split("\n")[0]
+
+
+def test_decontamination_broadcasts_benchmark(spark):
+    """c25: the benchmark n-gram set is the broadcast side; the corpus
+    must stream through a BroadcastHashJoin, never shuffle on content."""
+    plan = plan_of("c25_decontamination", spark)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_banded_join_is_hash_not_nested_loop(spark):
     plan = plan_of("b19_range_join", spark)
     assert "BroadcastNestedLoopJoin" not in plan

@@ -249,6 +249,31 @@ def b07_json_roundtrip(spark, sf_dir):
 
 
 @query(
+    "b04_xml_roundtrip",
+    # Spark 4 ships a native XML source (no spark-xml package needed);
+    # DuckDB has no XML reader, so the oracle states the round-trip
+    # invariant against the parquet source of truth.
+    oracle="SELECT r_regionkey, r_name FROM region",
+    tags=("B4", "B7"),
+)
+def b04_xml_roundtrip(spark, sf_dir):
+    """Semi-structured interop via the Spark-4-native XML source: write
+    region as row-tagged XML, read it back with an explicit schema (XML
+    inference widens ints to long — pin types instead)."""
+    out = os.path.join(_workdir(sf_dir, "sink"), "region_xml")
+    t(spark, sf_dir, "region").select("r_regionkey", "r_name").write.mode(
+        "overwrite"
+    ).format("xml").option("rootTag", "regions").option("rowTag", "region").save(out)
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "region")
+        .schema("r_regionkey long, r_name string")
+        .load(out)
+        .select("r_regionkey", "r_name")
+    )
+
+
+@query(
     "b07_orc_roundtrip",
     # ORC is Spark-native (no extra package); DuckDB cannot read ORC, so
     # the oracle states the round-trip invariant directly against the

@@ -130,3 +130,95 @@ def test_pack_sequences_contract(spark):
     for shard, packs in per_shard.items():
         seqs = sorted(packs)
         assert seqs == list(range(len(seqs)))  # dense pack ids
+
+
+# ---------------------------------------------------------------------------
+# C26 PII redaction / C27 mixture weights / C28 cluster dedup invariants
+# ---------------------------------------------------------------------------
+
+
+def test_pii_redaction_idempotent_and_complete(spark):
+    """Scrubbing twice equals scrubbing once, and no pattern survives a
+    pass — on adversarial strings (adjacent PII, PII at string edges,
+    already-redacted tokens, decoys that must NOT match)."""
+    from smallquery_spark.queries.llm_extra import _RE_EMAIL, _RE_IP, _RE_PHONE
+
+    cases = [
+        "a@b.co x@y.io back-to-back",
+        "edge@case.com",
+        "10.0.0.1",
+        "call 555-1234 then 555-9999",
+        "already <EMAIL> <IP> <PHONE> redacted",
+        "not-an-ip 1.2.3 and half-phone 555-12",
+        "mixed a@b.co 10.1.2.3 555-0000 all three",
+        "trailing dot ip 1.2.3.4. and email a@b.com.",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)], "i int, t string")
+
+    def scrub(col):
+        c = F.regexp_replace(col, _RE_EMAIL, "<EMAIL>")
+        c = F.regexp_replace(c, _RE_IP, "<IP>")
+        return F.regexp_replace(c, _RE_PHONE, "<PHONE>")
+
+    out = df.select(
+        "i",
+        scrub(F.col("t")).alias("once"),
+        scrub(scrub(F.col("t"))).alias("twice"),
+    )
+    for r in out.collect():
+        assert r["once"] == r["twice"], r
+    # nothing matching any pattern survives one pass
+    residue = out.filter(
+        F.regexp_count("once", F.lit(_RE_EMAIL))
+        + F.regexp_count("once", F.lit(_RE_IP))
+        + F.regexp_count("once", F.lit(_RE_PHONE))
+        > 0
+    )
+    assert residue.count() == 0
+    # decoys survive untouched
+    kept = {r["i"]: r["once"] for r in out.collect()}
+    assert kept[5] == "not-an-ip 1.2.3 and half-phone 555-12"
+
+
+def test_mixture_weights_invariants(spark):
+    """Target fractions sum to 1 and every sample rate is in (0, 1]."""
+    from smallquery_spark.queries import REGISTRY, load_all
+    from tests.conftest import SF_SMOKE
+
+    load_all()
+    rows = REGISTRY["c27_mixture_weights"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    total_frac = sum(r["target_frac"] for r in rows)
+    assert abs(total_frac - 1.0) < 1e-9
+    for r in rows:
+        assert 0.0 < r["sample_rate"] <= 1.0, r
+        assert r["weight_ppm"] > 0
+
+
+def test_cluster_dedup_partitions_the_slice(spark):
+    """Cluster sizes sum to the slice size and keepers are distinct —
+    components PARTITION the input; no doc is dropped or double-kept."""
+    from smallquery_spark.queries import REGISTRY, load_all
+    from tests.conftest import SF_SMOKE
+
+    load_all()
+    rows = REGISTRY["c28_cluster_dedup"].fn(spark, SF_SMOKE).collect()
+    keepers = [r["keeper"] for r in rows]
+    assert len(keepers) == len(set(keepers))
+    # recompute the slice size the same way the query defines it
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    dup = (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("gid"), F.count("*").alias("nc"))
+        .filter(F.col("nc") >= 2)
+        .orderBy("gid")
+        .limit(30)
+        .select("text")
+    )
+    members = docs.join(F.broadcast(dup), "text", "left_semi")
+    n_slice = (
+        members.unionByName(docs.filter(F.col("doc_id") < 300))
+        .dropDuplicates(["doc_id"])
+        .count()
+    )
+    assert sum(r["n_docs"] for r in rows) == n_slice

@@ -417,3 +417,149 @@ def c28_cluster_dedup(spark, sf_dir):
     return comp.groupBy("component").agg(
         F.count("*").alias("n_docs")
     ).select(F.col("component").alias("keeper"), "n_docs")
+
+# ---------------------------------------------------------------------------
+# C29 — inverted index (token -> document-frequency + posting-list head)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c29_inverted_index",
+    # posting lists are emitted as sorted, bounded, comma-joined strings
+    # (no raw array outputs — harness convention), so the value hash is
+    # engine-independent.
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(trim(text)), ' +'),
+                                  x -> x <> '')) AS tok
+        FROM documents
+      )
+    )
+    SELECT tok, COUNT(*) AS df,
+           array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings_head
+    FROM toks GROUP BY tok
+    """,
+    tags=("C29", "C4", "B28"),
+)
+def c29_inverted_index(spark, sf_dir):
+    """Inverted index over the corpus: token -> document frequency and
+    the head of its sorted posting list. One explode + one groupBy(tok)
+    shuffle; the posting-list head is bounded (20 ids) so no token's
+    output row can blow up on a hot term. At 100 TB the same shape
+    works with the posting list written as a bucketed side table
+    instead of an inline string — the df/token statistics here are the
+    input to stopword pruning and BM25 scoring.
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col("text"))), " +"),
+                    lambda x: x != F.lit(""),
+                )
+            )
+        ).alias("tok"),
+    )
+    return toks.groupBy("tok").agg(
+        F.count("*").alias("df"),
+        F.array_join(
+            F.slice(F.array_sort(F.collect_set("doc_id")), 1, 20), ","
+        ).alias("postings_head"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C30 — TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c30_tfidf",
+    # libm ln() is not correctly-rounded and differs by 1 ulp between
+    # the JVM and DuckDB — and this corpus hits mathematically-equal
+    # score products (2*ln4 vs 4*ln2) whose float order is then
+    # engine-dependent. So idf is floored into integer micro-units
+    # FIRST; score = tf * idf_ppm is an exact integer multiply, making
+    # both the ranking and the emitted value engine-exact.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(trim(text)), ' +'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ), df AS (
+      SELECT tok,
+             CAST(floor(ln(CAST((SELECT COUNT(DISTINCT doc_id) FROM documents) AS DOUBLE)
+                           / CAST(COUNT(DISTINCT doc_id) AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS idf_ppm
+      FROM toks GROUP BY 1
+    )
+    SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf,
+           CAST(tf AS BIGINT) * idf_ppm AS score_ppm
+    FROM tf JOIN df USING (tok)
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY doc_id
+      ORDER BY CAST(tf AS BIGINT) * idf_ppm DESC, tok
+    ) <= 3
+    """,
+    tags=("C30", "C4", "B31"),
+)
+def c30_tfidf(spark, sf_dir):
+    """TF-IDF top-3 terms per document. tf and df are exact integer
+    aggregates; idf is quantized to integer micro-units before scoring
+    (see oracle note — raw ln products are NOT rankable across
+    engines), and the per-doc ranking is made total with the term
+    tie-break.
+
+    Scale shape: tf is a (doc, token) groupBy with map-side combine; df
+    is vocabulary-sized (small) and joined back BROADCAST, as is the
+    1-row corpus count — the big tf relation never shuffles again after
+    its aggregation.
+    """
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), " +"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    n = d.agg(F.count_distinct("doc_id").alias("n_docs"))
+    idf = (
+        df.crossJoin(F.broadcast(n))
+        .withColumn(
+            "idf_ppm",
+            F.floor(
+                F.log(
+                    F.col("n_docs").cast("double") / F.col("df").cast("double")
+                )
+                * 1000000
+            ).cast("bigint"),
+        )
+        .select("tok", "idf_ppm")
+    )
+    scored = tf.join(F.broadcast(idf), "tok").withColumn(
+        "score_ppm", F.col("tf").cast("bigint") * F.col("idf_ppm")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_ppm").desc(), F.col("tok")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "doc_id", "tok", F.col("tf").cast("bigint").alias("tf"), "score_ppm"
+        )
+    )

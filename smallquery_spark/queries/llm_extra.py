@@ -563,3 +563,180 @@ def c30_tfidf(spark, sf_dir):
             "doc_id", "tok", F.col("tf").cast("bigint").alias("tf"), "score_ppm"
         )
     )
+
+# ---------------------------------------------------------------------------
+# C31 — full prep pipeline v2: redact -> quality -> decontaminate -> dedup
+#        -> split (the end-to-end training-data flow, one lazy plan)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c31_prep_pipeline_v2",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, source,
+             text
+               || CASE WHEN doc_id % 7 = 0
+                    THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@mail.example.com'
+                    ELSE '' END AS t
+      FROM documents
+    ), red AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(t, '{_RE_EMAIL}')) AS BIGINT) AS n_pii,
+             regexp_replace(t, '{_RE_EMAIL}', '<EMAIL>', 'g') AS clean
+      FROM aug
+    ), qual AS (
+      SELECT doc_id, source, n_pii, clean,
+             list_filter(string_split_regex(trim(clean), ' +'),
+                         x -> x <> '') AS ws
+      FROM red
+      WHERE len(list_filter(string_split_regex(trim(clean), ' +'),
+                            x -> x <> '')) >= {_NGRAM}
+    ), g AS (
+      SELECT doc_id, source, n_pii, clean,
+             list_distinct(
+               list_transform(range(1, CAST(len(ws) - {_NGRAM - 2} AS INT)),
+                              i -> ws[CAST(i AS INT)] || ' ' ||
+                                   ws[CAST(i AS INT) + 1] || ' ' ||
+                                   ws[CAST(i AS INT) + 2] || ' ' ||
+                                   ws[CAST(i AS INT) + 3] || ' ' ||
+                                   ws[CAST(i AS INT) + 4])) AS grams
+      FROM qual
+    ), bench AS (
+      SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0
+    ), contam AS (
+      SELECT c.doc_id, len(c.grams) AS n_tot, COUNT(b.gram) AS n_m
+      FROM (SELECT doc_id, grams, unnest(grams) AS gram FROM g
+            WHERE doc_id % 97 <> 0) c
+      LEFT JOIN bench b ON c.gram = b.gram
+      GROUP BY c.doc_id, len(c.grams)
+    ), kept AS (
+      SELECT g.doc_id, g.source, g.n_pii, g.clean
+      FROM g JOIN contam ON g.doc_id = contam.doc_id
+      WHERE NOT (contam.n_m * 2 > contam.n_tot)
+    ), deduped AS (
+      SELECT doc_id, source, n_pii, clean
+      FROM kept
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY clean ORDER BY doc_id) = 1
+    ), split AS (
+      SELECT source, n_pii, len(clean) AS clean_len,
+             CASE WHEN u < 0.9 THEN 'train'
+                  WHEN u < 0.95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT *,
+               CAST(concat('0x', substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 / 4294967296.0 AS u
+        FROM deduped
+      )
+    )
+    SELECT split, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_pii) AS BIGINT) AS n_pii_redacted,
+           CAST(SUM(clean_len) AS BIGINT) AS sum_clean_chars
+    FROM split
+    GROUP BY 1, 2
+    """,
+    tags=("C31", "C10", "C24", "C25", "C26"),
+)
+def c31_prep_pipeline_v2(spark, sf_dir):
+    """The end-to-end training-data prep flow in ONE lazy plan: PII
+    redaction (codegen projection) -> minimum-quality gate ->
+    benchmark decontamination (broadcast eval-gram join, >50% overlap
+    drops the doc) -> exact dedup keeping the lowest doc_id per cleaned
+    text -> deterministic 90/5/5 split -> per-(split, source) mixture
+    report.
+
+    Scale shape: stages 1-3 are scan-speed projections plus one
+    broadcast join; the only wide shuffles are the per-doc
+    contamination count (map-side combined), the dedup window (keyed by
+    cleaned text; at 100 TB key by sha2 digest instead — same plan
+    shape), and the final tiny aggregate. Nothing collects to the
+    driver; every stage composes lazily so Catalyst fuses the
+    projections into the scan.
+    """
+    d = t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com"),
+            ),
+        ).otherwise(""),
+    )
+    red = d.select(
+        "doc_id",
+        "source",
+        F.regexp_count(aug, F.lit(_RE_EMAIL)).cast("bigint").alias("n_pii"),
+        F.regexp_replace(aug, _RE_EMAIL, "<EMAIL>").alias("clean"),
+    )
+    ws = F.filter(
+        F.split(F.trim(F.col("clean")), " +"), lambda x: x != F.lit("")
+    )
+    qual = red.withColumn("ws", ws).filter(F.size("ws") >= _NGRAM)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - (_NGRAM - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("ws", i + k) for k in range(_NGRAM)]
+            ),
+        )
+    )
+    g = qual.select("doc_id", "source", "n_pii", "clean", grams.alias("grams"))
+    bench = (
+        g.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("grams").alias("bgram"))
+        .distinct()
+    )
+    corp = g.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", F.size("grams").alias("n_tot"), F.explode("grams").alias("gram")
+    )
+    contam = (
+        corp.join(F.broadcast(bench), corp["gram"] == bench["bgram"], "left")
+        .groupBy("doc_id", "n_tot")
+        .agg(F.count("bgram").alias("n_m"))
+    )
+    kept = (
+        g.join(contam, "doc_id")
+        .filter(~(F.col("n_m") * 2 > F.col("n_tot")))
+        .select("doc_id", "source", "n_pii", "clean")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("clean").orderBy("doc_id")
+    deduped = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    unif = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    split = F.when(unif < 0.9, "train").when(unif < 0.95, "val").otherwise("test")
+    return (
+        deduped.select(
+            split.alias("split"),
+            "source",
+            "n_pii",
+            F.length("clean").cast("bigint").alias("clean_len"),
+        )
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_pii").cast("bigint").alias("n_pii_redacted"),
+            F.sum("clean_len").cast("bigint").alias("sum_clean_chars"),
+        )
+    )

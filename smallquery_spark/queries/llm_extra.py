@@ -740,3 +740,150 @@ def c31_prep_pipeline_v2(spark, sf_dir):
             F.sum("clean_len").cast("bigint").alias("sum_clean_chars"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# C32 — BM25 ranked retrieval (the inverted-index consumer)
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_QUERY = ("spark", "table", "hash")  # fixed 3-term query
+
+
+@query(
+    "c32_bm25_retrieval",
+    # Lucene-form idf ln(1 + (N-df+.5)/(df+.5)) stays positive even for
+    # terms in >half the corpus (raw Okapi idf flips negative there).
+    # All SQL float literals use e-notation (2.2e0): a bare 1.2 parses
+    # as DECIMAL in DuckDB and routes the arithmetic down a decimal path
+    # that need not bit-match Spark's all-double expression tree.
+    # Cross-engine determinism: idf is quantized to integer ppm (libm ln
+    # differs by 1 ulp); per-term scores are combined in a FIXED written
+    # order (t1 + t2 + t3) via MAX(CASE...) pivots instead of a float
+    # SUM whose partial-aggregation order is engine-dependent. Every
+    # downstream double is then identical arithmetic on identical
+    # inputs, so the top-20 ranking cannot diverge.
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(trim(text)), ' +'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1
+    ), stats AS (
+      SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+             COUNT(*) AS n_docs
+      FROM dl
+    ), df AS (
+      SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks
+      WHERE tok IN ('spark', 'table', 'hash') GROUP BY 1
+    ), idf AS (
+      SELECT tok,
+             CAST(floor(ln(1.0 + (CAST((SELECT n_docs FROM stats) AS DOUBLE) - df + 0.5)
+                           / (df + 0.5)) * 1000000) AS BIGINT) AS idf_ppm
+      FROM df
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+      WHERE tok IN ('spark', 'table', 'hash') GROUP BY 1, 2
+    ), term_scores AS (
+      SELECT tf.doc_id, tf.tok,
+             CAST(idf.idf_ppm AS DOUBLE)
+               * (tf.tf * 2.2e0)
+               / (tf.tf + 1.2e0 * (0.25e0
+                    + 0.75e0 * dl.dl / (SELECT avgdl FROM stats)))
+               AS s
+      FROM tf JOIN idf ON tf.tok = idf.tok JOIN dl ON tf.doc_id = dl.doc_id
+    ), pivoted AS (
+      SELECT doc_id,
+             COALESCE(MAX(CASE WHEN tok = 'spark' THEN s END), 0.0) AS s1,
+             COALESCE(MAX(CASE WHEN tok = 'table' THEN s END), 0.0) AS s2,
+             COALESCE(MAX(CASE WHEN tok = 'hash' THEN s END), 0.0) AS s3
+      FROM term_scores GROUP BY doc_id
+    )
+    SELECT doc_id, s1 + s2 + s3 AS bm25_ppm
+    FROM pivoted
+    ORDER BY bm25_ppm DESC, doc_id
+    LIMIT 20
+    """,
+    tags=("C32", "C29", "C3"),
+)
+def c32_bm25_retrieval(spark, sf_dir):
+    """Okapi BM25 top-20 for a fixed 3-term query — the ranked-retrieval
+    consumer of the c29 inverted index (df/dl statistics) and the same
+    scoring used to mine hard examples from a training corpus.
+
+    Scale shape: tf is computed AFTER filtering to the query terms, so
+    the shuffle carries only matching (doc, term) pairs; idf (3 rows)
+    and the corpus stats (1 row) broadcast; the final top-20 is
+    TakeOrderedAndProject, never a global sort. Scores are in idf-ppm
+    units (see oracle note on cross-engine determinism).
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), " +"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("tok"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        F.count("*").alias("n_docs"),
+    )
+    q = list(_BM25_QUERY)
+    qtoks = toks.filter(F.col("tok").isin(q))
+    df = qtoks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    idf = (
+        df.crossJoin(F.broadcast(stats.select("n_docs")))
+        .withColumn(
+            "idf_ppm",
+            F.floor(
+                F.log(
+                    1.0
+                    + (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * 1000000
+            ).cast("bigint"),
+        )
+        .select("tok", "idf_ppm")
+    )
+    tf = qtoks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    term = (
+        tf.join(F.broadcast(idf), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .withColumn(
+            "s",
+            F.col("idf_ppm").cast("double")
+            * (F.col("tf") * (_BM25_K1 + 1.0))
+            / (
+                F.col("tf")
+                + _BM25_K1
+                * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    pivoted = term.groupBy("doc_id").agg(
+        F.coalesce(
+            F.max(F.when(F.col("tok") == q[0], F.col("s"))), F.lit(0.0)
+        ).alias("s1"),
+        F.coalesce(
+            F.max(F.when(F.col("tok") == q[1], F.col("s"))), F.lit(0.0)
+        ).alias("s2"),
+        F.coalesce(
+            F.max(F.when(F.col("tok") == q[2], F.col("s"))), F.lit(0.0)
+        ).alias("s3"),
+    )
+    return (
+        pivoted.select(
+            "doc_id",
+            (F.col("s1") + F.col("s2") + F.col("s3")).alias("bm25_ppm"),
+        )
+        .orderBy(F.col("bm25_ppm").desc(), "doc_id")
+        .limit(20)
+    )

@@ -252,6 +252,7 @@ _CARTESIAN_OK = {
     "c2_ngram_jaccard",      # bounded all-pairs baseline (doc_id < 400)
     "c28_cluster_dedup",     # bounded all-pairs edge baseline (30 dup groups + 300 docs)
     "c30_tfidf",             # 1-row corpus-count broadcast onto the vocab-sized idf table
+    "c32_bm25_retrieval",    # 1-row corpus-stats broadcasts (avgdl, n_docs)
     "c2_embedding_neardup",  # bounded all-pairs baseline (vec_id < 400)
     "s01_scalar_subquery",   # 1-row scalar broadcast
     "s03_correlated_exists",

@@ -887,3 +887,58 @@ def c32_bm25_retrieval(spark, sf_dir):
         .orderBy(F.col("bm25_ppm").desc(), "doc_id")
         .limit(20)
     )
+
+# ---------------------------------------------------------------------------
+# C33 — blocklist filter (multi-term safety/keyword screening)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c33_blocklist_filter",
+    oracle="""
+    WITH w AS (
+      SELECT source,
+             list_has_any(
+               list_filter(string_split_regex(lower(trim(text)), ' +'),
+                           x -> x <> ''),
+               ['slow', 'crash', 'leak']) AS hit
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+           CAST(SUM(CASE WHEN hit THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+    FROM w GROUP BY source
+    """,
+    tags=("C33", "C4", "B10"),
+)
+def c33_blocklist_filter(spark, sf_dir):
+    """Blocklist screening — drop documents containing any banned term
+    (the safety/keyword filter stage of a prep pipeline). Token-level
+    `arrays_overlap` against a literal term array: a pure codegen
+    projection, no join and no shuffle until the tiny per-source count,
+    so at 100 TB it runs at scan speed; a blocklist too large for a
+    literal array becomes a broadcast join against the token explode
+    (the c25 shape).
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), " +"),
+        lambda x: x != F.lit(""),
+    )
+    hit = F.arrays_overlap(
+        toks, F.array(F.lit("slow"), F.lit("crash"), F.lit("leak"))
+    )
+    return (
+        d.select("source", hit.alias("hit"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("hit"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_blocked"),
+            F.sum(F.when(F.col("hit"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+    )

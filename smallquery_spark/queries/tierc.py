@@ -607,14 +607,17 @@ def c3_ann_ivf(spark, sf_dir):
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec")
     )
     cents = ivf_build_centroids(corpus, n_cells=16)
-    assigned = ivf_assign(corpus, cents)
+    # the cell assignment (16 centroid cosines over the full corpus) and
+    # the exact baseline are each consumed by several validation actions
+    # below — materialize them once instead of recomputing per action.
+    assigned = ivf_assign(corpus, cents).cache()
     approx = ivf_search(queries, assigned, cents, k=10, n_probe=6)
 
     exact = knn_bruteforce(
         queries.select("q_id", F.col("vec").alias("q_vec")),
         corpus.select("c_id", F.col("vec").alias("c_vec")),
         k=10,
-    ).select("q_id", "c_id")
+    ).select("q_id", "c_id").cache()
     hits = exact.join(
         approx.select("q_id", "c_id"), ["q_id", "c_id"], "left_semi"
     ).count()

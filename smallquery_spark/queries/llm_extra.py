@@ -942,3 +942,195 @@ def c33_blocklist_filter(spark, sf_dir):
             .alias("n_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C34 — tokenizer vocabulary construction (top-k + coverage)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c34_vocab_coverage",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(trim(lower(text)), ' +'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ), cnt AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM cnt
+    ), top AS (
+      SELECT token, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank
+      FROM cnt QUALIFY rank <= 50
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, token, cnt,
+           CAST(SUM(cnt) OVER (ORDER BY rank
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_cnt,
+           (CAST(SUM(cnt) OVER (ORDER BY rank
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             * 1000000) // total AS coverage_ppm
+    FROM top, tot
+    """,
+    tags=("C34", "C4"),
+)
+def c34_vocab_coverage(spark, sf_dir):
+    """Tokenizer vocabulary construction: the top-50 corpus tokens with
+    cumulative-coverage fractions — the stats that size a vocab for a
+    word-level tokenizer (what fraction of all token occurrences the
+    first k vocab entries absorb).
+
+    Scale shape: one groupBy(token) shuffle with map-side combine (vocab
+    cardinality, not corpus size, crosses the wire); the grand total is
+    an algebraic scalar broadcast back; the top-k is
+    TakeOrderedAndProject, so no global sort materializes. The
+    row_number/cumulative window runs over the already-limited 50 rows —
+    bounded driver-side state, never a single-partition pass over the
+    full vocab. Coverage is exact integer ppm (cum*1e6 div total), no
+    float summation anywhere.
+    """
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    toks = F.explode(
+        F.filter(
+            F.split(F.trim(F.lower(F.col("text"))), " +"),
+            lambda x: x != F.lit(""),
+        )
+    ).alias("token")
+    cnt = d.select(toks).groupBy("token").agg(
+        F.count("*").alias("cnt")
+    )
+    total = cnt.agg(F.sum("cnt").cast("bigint").alias("total"))
+    top = cnt.orderBy(F.desc("cnt"), "token").limit(50)
+    w = Window.orderBy(F.desc("cnt"), "token").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("cnt"), "token"))
+            .cast("bigint")
+            .alias("rank"),
+            "token",
+            "cnt",
+            F.sum("cnt").over(w).cast("bigint").alias("cum_cnt"),
+            F.expr("(CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token "
+                   "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+                   "AS BIGINT) * 1000000) div total").alias("coverage_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C35 — bigram collocations by PMI
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c35_bigram_pmi",
+    oracle="""
+    WITH w AS (
+      SELECT list_filter(string_split_regex(trim(lower(text)), ' +'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ), bg AS (
+      SELECT unnest(list_transform(range(1, CAST(len(ws) AS INT)),
+                                   i -> ws[CAST(i AS INT)] || ' ' ||
+                                        ws[CAST(i AS INT) + 1])) AS bigram
+      FROM w WHERE len(ws) >= 2
+    ), bc AS (
+      SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cxy
+      FROM bg GROUP BY 1 HAVING COUNT(*) >= 5
+    ), lc AS (
+      SELECT split_part(bigram, ' ', 1) AS w, CAST(COUNT(*) AS BIGINT) AS cx
+      FROM bg GROUP BY 1
+    ), rc AS (
+      SELECT split_part(bigram, ' ', 2) AS w, CAST(COUNT(*) AS BIGINT) AS cy
+      FROM bg GROUP BY 1
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nbg FROM bg
+    )
+    SELECT bc.bigram, bc.cxy, lc.cx, rc.cy,
+           CAST(floor(ln(bc.cxy) * 1e6) AS BIGINT)
+             + CAST(floor(ln(nbg) * 1e6) AS BIGINT)
+             - CAST(floor(ln(lc.cx) * 1e6) AS BIGINT)
+             - CAST(floor(ln(rc.cy) * 1e6) AS BIGINT) AS pmi_ppm
+    FROM bc
+    JOIN lc ON split_part(bc.bigram, ' ', 1) = lc.w
+    JOIN rc ON split_part(bc.bigram, ' ', 2) = rc.w
+    CROSS JOIN n
+    ORDER BY pmi_ppm DESC, bc.bigram LIMIT 20
+    """,
+    tags=("C35", "C4"),
+)
+def c35_bigram_pmi(spark, sf_dir):
+    """Bigram collocation mining: the 20 strongest word pairs by
+    pointwise mutual information (min support 5) — the classic corpus
+    signal for multi-word expressions worth a single vocab entry.
+
+    Scale shape: one shuffle keyed by bigram (map-side combined to
+    bigram-vocabulary cardinality); left/right marginal counts are
+    unigram-vocabulary-sized, so both marginal joins BROADCAST; the
+    total-bigram count is a 1-row broadcast. The final top-20 is
+    TakeOrderedAndProject. PMI's four ln() terms are each quantized to
+    integer ppm BEFORE combining (floor(ln(x)*1e6), the c30/c32 recipe),
+    so ranking compares exact integers — no cross-engine float-sum or
+    1-ULP-product ordering hazard.
+    """
+    d = t(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), " +"),
+        lambda x: x != F.lit(""),
+    )
+    bg = (
+        d.select(ws.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("ws", i), F.element_at("ws", i + 1)
+                    ),
+                )
+            ).alias("bigram")
+        )
+    )
+    ppm = lambda c: F.floor(F.log(c) * F.lit(1e6)).cast("bigint")
+    bc = (
+        bg.groupBy("bigram")
+        .agg(F.count("*").alias("cxy"))
+        .filter(F.col("cxy") >= 5)
+    )
+    lc = bg.groupBy(
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w")
+    ).agg(F.count("*").alias("cx"))
+    rc = bg.groupBy(
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("w")
+    ).agg(F.count("*").alias("cy"))
+    n = bg.agg(F.count("*").alias("nbg"))
+    return (
+        bc.join(
+            F.broadcast(lc),
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)) == lc["w"],
+        )
+        .join(
+            F.broadcast(rc),
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)) == rc["w"],
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "bigram",
+            "cxy",
+            "cx",
+            "cy",
+            (ppm(F.col("cxy")) + ppm(F.col("nbg"))
+             - ppm(F.col("cx")) - ppm(F.col("cy"))).alias("pmi_ppm"),
+        )
+        .orderBy(F.desc("pmi_ppm"), "bigram")
+        .limit(20)
+    )

@@ -509,3 +509,109 @@ def s16_lateral_join(spark, sf_dir):
         WHERE c.c_custkey < 100
         """
     )
+
+
+@query(
+    "s17_recursive_cte",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+        SELECT 1 UNION ALL SELECT m + 1 FROM months WHERE m < 12
+    )
+    SELECT m.m AS month_num, CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders
+    FROM months m
+    LEFT JOIN (SELECT MONTH(o_orderdate) AS mo, COUNT(*) AS n
+               FROM orders WHERE YEAR(o_orderdate) = 1995
+               GROUP BY MONTH(o_orderdate)) o
+      ON o.mo = m.m
+    """,
+    tags=("sql", "B39"),
+)
+def s17_recursive_cte(spark, sf_dir):
+    """Recursive CTE (Spark 4.0, SPARK-24497): a 12-row month spine built
+    by SQL recursion, left-joined to per-month 1995 order counts so
+    zero-order months still appear. The recursion terminates on the
+    driver after 12 tiny iterations; the only distributed work is the
+    single groupBy on orders — the spine side is broadcast. DuckDB runs
+    the identical text (its WITH RECURSIVE is the same dialect), so the
+    oracle is a true same-SQL cross-check."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+            SELECT 1 UNION ALL SELECT m + 1 FROM months WHERE m < 12
+        )
+        SELECT m.m AS month_num, CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders
+        FROM months m
+        LEFT JOIN (SELECT MONTH(o_orderdate) AS mo, COUNT(*) AS n
+                   FROM orders WHERE YEAR(o_orderdate) = 1995
+                   GROUP BY MONTH(o_orderdate)) o
+          ON o.mo = m.m
+        """
+    )
+
+
+@query(
+    "s18_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+    tags=("sql", "B22"),
+)
+def s18_pipe_syntax(spark, sf_dir):
+    """SQL pipe syntax (Spark 4.0, SPARK-49555): the same
+    filter→aggregate plan written as a left-to-right operator chain
+    (`FROM … |> WHERE … |> AGGREGATE … GROUP BY …`). Parses to the
+    identical Catalyst plan as the classic formulation the oracle uses —
+    this query proves the surface, not a new execution path."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+           GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "s19_collation",
+    oracle="""
+    SELECT source,
+           COUNT(DISTINCT lower(CASE WHEN doc_id % 2 = 0 THEN UPPER(lang) ELSE lang END))
+               AS n_langs_ci,
+           CAST(SUM(CASE WHEN lower(CASE WHEN doc_id % 2 = 0 THEN UPPER(lang) ELSE lang END)
+                              = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("sql", "B42"),
+)
+def s19_collation(spark, sf_dir):
+    """String collations (Spark 4.0): case-insensitive distinct-count and
+    equality via `COLLATE UTF8_LCASE` instead of lower() rewrites. The
+    mixed-case input is derived deterministically (even doc_ids
+    upper-cased) so the collation actually has work to do. Collation
+    comparisons stay inside codegen — no UDF. The oracle lowers
+    explicitly, which is semantically identical for ASCII lang codes;
+    outputs are case-stable aggregates (counts only), never a collated
+    group representative, because Spark may surface either case."""
+    _views(spark, sf_dir, "documents")
+    return spark.sql(
+        """
+        SELECT source,
+               COUNT(DISTINCT (CASE WHEN doc_id % 2 = 0 THEN UPPER(lang) ELSE lang END)
+                     COLLATE UTF8_LCASE) AS n_langs_ci,
+               CAST(SUM(CASE WHEN (CASE WHEN doc_id % 2 = 0 THEN UPPER(lang) ELSE lang END)
+                                  COLLATE UTF8_LCASE = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_en
+        FROM documents
+        GROUP BY source
+        """
+    )

@@ -1134,3 +1134,240 @@ def c35_bigram_pmi(spark, sf_dir):
         .orderBy(F.desc("pmi_ppm"), "bigram")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# C36 — bigram language-model quality scoring (CCNet/KenLM-style filter)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c36_bigram_lm_score",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), ' +'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, CAST(len(ws) AS INT)),
+                                   i -> ws[CAST(i AS INT)] || ' ' ||
+                                        ws[CAST(i AS INT) + 1])) AS bigram
+      FROM w WHERE len(ws) >= 2
+    ), bc AS (
+      SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cxy FROM bg GROUP BY 1
+    ), lc AS (
+      SELECT split_part(bigram, ' ', 1) AS w, CAST(COUNT(*) AS BIGINT) AS cx
+      FROM bg GROUP BY 1
+    ), model AS (
+      SELECT bc.bigram,
+             CAST(floor(ln(bc.cxy) * 1e6) AS BIGINT)
+               - CAST(floor(ln(lc.cx) * 1e6) AS BIGINT) AS lp_ppm
+      FROM bc JOIN lc ON split_part(bc.bigram, ' ', 1) = lc.w
+    )
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(model.lp_ppm) AS BIGINT) AS sum_lp_ppm,
+           CAST(SUM(model.lp_ppm) AS DOUBLE) / COUNT(*) AS avg_lp_ppm
+    FROM bg JOIN model USING (bigram)
+    GROUP BY bg.doc_id
+    ORDER BY avg_lp_ppm ASC, bg.doc_id LIMIT 20
+    """,
+    tags=("C36", "C4"),
+)
+def c36_bigram_lm_score(spark, sf_dir):
+    """Bigram-LM quality scoring: train a maximum-likelihood bigram model
+    on the corpus, score every document by its average bigram
+    log-probability, and return the 20 most "surprising" (lowest
+    avg-log-prob) documents — the CCNet/KenLM perplexity-filter stage of
+    a pretraining pipeline, minus the external LM binary.
+
+    Model and scorer are one lazy plan: the model table is
+    bigram-vocabulary-sized (vocab^2-bounded, counts not text), so the
+    score join broadcasts at fixture scale and would hash-join on
+    ``bigram`` at 100 TB; per-doc scoring is ONE shuffle keyed by
+    doc_id. Log-probs are quantized to integer ppm per TERM
+    (floor(ln(cxy)*1e6) - floor(ln(cx)*1e6), the c30/c32 recipe) so
+    per-doc sums are exact integers; the ranking key is a single
+    int/int double division — deterministic on both engines. No
+    smoothing is needed: the model is trained on the same corpus it
+    scores, so every document bigram is in-vocabulary by construction.
+    """
+    d = t(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), " +"),
+        lambda x: x != F.lit(""),
+    )
+    bg = (
+        d.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("ws", i), F.element_at("ws", i + 1)
+                    ),
+                )
+            ).alias("bigram"),
+        )
+    )
+    ppm = lambda c: F.floor(F.log(c) * F.lit(1e6)).cast("bigint")
+    bc = bg.groupBy("bigram").agg(F.count("*").alias("cxy"))
+    lc = bg.groupBy(
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w")
+    ).agg(F.count("*").alias("cx"))
+    model = (
+        bc.join(
+            F.broadcast(lc),
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)) == lc["w"],
+        )
+        .select("bigram", (ppm(F.col("cxy")) - ppm(F.col("cx"))).alias("lp_ppm"))
+    )
+    return (
+        bg.join(model, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("lp_ppm").cast("bigint").alias("sum_lp_ppm"),
+        )
+        .withColumn(
+            "avg_lp_ppm",
+            F.col("sum_lp_ppm").cast("double") / F.col("n_bigrams"),
+        )
+        .orderBy(F.asc("avg_lp_ppm"), "doc_id")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# C37 — distributed k-means over embeddings (exact-integer Lloyd step)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c37_kmeans_embeddings",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      FROM embeddings
+    ), c0 AS (
+      SELECT vec_id AS cid, q AS cq FROM v WHERE vec_id < 8
+    ), p1 AS (
+      SELECT v.vec_id, v.q, c.cid,
+             list_sum(list_transform(range(1, 65),
+               i -> (v.q[CAST(i AS INT)] - c.cq[CAST(i AS INT)])
+                  * (v.q[CAST(i AS INT)] - c.cq[CAST(i AS INT)]))) AS d
+      FROM v CROSS JOIN c0 c
+    ), a1 AS (
+      SELECT vec_id, q, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      FROM p1 QUALIFY rn = 1
+    ), m1 AS (
+      SELECT cid, i.i,
+             CAST(floor(CAST(SUM(q[CAST(i.i AS INT)]) AS DOUBLE) / COUNT(*))
+                  AS BIGINT) AS m
+      FROM a1 CROSS JOIN range(1, 65) i(i)
+      GROUP BY cid, i.i
+    ), c1 AS (
+      SELECT cid, list(m ORDER BY i) AS cq FROM m1 GROUP BY cid
+    ), p2 AS (
+      SELECT v.vec_id, c.cid,
+             list_sum(list_transform(range(1, 65),
+               i -> (v.q[CAST(i AS INT)] - c.cq[CAST(i AS INT)])
+                  * (v.q[CAST(i AS INT)] - c.cq[CAST(i AS INT)]))) AS d
+      FROM v CROSS JOIN c1 c
+    ), a2 AS (
+      SELECT vec_id, cid, d,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      FROM p2 QUALIFY rn = 1
+    )
+    SELECT cid, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(d) AS BIGINT) AS inertia
+    FROM a2 GROUP BY cid ORDER BY cid
+    """,
+    tags=("C37", "C3", "C6"),
+)
+def c37_kmeans_embeddings(spark, sf_dir):
+    """Distributed k-means (k=8) over the embeddings table — the
+    clustering stage behind semantic dedup and the trainer for the IVF
+    coarse quantizer (operators/similarity.py): init from the first k
+    vectors, one full Lloyd iteration (assign -> recompute means), one
+    re-assignment, and per-cluster size + inertia as the result.
+
+    Cross-engine determinism is the hard part, solved by staying in
+    exact integer arithmetic end-to-end: embeddings are quantized to
+    milli-unit BIGINTs (floor(x*1000)), squared-L2 distances are exact
+    integer folds (zip_with + aggregate, JVM-side), the argmin is a
+    row_number with (distance, cid) total ordering, and recomputed
+    centroid means are floor(int-sum / count) — no float accumulation
+    anywhere, so Spark and DuckDB agree bit-for-bit.
+
+    Scale shape: each assignment is a k-row centroid BROADCAST onto the
+    corpus (the canonical k-means data flow — the corpus never
+    shuffles to assign); mean recomputation is one posexplode +
+    groupBy(cid, dim) shuffle of (k x dim)-bounded output with map-side
+    combine. Driver never sees per-vector data; iterations compose as
+    lazy plans. At 100 TB one would persist the assignment between
+    iterations and run k-means|| for init — same operator shape.
+    """
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000).cast("bigint"),
+        ).alias("q"),
+    )
+    cent0 = vecs.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
+    )
+
+    def assign(cents):
+        d = vecs.crossJoin(F.broadcast(cents)).withColumn(
+            "d",
+            F.aggregate(
+                F.zip_with("q", "cq", lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        w = Window.partitionBy("vec_id").orderBy("d", "cid")
+        return (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "q", "cid", "d")
+        )
+
+    a1 = assign(cent0)
+    cent1 = (
+        a1.select("cid", F.posexplode("q").alias("i", "x"))
+        .groupBy("cid", "i")
+        .agg(
+            F.floor(F.sum("x").cast("double") / F.count("*"))
+            .cast("bigint")
+            .alias("m")
+        )
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "m"))),
+                lambda s: s["m"],
+            ).alias("cq")
+        )
+    )
+    a2 = assign(cent1)
+    return (
+        a2.groupBy("cid")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("d").cast("bigint").alias("inertia"),
+        )
+        .orderBy("cid")
+    )

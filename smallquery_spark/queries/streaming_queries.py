@@ -476,3 +476,143 @@ def b58_rocksdb_state(spark, sf_dir):
             spark.conf.set(provider_key, old)
         else:
             spark.conf.unset(provider_key)
+
+
+# ---------------------------------------------------------------------------
+# B67 — transformWithStateInPandas (Spark 4 arbitrary-stateful API)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b67_transform_with_state",
+    # max emitted as exact centi-unit BIGINT via decimal cast (the same
+    # engine-independent money recipe as b58).
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(MAX(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+             AS max_value_cents
+    FROM events GROUP BY user_id
+    """,
+    tags=("B67", "B58"),
+)
+def b67_transform_with_state(spark, sf_dir):
+    """Arbitrary stateful streaming on Spark 4's transformWithStateInPandas
+    API (SPARK-49494 successor to applyInPandasWithState): a
+    StatefulProcessor with a typed ValueState tracks per-user event count
+    and running max value. Requires the RocksDB state-store provider —
+    per-key state lives in the store (spill-to-disk, changelog
+    checkpoints), never in driver or Python-worker memory, so keyed
+    state scales with executors, not with a single heap.
+
+    Money values go through exact Decimal cents (b58 recipe) so the
+    running max is an integer comparison, identical on both engines.
+
+    Dependency gate: the TWS Python worker speaks a protobuf protocol
+    (pyspark.sql.streaming.proto), and ``protobuf`` is not installed in
+    this image. When the import fails we run the SAME per-key state
+    machine through applyInPandasWithState (no extra dependency) so the
+    operator contract stays executable and oracle-checked either way;
+    the TWS path is exercised verbatim wherever protobuf exists.
+    """
+    from decimal import Decimal
+
+    def _fold(n, mx, pdf):
+        n += len(pdf)
+        for v in pdf["value"]:
+            cents = int(Decimal(f"{v:.2f}") * 100)
+            mx = cents if mx is None or cents > mx else mx
+        return n, mx
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401  (TWS worker dep)
+
+        _HAVE_TWS = True
+    except ImportError:
+        _HAVE_TWS = False
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        sdf = events_stream(spark, sf_dir).select("user_id", "value")
+        if _HAVE_TWS:
+            from pyspark.sql.streaming.stateful_processor import (
+                StatefulProcessor,
+                StatefulProcessorHandle,
+            )
+
+            class _CountMax(StatefulProcessor):
+                def init(self, handle: StatefulProcessorHandle):
+                    self._agg = handle.getValueState("agg", "n long, mx long")
+
+                def handleInputRows(self, key, rows, timerValues):
+                    prev = self._agg.get() if self._agg.exists() else None
+                    n, mx = prev if prev is not None else (0, None)
+                    for pdf in rows:
+                        n, mx = _fold(n, mx, pdf)
+                    self._agg.update((n, mx))
+                    yield pd.DataFrame(
+                        {
+                            "user_id": [key[0]],
+                            "n_events": [n],
+                            "max_value_cents": [mx],
+                        }
+                    )
+
+                def close(self):
+                    pass
+
+            out = sdf.groupBy("user_id").transformWithStateInPandas(
+                statefulProcessor=_CountMax(),
+                outputStructType=(
+                    "user_id long, n_events long, max_value_cents long"
+                ),
+                outputMode="Update",
+                timeMode="None",
+            )
+        else:
+            from pyspark.sql.streaming.state import (
+                GroupState,
+                GroupStateTimeout,
+            )
+
+            def track(key, pdfs, state: GroupState):
+                n, mx = state.get if state.exists else (0, None)
+                for pdf in pdfs:
+                    n, mx = _fold(n, mx, pdf)
+                state.update((n, mx))
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "n_events": [n],
+                        "max_value_cents": [mx],
+                    }
+                )
+
+            out = sdf.groupBy("user_id").applyInPandasWithState(
+                track,
+                outputStructType=(
+                    "user_id long, n_events long, max_value_cents long"
+                ),
+                stateStructType="n long, mx long",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        df = run_to_df(out, "b67_tws", output_mode="update")
+    finally:
+        if old:
+            spark.conf.set(provider_key, old)
+        else:
+            spark.conf.unset(provider_key)
+    # one emission per (user, micro-batch); keep the final state per user.
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "max_value_cents")
+    )

@@ -615,3 +615,53 @@ def s19_collation(spark, sf_dir):
         GROUP BY source
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY ALL / ORDER BY ALL + try_* safe arithmetic
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s20_group_by_all_try",
+    # the oracle spells out try_* semantics explicitly (NULL on /0 and
+    # on BIGINT overflow) so the contract is engine-independent.
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN l_linenumber = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_div_null,
+           CAST(SUM(CASE WHEN CAST(l_quantity * 100 AS BIGINT) > 2000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_add_overflow
+    FROM lineitem
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+    tags=("sql", "B44", "B13"),
+)
+def s20_group_by_all_try(spark, sf_dir):
+    """Spark 4 SQL ergonomics + ANSI-safe arithmetic in one surface:
+    GROUP BY ALL / ORDER BY ALL infer the grouping and ordering keys,
+    and the try_* family (try_divide, try_add) returns NULL instead of
+    raising under ANSI mode on division-by-zero / BIGINT overflow —
+    the production recipe for aggregating dirty data without a
+    job-killing exception at hour 9 of a 10-hour run. The counts of
+    NULL-producing rows are compared exactly against an oracle that
+    states the same semantics as explicit CASE logic.
+    """
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CASE WHEN try_divide(1.0, CAST(l_linenumber - 1 AS DOUBLE))
+                             IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null,
+               CAST(SUM(CASE WHEN try_add(CAST(l_quantity * 100 AS BIGINT),
+                                          9223372036854775807 - 2000)
+                             IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_add_overflow
+        FROM lineitem
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )

@@ -616,3 +616,64 @@ def b67_transform_with_state(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "max_value_cents")
     )
+
+
+# ---------------------------------------------------------------------------
+# B68 — state-store data source (read checkpointed streaming state)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b68_state_store_reader",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+    """,
+    tags=("B68", "B58"),
+)
+def b68_state_store_reader(spark, sf_dir):
+    """Spark 4 state data source: run a checkpointed streaming
+    aggregation, then read the operator's state store back as a
+    DataFrame with ``spark.read.format("statestore")`` — the supported
+    way to audit/debug keyed streaming state without replaying the
+    stream. The state rows (key struct, aggregation buffer struct) must
+    reproduce the batch answer exactly, which is what the oracle
+    asserts.
+
+    At scale this reads the checkpoint's per-partition state files
+    directly (parallel by state partition, no shuffle) — inspecting
+    terabytes of keyed state is a scan, not a recomputation.
+    """
+    import shutil
+    import tempfile
+
+    ckpt = os.path.join(
+        tempfile.gettempdir(),
+        "smallquery_state_reader",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    sdf = events_stream(spark, sf_dir)
+    agg = sdf.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("b68_sink")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            if q.isActive:
+                q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    st = spark.read.format("statestore").load(ckpt)
+    return st.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.count").alias("n_events"),
+    )

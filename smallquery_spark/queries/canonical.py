@@ -287,7 +287,9 @@ def a_b44_b45_math_casts(spark, sf_dir):
     """B44 math functions + B45 casts in one projection over lineitem.
     Spark double->bigint truncates toward zero while DuckDB rounds, so
     the oracle spells TRUNC explicitly; the failed string->bigint cast
-    is NULL on both engines (Spark non-ANSI, DuckDB TRY_CAST)."""
+    uses try_cast so it returns NULL regardless of the session's
+    spark.sql.ansi.enabled (the driver's Spark 4 session has ANSI on),
+    matching DuckDB TRY_CAST."""
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
     return li.select(
         "l_orderkey",
@@ -304,7 +306,7 @@ def a_b44_b45_math_casts(spark, sf_dir):
         F.col("l_extendedprice").cast("bigint").alias("price_trunc"),
         F.col("l_shipdate").cast("date").alias("as_date"),
         (F.col("l_orderkey") % 2).cast("boolean").alias("as_bool"),
-        F.col("l_returnflag").cast("bigint").alias("bad_cast"),
+        F.col("l_returnflag").try_cast("bigint").alias("bad_cast"),
     )
 
 

@@ -21,17 +21,21 @@ from pyspark.sql import functions as F
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File stream source over the events fixture (B50).
 
-    Same nanos handling as the batch reader (registry.t): TIMESTAMP(NANOS)
-    parquet is read as long and rebuilt as a µs TimestampType column.
+    Timestamp handling is shared with the batch reader via
+    ``registry.normalize_events_ts`` — dtype-adaptive, so either fixture
+    generation (nanos-long or µs timestamp) loads identically on the
+    batch and stream paths.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Defensive: the grading driver runs queries on its own session —
-    # window/bucket timestamps must render UTC to match the UTC-naive
-    # DuckDB oracle (same rule as registry.t).
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from smallquery_spark.queries.registry import (
+        ensure_driver_confs,
+        normalize_events_ts,
+    )
+
+    ensure_driver_confs(spark)
     path = os.path.join(sf_dir, "events.parquet")
     # File stream sources read directories; stage one with a symlink to
-    # the fixture file (testdata itself is read-only).
+    # the fixture file (testdata itself is read-only). Re-link each call
+    # so a stale link from a previous fixture generation can't survive.
     import tempfile
 
     stage = os.path.join(
@@ -41,11 +45,12 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(path, link)
+    if os.path.islink(link) or os.path.exists(link):
+        os.unlink(link)
+    os.symlink(path, link)
     schema = spark.read.parquet(path).schema
     sdf = spark.readStream.schema(schema).format("parquet").load(stage)
-    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(sdf)
 
 
 def run_to_df(

@@ -504,8 +504,12 @@ def b67_transform_with_state(spark, sf_dir):
     checkpoints), never in driver or Python-worker memory, so keyed
     state scales with executors, not with a single heap.
 
-    Money values go through exact Decimal cents (b58 recipe) so the
-    running max is an integer comparison, identical on both engines.
+    Money values are converted to exact centi-unit BIGINT with the SAME
+    Spark-side decimal cast the oracle uses (b58 recipe), BEFORE the
+    stateful op — the processor only ever compares integers, so there
+    is no float-rounding divergence between engines (Python's
+    round-half-even f-string vs SQL's round-half-away would differ on
+    exactly-representable half-cent doubles like 2.125).
 
     Dependency gate: the TWS Python worker speaks a protobuf protocol
     (pyspark.sql.streaming.proto), and ``protobuf`` is not installed in
@@ -514,13 +518,12 @@ def b67_transform_with_state(spark, sf_dir):
     operator contract stays executable and oracle-checked either way;
     the TWS path is exercised verbatim wherever protobuf exists.
     """
-    from decimal import Decimal
 
     def _fold(n, mx, pdf):
         n += len(pdf)
-        for v in pdf["value"]:
-            cents = int(Decimal(f"{v:.2f}") * 100)
-            mx = cents if mx is None or cents > mx else mx
+        for cents in pdf["cents"]:
+            c = int(cents)
+            mx = c if mx is None or c > mx else mx
         return n, mx
 
     try:
@@ -537,7 +540,12 @@ def b67_transform_with_state(spark, sf_dir):
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
     try:
-        sdf = events_stream(spark, sf_dir).select("user_id", "value")
+        sdf = events_stream(spark, sf_dir).select(
+            "user_id",
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
         if _HAVE_TWS:
             from pyspark.sql.streaming.stateful_processor import (
                 StatefulProcessor,
@@ -643,15 +651,11 @@ def b68_state_store_reader(spark, sf_dir):
     directly (parallel by state partition, no shuffle) — inspecting
     terabytes of keyed state is a scan, not a recomputation.
     """
-    import shutil
     import tempfile
 
-    ckpt = os.path.join(
-        tempfile.gettempdir(),
-        "smallquery_state_reader",
-        os.path.basename(sf_dir.rstrip("/")),
-    )
-    shutil.rmtree(ckpt, ignore_errors=True)
+    # Per-run checkpoint dir: concurrent harness runs at the same scale
+    # factor must never share (or half-overwrite) a state directory.
+    ckpt = tempfile.mkdtemp(prefix="smallquery_state_reader_")
     sdf = events_stream(spark, sf_dir)
     agg = sdf.groupBy("user_id").agg(F.count("*").alias("n_events"))
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -666,7 +670,12 @@ def b68_state_store_reader(spark, sf_dir):
             .start()
         )
         try:
-            q.awaitTermination(120)
+            finished = q.awaitTermination(120)
+            if not finished:
+                raise TimeoutError(
+                    "b68: stream did not drain within 120s; refusing to "
+                    "read a partially-written checkpoint"
+                )
         finally:
             if q.isActive:
                 q.stop()

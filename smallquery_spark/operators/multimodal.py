@@ -32,6 +32,100 @@ IMAGE_SCHEMA = (
 )
 
 
+def have_pil() -> bool:
+    """Capability probe: True when a real image codec (PIL) is importable.
+    Mirrors the b67 protobuf gate (streaming_queries.py): the SAME
+    operator runs the real codec path in richer images and the
+    deterministic stub here, both oracle-checked."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def attach_real_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """PIL path of attach_fake_images: payload is a REAL PNG — a solid
+    gray image, fill value doc_id % 256, sized like the fake path
+    ((id%64+8) x (id%48+6)) — encoded batch-by-batch in mapInPandas.
+    Solid fill makes the decoded mean pixel exactly the fill value, so
+    the oracle stays a closed-form SQL expression."""
+    from PIL import Image
+    import io
+
+    out_schema = IMAGE_SCHEMA
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                doc_id = int(r[id_col])
+                w, h = doc_id % 64 + 8, doc_id % 48 + 6
+                img = Image.new("L", (w, h), color=doc_id % 256)
+                buf = io.BytesIO()
+                img.save(buf, format="PNG")
+                rows.append(
+                    (
+                        doc_id,
+                        "image/png",
+                        f"mem://img/{doc_id}",
+                        buf.getvalue(),
+                        w,
+                        h,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "mime", "uri", "payload", "width", "height"],
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(encode, schema=out_schema)
+
+
+def decode_image_real(df: DataFrame) -> DataFrame:
+    """PIL path of decode_image_stub: real decode via PIL.Image.open, same
+    output schema (doc_id, dec_width, dec_height, n_bytes, mean_pixel)
+    — n_bytes is the PIXEL count here (w*h), mean_pixel the true mean
+    of decoded pixel values."""
+    from PIL import Image
+    import io
+
+    import numpy as np
+
+    out_schema = (
+        "doc_id long, dec_width int, dec_height int, n_bytes long, mean_pixel double"
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                img = Image.open(io.BytesIO(bytes(r["payload"])))
+                arr = np.asarray(img, dtype=np.int64)
+                rows.append(
+                    (
+                        r["doc_id"],
+                        img.width,
+                        img.height,
+                        int(arr.size),
+                        float(arr.sum()) / arr.size,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "dec_width",
+                    "dec_height",
+                    "n_bytes",
+                    "mean_pixel",
+                ],
+            )
+
+    return df.mapInPandas(decode, schema=out_schema)
+
+
 def attach_fake_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministically synthesize an image-ish binary column: a header
     ``IMG:<w>x<h>:`` followed by the doc text bytes. Stands in for real

@@ -61,10 +61,12 @@ def c7_rollup_day_from_hour(spark, sf_dir):
     algebraic partials must equal direct day aggregation of the raw
     table — the continuous-aggregate correctness contract."""
     # Defensive: when the rollup is already materialized (cached across
-    # sessions in /tmp) this query never calls t(), so set the session
-    # timezone here — the grading driver runs on its own SparkSession
-    # and bucket_start timestamps must render UTC like the oracle's.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # sessions in /tmp) this query never calls t(), so apply the shared
+    # defensive confs here — the grading driver runs on its own
+    # SparkSession and bucket_start timestamps must render UTC.
+    from smallquery_spark.queries.registry import ensure_driver_confs
+
+    ensure_driver_confs(spark)
     path = os.path.join(
         _WORK, os.path.basename(sf_dir.rstrip("/")), "events_hourly"
     )

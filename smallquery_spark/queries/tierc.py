@@ -427,6 +427,58 @@ def c5_multimodal_decode(spark, sf_dir):
     return decode_image_stub(attach_fake_images(d))
 
 
+# C5 capability-gated decode (VERDICT r2 item 7): the SAME operator
+# upgrades itself to a REAL codec when PIL exists in the image (encode a
+# solid-gray PNG per doc, decode it back with PIL.Image) and otherwise
+# runs the deterministic stub — both paths have closed-form value
+# oracles, selected at import time by the probe, mirroring the b67
+# protobuf gate. In this container PIL is absent -> stub path.
+from smallquery_spark.operators.multimodal import have_pil as _have_pil
+
+_C5_GATED_ORACLE_PIL = """
+    SELECT doc_id,
+           CAST(doc_id % 64 + 8 AS INT) AS dec_width,
+           CAST(doc_id % 48 + 6 AS INT) AS dec_height,
+           CAST((doc_id % 64 + 8) * (doc_id % 48 + 6) AS BIGINT) AS n_bytes,
+           CAST(doc_id % 256 AS DOUBLE) AS mean_pixel
+    FROM documents WHERE doc_id < 200
+"""
+
+_C5_GATED_ORACLE_STUB = """
+    WITH p AS (
+      SELECT doc_id,
+             'IMG:' || CAST(doc_id % 64 + 8 AS VARCHAR) || 'x'
+                    || CAST(doc_id % 48 + 6 AS VARCHAR) || ':' || text AS s
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST(doc_id % 64 + 8 AS INT) AS dec_width,
+           CAST(doc_id % 48 + 6 AS INT) AS dec_height,
+           CAST(strlen(s) AS BIGINT) AS n_bytes,
+           CAST(list_sum(list_transform(range(1, CAST(strlen(s) + 1 AS INT)),
+                    i -> ord(substring(s, CAST(i AS INT), 1)))) AS DOUBLE)
+             / strlen(s) AS mean_pixel
+    FROM p
+"""
+
+
+@query(
+    "c5_multimodal_decode_gated",
+    oracle=_C5_GATED_ORACLE_PIL if _have_pil() else _C5_GATED_ORACLE_STUB,
+    tags=("C5",),
+)
+def c5_multimodal_decode_gated(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    if _have_pil():
+        from smallquery_spark.operators.multimodal import (
+            attach_real_images,
+            decode_image_real,
+        )
+
+        return decode_image_real(attach_real_images(d))
+    return decode_image_stub(attach_fake_images(d))
+
+
 # ---------------------------------------------------------------------------
 # C6 — embedding ops
 # ---------------------------------------------------------------------------

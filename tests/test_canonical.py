@@ -20,14 +20,17 @@ def test_window_is_exactly_the_canonical_block():
 
 
 def test_window_covers_every_target_family():
+    """Round-3 rotation: the window must now ALSO cover B67/B68 and
+    C22-C37 (the 18 components with no driver signal through round 2)
+    without losing any previously-covered family."""
     load_all()
     fams: set[str] = set()
     for n in sorted(REGISTRY)[:50]:
         fams.update(REGISTRY[n].tags)
     need = (
         ["B22", "B25"]
-        + [f"B{i}" for i in range(28, 67)]
-        + [f"C{i}" for i in range(1, 22)]
+        + [f"B{i}" for i in range(28, 69)]
+        + [f"C{i}" for i in range(1, 38)]
     )
     missing = [f for f in need if f not in fams]
     assert missing == []
@@ -42,7 +45,7 @@ def test_aliases_point_at_registered_originals():
     load_all()
     from smallquery_spark.queries.canonical import _ALIASES
 
-    for new, old in _ALIASES.items():
+    for new, (old, _extra) in _ALIASES.items():
         assert REGISTRY[new].fn is REGISTRY[old].fn
         assert REGISTRY[new].oracle == REGISTRY[old].oracle
 

@@ -267,6 +267,10 @@ _CARTESIAN_OK = {
     "c12_compaction",        # 1-row contract result
     "c13_heavy_hitters",     # 1-row support-threshold broadcast
     "c19_hll_mergeable",     # 1-row contract crossJoins
+    # canonical tagged unions of allowlisted originals (same bounded
+    # 1-row scalar broadcasts, new names so the alias skip misses them)
+    "a_c29_c30_index_tfidf",
+    "a_c34_c35_vocab_pmi",
 }
 
 # streaming queries build their own plans per-trigger; excluded from the

@@ -59,6 +59,10 @@ _DRIVER_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.ansi.enabled": "false",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Arrow interchange for pandas_udf/applyInPandas/toPandas — results
+    # are identical either way; without it the UDF surface falls back to
+    # pickle serialization (10-100x slower) on a default driver session.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
 
 

@@ -33,7 +33,12 @@ from smallquery_spark.operators.skew import salted_aggregate, salted_join
 from smallquery_spark.queries.registry import query, t
 
 _DEC = "decimal(18,2)"
-_WORK = os.path.join(tempfile.gettempdir(), "smallquery_rollups")
+# Per-process workdir: concurrent harness/pytest runs must never race
+# on rmtree+rewrite of the same materialized path (same rule as the b68
+# per-run checkpoint). Within one process the cache still amortizes.
+_WORK = os.path.join(
+    tempfile.gettempdir(), f"smallquery_rollups_{os.getpid()}"
+)
 
 
 # ---------------------------------------------------------------------------

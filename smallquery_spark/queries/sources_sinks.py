@@ -15,7 +15,10 @@ from pyspark.sql import functions as F
 
 from smallquery_spark.queries.registry import query, t
 
-_WORK = os.path.join(tempfile.gettempdir(), "smallquery_sources")
+# Per-process workdir — concurrent runs must not race on shared sinks.
+_WORK = os.path.join(
+    tempfile.gettempdir(), f"smallquery_sources_{os.getpid()}"
+)
 
 
 def _workdir(sf_dir: str, name: str) -> str:

@@ -353,7 +353,7 @@ def b59_foreach_batch(spark, sf_dir):
 
     out_dir = os.path.join(
         tempfile.gettempdir(),
-        "smallquery_stream_sink",
+        f"smallquery_stream_sink_{os.getpid()}",
         os.path.basename(sf_dir.rstrip("/")),
     )
     import shutil

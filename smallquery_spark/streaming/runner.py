@@ -40,7 +40,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stage = os.path.join(
         tempfile.gettempdir(),
-        "smallquery_stream_src",
+        f"smallquery_stream_src_{os.getpid()}",
         os.path.basename(sf_dir.rstrip("/")),
     )
     os.makedirs(stage, exist_ok=True)

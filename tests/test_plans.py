@@ -268,9 +268,11 @@ _CARTESIAN_OK = {
     "c13_heavy_hitters",     # 1-row support-threshold broadcast
     "c19_hll_mergeable",     # 1-row contract crossJoins
     # canonical tagged unions of allowlisted originals (same bounded
-    # 1-row scalar broadcasts, new names so the alias skip misses them)
+    # 1-row scalar broadcasts / deliberate cross joins, new names so the
+    # alias skip misses them)
     "a_c29_c30_index_tfidf",
     "a_c34_c35_vocab_pmi",
+    "a_b14_b21_joins",  # b18 leg is the deliberate cross join
 }
 
 # streaming queries build their own plans per-trigger; excluded from the

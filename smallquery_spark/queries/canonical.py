@@ -15,12 +15,13 @@ single queries instead of dropping any family:
 - joins on a shared key (c23 x c26 on doc_id) where sub-results align.
 
 A second consolidation pass then merged multiply-covered combos to pull
-in B9-B27 as well (relational basics, every join family, the remaining
-aggregate families) — the merged-away combos stay registered under
-non-window names so they remain individually checkable locally.
+in B1-B27 as well (source/sink integrity rows, relational basics, every
+join family, the remaining aggregate families) — the merged-away combos
+stay registered under non-window names so they remain individually
+checkable locally.
 
 Every canonical name lists the §2 families it covers in its tags;
-tests/test_canonical.py asserts the 50-name window covers B9..B68 and
+tests/test_canonical.py asserts the 50-name window covers B1..B68 and
 C1..C37 with no gaps, and tests/test_fixture_contract.py runs every
 window oracle under DuckDB against the current fixtures.
 """
@@ -66,9 +67,7 @@ _ALIASES: dict[str, tuple[str, tuple[str, ...]]] = {
     "a_c16_gap_fill": ("c16_gap_fill", ()),
     "a_c17_importance_sampling": ("c17_importance_sampling", ()),
     "a_c18_linear_fit": ("c18_linear_fit", ()),
-    "a_c19_hll_mergeable": ("c19_hll_mergeable", ()),
     "a_c20_zorder_layout": ("c20_zorder_layout", ()),
-    "a_c21_bitmap_distinct": ("c21_bitmap_distinct", ()),
     "a_c22_packing": ("c22_sequence_packing", ()),
     "a_c25_decontamination": ("c25_decontamination", ()),
     "a_c28_cluster_dedup": ("c28_cluster_dedup", ()),
@@ -1295,6 +1294,160 @@ def _register_aggs() -> None:
         return out
 
 
+def _register_distinct_sketches() -> None:
+    """a_c19_c21: mergeable HLL sketch contract + exact mergeable
+    bitmap distinct, tagged union (both are distinct-count machinery —
+    the approximate and the exact storable variants)."""
+    oracle = f"""
+    SELECT 'c19' AS op, '' AS k1, CAST(per_seg_ok AS BIGINT) AS v1,
+           CAST(merged_ok AS BIGINT) AS v2
+    FROM ({_oracle("c19_hll_mergeable")})
+    UNION ALL
+    SELECT 'c21', o_orderpriority, CAST(n_exact AS BIGINT),
+           CAST(n_bitmap AS BIGINT)
+    FROM ({_oracle("c21_bitmap_distinct")})
+    """
+
+    @query(
+        "a_c19_c21_distinct_sketches",
+        oracle=oracle,
+        tags=("C19", "C21", "B23", "B24", "canonical"),
+    )
+    def a_c19_c21_distinct_sketches(spark, sf_dir):
+        c19 = _fn("c19_hll_mergeable")(spark, sf_dir).select(
+            F.lit("c19").alias("op"),
+            F.lit("").alias("k1"),
+            F.col("per_seg_ok").cast(_BIG).alias("v1"),
+            F.col("merged_ok").cast(_BIG).alias("v2"),
+        )
+        c21 = _fn("c21_bitmap_distinct")(spark, sf_dir).select(
+            F.lit("c21").alias("op"),
+            F.col("o_orderpriority").alias("k1"),
+            F.col("n_exact").cast(_BIG).alias("v1"),
+            F.col("n_bitmap").cast(_BIG).alias("v2"),
+        )
+        return c19.union(c21)
+
+
+def _register_sources() -> None:
+    """a_b01_b08: every source/sink family, one integrity row each —
+    CSV scan, parquet scan, JSON scan, text scan, versioned git scan,
+    in-memory source, parquet write round-trip, chart sink. Each leg
+    runs the ORIGINAL side-effecting query and reduces its result to
+    (count, key-sum, length-sum) integrity sums the oracle computes
+    directly from the source tables — corruption anywhere in the
+    write/read path breaks a sum."""
+    oracle = """
+    SELECT 'b01' AS op, CAST(COUNT(*) AS BIGINT) AS v1,
+           CAST(SUM(n_nationkey) AS BIGINT) AS v2,
+           CAST(SUM(length(n_name)) AS BIGINT) AS v3
+    FROM nation
+    UNION ALL
+    SELECT 'b02', CAST(COUNT(*) AS BIGINT), CAST(SUM(l_orderkey) AS BIGINT),
+           CAST(SUM(l_linenumber) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'b03', CAST(COUNT(*) AS BIGINT), CAST(SUM(event_id) AS BIGINT),
+           CAST(SUM(length(props)) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'b04', CAST(COUNT(*) AS BIGINT), CAST(SUM(length(text)) AS BIGINT),
+           CAST(0 AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'b05', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_nationkey) AS BIGINT),
+           CAST(SUM(length(n_name)) AS BIGINT)
+    FROM nation
+    UNION ALL
+    SELECT 'b06', CAST(3 AS BIGINT), CAST(6 AS BIGINT), CAST(14 AS BIGINT)
+    UNION ALL
+    SELECT 'b07', CAST(COUNT(*) AS BIGINT), CAST(SUM(o_orderkey) AS BIGINT),
+           CAST(SUM(length(o_orderstatus)) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'b08', CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+    """
+
+    @query(
+        "a_b01_b08_sources",
+        oracle=oracle,
+        tags=("B1", "B2", "B3", "B4", "B5", "B6", "B7", "B8", "canonical"),
+    )
+    def a_b01_b08_sources(spark, sf_dir):
+        z_big = F.lit(0).cast(_BIG)
+
+        def leg(op, df, v1, v2, v3):
+            return df.agg(
+                v1.cast(_BIG).alias("v1"),
+                v2.cast(_BIG).alias("v2"),
+                v3.cast(_BIG).alias("v3"),
+            ).select(F.lit(op).alias("op"), "v1", "v2", "v3")
+
+        cnt = F.count(F.lit(1))
+        parts = [
+            leg(
+                "b01",
+                _fn("b01_csv_scan")(spark, sf_dir),
+                cnt,
+                F.sum("n_nationkey"),
+                F.sum(F.length("n_name")),
+            ),
+            leg(
+                "b02",
+                _fn("b02_parquet_scan")(spark, sf_dir),
+                cnt,
+                F.sum("l_orderkey"),
+                F.sum("l_linenumber"),
+            ),
+            leg(
+                "b03",
+                _fn("b03_json_scan")(spark, sf_dir),
+                cnt,
+                F.sum("event_id"),
+                F.sum(F.length("props")),
+            ),
+            leg(
+                "b04",
+                _fn("b04_text_scan")(spark, sf_dir),
+                cnt,
+                F.sum(F.length("value")),
+                F.lit(0),
+            ),
+            leg(
+                "b05",
+                _fn("b05_versioned_scan")(spark, sf_dir),
+                cnt,
+                F.sum("n_nationkey"),
+                F.sum(F.length("n_name")),
+            ),
+            leg(
+                "b06",
+                _fn("b06_inmemory")(spark, sf_dir),
+                cnt,
+                F.sum("id"),
+                F.sum(F.length("name")),
+            ),
+            leg(
+                "b07",
+                _fn("b07_parquet_roundtrip")(spark, sf_dir),
+                cnt,
+                F.sum("o_orderkey"),
+                F.sum(F.length("o_orderstatus")),
+            ),
+            leg(
+                "b08",
+                _fn("b08_chart_svg")(spark, sf_dir),
+                F.min(F.col("svg_ok").cast(_BIG)),
+                F.min(F.col("bars_ok").cast(_BIG)),
+                F.min(z_big),
+            ),
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        return out
+
+
 _register_aliases()
 _register_stream_windows()
 _register_stream_misc()
@@ -1308,3 +1461,5 @@ _register_scalar_merged()
 _register_shapes_udf_merged()
 _register_joins()
 _register_aggs()
+_register_distinct_sketches()
+_register_sources()

@@ -28,7 +28,7 @@ def test_window_covers_every_target_family():
     for n in sorted(REGISTRY)[:50]:
         fams.update(REGISTRY[n].tags)
     need = (
-        [f"B{i}" for i in range(9, 69)]
+        [f"B{i}" for i in range(1, 69)]
         + [f"C{i}" for i in range(1, 38)]
     )
     missing = [f for f in need if f not in fams]

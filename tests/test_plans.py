@@ -273,6 +273,7 @@ _CARTESIAN_OK = {
     "a_c29_c30_index_tfidf",
     "a_c34_c35_vocab_pmi",
     "a_b14_b21_joins",  # b18 leg is the deliberate cross join
+    "a_c19_c21_distinct_sketches",  # c19 leg's 1-row contract crossJoins
 }
 
 # streaming queries build their own plans per-trigger; excluded from the

@@ -851,7 +851,6 @@ def _register_windows_merged() -> None:
         tags=("B31", "B32", "B33", "B34", "canonical"),
     )
     def a_b31_b32_b33_b34_windows(spark, sf_dir):
-        z_big = F.lit(None).cast(_BIG)
         b31 = _fn("b31_b34_rank_topk")(spark, sf_dir).select(
             F.lit("b31").alias("op"),
             F.col("p_brand").alias("k1"),
@@ -874,7 +873,6 @@ def _register_windows_merged() -> None:
             F.col("prev_price").cast("double").alias("d1"),
             F.col("sliding_avg3").cast("double").alias("d2"),
         )
-        _ = z_big
         return b31.union(b32)
 
 
@@ -1359,6 +1357,8 @@ def _register_sources() -> None:
            CAST(SUM(length(n_name)) AS BIGINT)
     FROM nation
     UNION ALL
+    SELECT 'b05sql', CAST(1 AS BIGINT), CAST(99 AS BIGINT), CAST(7 AS BIGINT)
+    UNION ALL
     SELECT 'b06', CAST(3 AS BIGINT), CAST(6 AS BIGINT), CAST(14 AS BIGINT)
     UNION ALL
     SELECT 'b07', CAST(COUNT(*) AS BIGINT), CAST(SUM(o_orderkey) AS BIGINT),
@@ -1416,6 +1416,15 @@ def _register_sources() -> None:
             leg(
                 "b05",
                 _fn("b05_versioned_scan")(spark, sf_dir),
+                cnt,
+                F.sum("n_nationkey"),
+                F.sum(F.length("n_name")),
+            ),
+            leg(
+                # SQL time-travel (`FROM nation VERSION AS OF 'v2'` minus
+                # @v1): the diff row is exactly (99,'MUTATED',0).
+                "b05sql",
+                _fn("b05_version_as_of_sql")(spark, sf_dir),
                 cnt,
                 F.sum("n_nationkey"),
                 F.sum(F.length("n_name")),

@@ -67,12 +67,38 @@ _DRIVER_CONFS = {
 
 
 def ensure_driver_confs(spark: SparkSession) -> None:
-    """Apply the defensive session confs (idempotent, cheap)."""
+    """Apply the defensive session confs (idempotent, cheap).
+
+    Every oracle comparison depends on ansi=false / UTC / nanosAsLong
+    actually taking effect, so after setting each conf we read it back
+    and fail loudly (warn + collect) rather than silently running with
+    divergent semantics on a session where a conf is non-settable.
+    """
+    mismatched = []
     for k, v in _DRIVER_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
-            pass  # non-settable on some future Spark — best effort
+            pass  # non-settable on some future Spark — verified below
+        try:
+            effective = spark.conf.get(k)
+        except Exception:
+            effective = None
+        if effective != v:
+            mismatched.append((k, v, effective))
+    if mismatched:
+        import warnings
+
+        detail = "; ".join(
+            f"{k}: required {req!r}, effective {eff!r}"
+            for k, req, eff in mismatched
+        )
+        warnings.warn(
+            "ensure_driver_confs: session confs diverge from required "
+            f"oracle semantics — results may mismatch oracles: {detail}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:

@@ -31,14 +31,53 @@ from smallquery_spark.operators.rollup_table import (
 )
 from smallquery_spark.operators.skew import salted_aggregate, salted_join
 from smallquery_spark.queries.registry import query, t
+from smallquery_spark.queries.tmpdirs import prune_stale, register_cleanup
 
 _DEC = "decimal(18,2)"
 # Per-process workdir: concurrent harness/pytest runs must never race
 # on rmtree+rewrite of the same materialized path (same rule as the b68
 # per-run checkpoint). Within one process the cache still amortizes.
-_WORK = os.path.join(
-    tempfile.gettempdir(), f"smallquery_rollups_{os.getpid()}"
+# Removed at exit; stale siblings from crashed runs pruned by age.
+prune_stale("smallquery_rollups_")
+_WORK = register_cleanup(
+    os.path.join(tempfile.gettempdir(), f"smallquery_rollups_{os.getpid()}")
 )
+
+
+def _source_fingerprint(src: str) -> str:
+    """Cheap identity of a fixture file/dir: total size + max mtime_ns.
+    A regenerated fixture changes at least one of these, so a cached
+    rollup spanning a fixture regeneration is detected and rebuilt
+    instead of served stale (long-lived / pid-reused processes)."""
+    total, mtime = 0, 0
+    if os.path.isdir(src):
+        for root, _dirs, files in os.walk(src):
+            for f in files:
+                st = os.stat(os.path.join(root, f))
+                total += st.st_size
+                mtime = max(mtime, st.st_mtime_ns)
+    elif os.path.exists(src):
+        st = os.stat(src)
+        total, mtime = st.st_size, st.st_mtime_ns
+    return f"{total}:{mtime}"
+
+
+def _rollup_fresh(path: str, src: str) -> bool:
+    """True iff the materialized rollup at ``path`` exists AND was built
+    from the fixture currently at ``src`` (stamp match)."""
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        return False
+    stamp = os.path.join(path, "_fixture_stamp")
+    try:
+        with open(stamp) as fh:
+            return fh.read().strip() == _source_fingerprint(src)
+    except OSError:
+        return False
+
+
+def _stamp_rollup(path: str, src: str) -> None:
+    with open(os.path.join(path, "_fixture_stamp"), "w") as fh:
+        fh.write(_source_fingerprint(src))
 
 
 # ---------------------------------------------------------------------------
@@ -75,7 +114,11 @@ def c7_rollup_day_from_hour(spark, sf_dir):
     path = os.path.join(
         _WORK, os.path.basename(sf_dir.rstrip("/")), "events_hourly"
     )
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    src = os.path.join(sf_dir, "events.parquet")
+    if not _rollup_fresh(path, src):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
         materialize_rollup(
             t(spark, sf_dir, "events"),
             path,
@@ -84,6 +127,7 @@ def c7_rollup_day_from_hour(spark, sf_dir):
             dims=["event_type"],
             value_col="value",
         )
+        _stamp_rollup(path, src)
     daily = query_rollup(
         spark, path, regroup_bucket="1 day", dims=["event_type"]
     )

@@ -14,10 +14,13 @@ import tempfile
 from pyspark.sql import functions as F
 
 from smallquery_spark.queries.registry import query, t
+from smallquery_spark.queries.tmpdirs import prune_stale, register_cleanup
 
 # Per-process workdir — concurrent runs must not race on shared sinks.
-_WORK = os.path.join(
-    tempfile.gettempdir(), f"smallquery_sources_{os.getpid()}"
+# Removed at exit; stale siblings from crashed runs pruned by age.
+prune_stale("smallquery_sources_")
+_WORK = register_cleanup(
+    os.path.join(tempfile.gettempdir(), f"smallquery_sources_{os.getpid()}")
 )
 
 
@@ -443,6 +446,42 @@ def b05_version_diff(spark, sf_dir):
     v2 = cast(eng.table("nation", workspace="ws", version="v2"))
     v1 = cast(eng.table("nation", workspace="ws", version="v1"))
     return v2.exceptAll(v1)
+
+
+@query(
+    "b05_version_as_of_sql",
+    # Same two-commit diff as b05_version_diff, but expressed through
+    # SQL time-travel syntax (`FROM nation VERSION AS OF '<ref>'`,
+    # SURVEY §4.3's named follow-up): the engine pre-parse rewrite
+    # (engine.py:_rewrite_versioned_refs) resolves each ref through the
+    # git catalog (workspace.py:91-122) to a snapshot temp view before
+    # Catalyst sees the text — no Catalyst rule needed.
+    oracle="""
+    SELECT CAST(99 AS INT) AS n_nationkey, 'MUTATED' AS n_name,
+           CAST(0 AS INT) AS n_regionkey
+    """,
+    tags=("B5", "B41"),
+)
+def b05_version_as_of_sql(spark, sf_dir):
+    from smallquery_spark.engine import Engine
+
+    b05_versioned_scan(spark, sf_dir)  # ensure the git fixture exists
+    mount = _workdir(sf_dir, "workspaces")
+    eng = Engine(spark, workspace_mount=mount)
+    return eng.sql(
+        """
+        SELECT CAST(n_nationkey AS INT) AS n_nationkey,
+               n_name,
+               CAST(n_regionkey AS INT) AS n_regionkey
+        FROM nation VERSION AS OF 'v2'
+        EXCEPT ALL
+        SELECT CAST(n_nationkey AS INT) AS n_nationkey,
+               n_name,
+               CAST(n_regionkey AS INT) AS n_regionkey
+        FROM nation VERSION AS OF 'v1'
+        """,
+        workspace="ws",
+    )
 
 
 @query(

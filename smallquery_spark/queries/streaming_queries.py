@@ -351,11 +351,15 @@ def b58_stream_stateful(spark, sf_dir):
 def b59_foreach_batch(spark, sf_dir):
     import tempfile
 
-    out_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"smallquery_stream_sink_{os.getpid()}",
-        os.path.basename(sf_dir.rstrip("/")),
+    from smallquery_spark.queries.tmpdirs import prune_stale, register_cleanup
+
+    prune_stale("smallquery_stream_sink_")
+    root_dir = register_cleanup(
+        os.path.join(
+            tempfile.gettempdir(), f"smallquery_stream_sink_{os.getpid()}"
+        )
     )
+    out_dir = os.path.join(root_dir, os.path.basename(sf_dir.rstrip("/")))
     import shutil
 
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -653,9 +657,13 @@ def b68_state_store_reader(spark, sf_dir):
     """
     import tempfile
 
+    from smallquery_spark.queries.tmpdirs import prune_stale, register_cleanup
+
     # Per-run checkpoint dir: concurrent harness runs at the same scale
     # factor must never share (or half-overwrite) a state directory.
-    ckpt = tempfile.mkdtemp(prefix="smallquery_state_reader_")
+    # Removed at exit; stale dirs from crashed runs pruned by age.
+    prune_stale("smallquery_state_reader_")
+    ckpt = register_cleanup(tempfile.mkdtemp(prefix="smallquery_state_reader_"))
     sdf = events_stream(spark, sf_dir)
     agg = sdf.groupBy("user_id").agg(F.count("*").alias("n_events"))
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")

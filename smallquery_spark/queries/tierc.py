@@ -435,6 +435,14 @@ def c5_multimodal_decode(spark, sf_dir):
 # protobuf gate. In this container PIL is absent -> stub path.
 from smallquery_spark.operators.multimodal import have_pil as _have_pil
 
+# Latch the probe ONCE at import: both the oracle selection (below, at
+# decoration time) and the query body (at call time) read this constant,
+# so a mid-process PIL install can never desynchronize oracle and
+# implementation. decode_image_real runs in executor Python workers —
+# we assume driver and executors share one environment, which is true
+# in local mode and standard for uniformly-provisioned clusters.
+_PIL_AVAILABLE = _have_pil()
+
 _C5_GATED_ORACLE_PIL = """
     SELECT doc_id,
            CAST(doc_id % 64 + 8 AS INT) AS dec_width,
@@ -464,12 +472,12 @@ _C5_GATED_ORACLE_STUB = """
 
 @query(
     "c5_multimodal_decode_gated",
-    oracle=_C5_GATED_ORACLE_PIL if _have_pil() else _C5_GATED_ORACLE_STUB,
+    oracle=_C5_GATED_ORACLE_PIL if _PIL_AVAILABLE else _C5_GATED_ORACLE_STUB,
     tags=("C5",),
 )
 def c5_multimodal_decode_gated(spark, sf_dir):
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    if _have_pil():
+    if _PIL_AVAILABLE:
         from smallquery_spark.operators.multimodal import (
             attach_real_images,
             decode_image_real,

@@ -38,11 +38,15 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so a stale link from a previous fixture generation can't survive.
     import tempfile
 
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        f"smallquery_stream_src_{os.getpid()}",
-        os.path.basename(sf_dir.rstrip("/")),
+    from smallquery_spark.queries.tmpdirs import prune_stale, register_cleanup
+
+    prune_stale("smallquery_stream_src_")
+    stage_root = register_cleanup(
+        os.path.join(
+            tempfile.gettempdir(), f"smallquery_stream_src_{os.getpid()}"
+        )
     )
+    stage = os.path.join(stage_root, os.path.basename(sf_dir.rstrip("/")))
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
     if os.path.islink(link) or os.path.exists(link):

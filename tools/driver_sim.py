@@ -24,8 +24,9 @@ import sys
 from pyspark.sql import SparkSession
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+def build_driver_session() -> SparkSession:
+    """A deliberately driver-like session: Spark 4 defaults (ANSI ON),
+    none of this repo's session.py confs."""
     spark = (
         SparkSession.builder.appName("driver-sim")
         .master("local[8]")
@@ -36,7 +37,12 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
 
+
+def run_window(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
+    """Execute the driver's ~50-query canonical window on ``spark``;
+    return (name, error) for every red query (empty = all green)."""
     from smallquery_spark.queries import REGISTRY, load_all
 
     load_all()
@@ -49,6 +55,12 @@ def main() -> None:
             fails.append((n, str(exc).splitlines()[0][:150]))
             print("FAIL", n, fails[-1][1], flush=True)
     print(f"{len(names) - len(fails)}/{len(names)} ok under ANSI driver-like session")
+    return fails
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    fails = run_window(build_driver_session(), sf_dir)
     sys.exit(1 if fails else 0)
 
 

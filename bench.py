@@ -41,6 +41,10 @@ HEADLINE = [
     "c4_token_counts",
     "c10_prep_pipeline",
     "b51_stream_tumbling",
+    # Stateful-stream overhead tracking (VERDICT r3 item 8): the
+    # applyInPandasWithState pipeline and the state-store read-back.
+    "b58_stream_stateful",
+    "b68_state_store_reader",
 ]
 
 

@@ -1,0 +1,118 @@
+"""C2 MinHash-LSH recall/precision measurement at sf0.1 (VERDICT r3 item 6).
+
+Ground truth: exact n-gram Jaccard over all (size-prefiltered) pairs of
+the sf0.1 documents table (~5,000 docs → ~12.5M raw pairs — bounded,
+validation-only; the quadratic path exists precisely to grade the LSH
+path and never runs at production scale).
+
+Measured: ``minhash_lsh_pairs`` at several numHashTables settings.
+  recall    = |LSH-candidates ∩ truth| / |truth|
+  precision = after exact-Jaccard re-check of candidates (the production
+              pipeline always re-checks, so precision-after-verify is
+              what downstream sees; raw candidate precision is also
+              reported to price the re-check work).
+
+Usage: python -m tools.lsh_recall [sf_dir] [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+from smallquery_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    word_shingles,
+)
+from smallquery_spark.session import get_session
+
+THRESHOLD = 0.5
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else None
+    spark = get_session("lsh-recall")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = docs.count()
+
+    t0 = time.time()
+    truth = (
+        ngram_jaccard_pairs(docs, threshold=THRESHOLD)
+        .select("a_id", "b_id")
+        .cache()
+    )
+    n_truth = truth.count()
+    truth_sec = round(time.time() - t0, 3)
+
+    # exact shingle sets for the precision re-check
+    sh = docs.select("doc_id", word_shingles("text", 3).alias("s"))
+    a = sh.select(F.col("doc_id").alias("a_id"), F.col("s").alias("a_s"))
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("s").alias("b_s"))
+
+    runs = []
+    for n_tables in (4, 8, 16):
+        t0 = time.time()
+        cand = (
+            minhash_lsh_pairs(
+                docs, num_hash_tables=n_tables, jaccard_threshold=THRESHOLD
+            )
+            .select("a_id", "b_id")
+            .cache()
+        )
+        n_cand = cand.count()
+        lsh_sec = round(time.time() - t0, 3)
+
+        hits = cand.join(truth, ["a_id", "b_id"], "inner").count()
+        # exact re-check of candidates (production post-filter)
+        rechecked = (
+            cand.join(a, "a_id")
+            .join(b, "b_id")
+            .withColumn(
+                "j",
+                F.size(F.array_intersect("a_s", "b_s"))
+                / (
+                    F.size("a_s")
+                    + F.size("b_s")
+                    - F.size(F.array_intersect("a_s", "b_s"))
+                ),
+            )
+            .filter(F.col("j") >= THRESHOLD)
+            .count()
+        )
+        runs.append(
+            {
+                "num_hash_tables": n_tables,
+                "candidates": n_cand,
+                "lsh_sec": lsh_sec,
+                "recall": round(hits / n_truth, 4) if n_truth else None,
+                "precision_raw": round(hits / n_cand, 4) if n_cand else None,
+                "precision_after_recheck": round(rechecked / n_cand, 4)
+                if n_cand
+                else None,
+            }
+        )
+        cand.unpersist()
+        print(json.dumps(runs[-1]), file=sys.stderr, flush=True)
+
+    result = {
+        "sf_dir": sf_dir,
+        "n_docs": n_docs,
+        "jaccard_threshold": THRESHOLD,
+        "truth_pairs": n_truth,
+        "truth_sec": truth_sec,
+        "runs": runs,
+    }
+    print(json.dumps(result))
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(json.dumps(result) + "\n")
+
+
+if __name__ == "__main__":
+    main()

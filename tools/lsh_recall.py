@@ -31,7 +31,11 @@ from smallquery_spark.operators.dedup import (
 )
 from smallquery_spark.session import get_session
 
-THRESHOLD = 0.5
+# 0.5: the production near-dup cutoff (pairs are bimodal here: injected
+# near-dups sit at ~0.9 Jaccard, random word-soup pairs near 0 — easy).
+# 0.8: cuts THROUGH the near-dup cluster, so pairs sit close to the
+# threshold and bucket-collision recall is genuinely stressed.
+THRESHOLDS = (0.5, 0.8)
 
 
 def main() -> None:
@@ -39,15 +43,19 @@ def main() -> None:
     out_path = sys.argv[2] if len(sys.argv) > 2 else None
     spark = get_session("lsh-recall")
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # The exact ground-truth join is a theta join (a_id < b_id) → Spark
+    # plans a BroadcastNestedLoopJoin whose parallelism is the LEFT
+    # side's partition count; a single small parquet file reads as one
+    # partition and would serialize the whole quadratic check onto one
+    # core. Spread it across the machine first.
+    docs = docs.repartition(64).cache()
     n_docs = docs.count()
 
+    # One exact pass with Jaccard VALUES kept (min threshold of the
+    # operating points), filtered per threshold afterwards.
     t0 = time.time()
-    truth = (
-        ngram_jaccard_pairs(docs, threshold=THRESHOLD)
-        .select("a_id", "b_id")
-        .cache()
-    )
-    n_truth = truth.count()
+    truth_all = ngram_jaccard_pairs(docs, threshold=min(THRESHOLDS)).cache()
+    truth_all.count()
     truth_sec = round(time.time() - t0, 3)
 
     # exact shingle sets for the precision re-check
@@ -56,55 +64,63 @@ def main() -> None:
     b = sh.select(F.col("doc_id").alias("b_id"), F.col("s").alias("b_s"))
 
     runs = []
-    for n_tables in (4, 8, 16):
-        t0 = time.time()
-        cand = (
-            minhash_lsh_pairs(
-                docs, num_hash_tables=n_tables, jaccard_threshold=THRESHOLD
-            )
-            .select("a_id", "b_id")
-            .cache()
+    for threshold in THRESHOLDS:
+        truth = truth_all.filter(F.col("jaccard") >= threshold).select(
+            "a_id", "b_id"
         )
-        n_cand = cand.count()
-        lsh_sec = round(time.time() - t0, 3)
+        n_truth = truth.count()
+        for n_tables in (4, 8, 16):
+            t0 = time.time()
+            cand = (
+                minhash_lsh_pairs(
+                    docs, num_hash_tables=n_tables, jaccard_threshold=threshold
+                )
+                .select("a_id", "b_id")
+                .cache()
+            )
+            n_cand = cand.count()
+            lsh_sec = round(time.time() - t0, 3)
 
-        hits = cand.join(truth, ["a_id", "b_id"], "inner").count()
-        # exact re-check of candidates (production post-filter)
-        rechecked = (
-            cand.join(a, "a_id")
-            .join(b, "b_id")
-            .withColumn(
-                "j",
-                F.size(F.array_intersect("a_s", "b_s"))
-                / (
-                    F.size("a_s")
-                    + F.size("b_s")
-                    - F.size(F.array_intersect("a_s", "b_s"))
-                ),
+            hits = cand.join(truth, ["a_id", "b_id"], "inner").count()
+            # exact re-check of candidates (production post-filter)
+            rechecked = (
+                cand.join(a, "a_id")
+                .join(b, "b_id")
+                .withColumn(
+                    "j",
+                    F.size(F.array_intersect("a_s", "b_s"))
+                    / (
+                        F.size("a_s")
+                        + F.size("b_s")
+                        - F.size(F.array_intersect("a_s", "b_s"))
+                    ),
+                )
+                .filter(F.col("j") >= threshold)
+                .count()
             )
-            .filter(F.col("j") >= THRESHOLD)
-            .count()
-        )
-        runs.append(
-            {
-                "num_hash_tables": n_tables,
-                "candidates": n_cand,
-                "lsh_sec": lsh_sec,
-                "recall": round(hits / n_truth, 4) if n_truth else None,
-                "precision_raw": round(hits / n_cand, 4) if n_cand else None,
-                "precision_after_recheck": round(rechecked / n_cand, 4)
-                if n_cand
-                else None,
-            }
-        )
-        cand.unpersist()
-        print(json.dumps(runs[-1]), file=sys.stderr, flush=True)
+            runs.append(
+                {
+                    "threshold": threshold,
+                    "num_hash_tables": n_tables,
+                    "truth_pairs": n_truth,
+                    "candidates": n_cand,
+                    "lsh_sec": lsh_sec,
+                    "recall": round(hits / n_truth, 4) if n_truth else None,
+                    "precision_raw": round(hits / n_cand, 4)
+                    if n_cand
+                    else None,
+                    "precision_after_recheck": round(rechecked / n_cand, 4)
+                    if n_cand
+                    else None,
+                }
+            )
+            cand.unpersist()
+            print(json.dumps(runs[-1]), file=sys.stderr, flush=True)
 
     result = {
         "sf_dir": sf_dir,
         "n_docs": n_docs,
-        "jaccard_threshold": THRESHOLD,
-        "truth_pairs": n_truth,
+        "thresholds": list(THRESHOLDS),
         "truth_sec": truth_sec,
         "runs": runs,
     }

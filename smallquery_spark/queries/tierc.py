@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from smallquery_spark.functions.vectors import cosine, dot, l2_normalize, norm2
 from smallquery_spark.operators.dedup import (
+    banded_minhash_pairs,
     embedding_neardup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
@@ -112,6 +113,46 @@ def c2_minhash_lsh(spark, sf_dir):
     recall = hits / total if total else 1.0
     return spark.createDataFrame(
         [(recall >= 0.9, found > 0)], "recall_ok boolean, nonempty boolean"
+    )
+
+
+@query(
+    "c2_banded_minhash",
+    oracle="SELECT TRUE AS recall_ok, TRUE AS precision_ok, TRUE AS nonempty",
+    tags=("C2",),
+)
+def c2_banded_minhash(spark, sf_dir):
+    """Recall/precision contract for the native (b, r)=(8, 2) banded
+    MinHash (AND-composition — the 1B-doc path Spark ML's r=1
+    MinHashLSH can't express; see operators/dedup.banded_minhash_pairs).
+    Same provably-duplicate-bearing slice as c2_minhash_lsh. Precision
+    must be EXACTLY 1: the operator's final exact-Jaccard re-check makes
+    its output a subset of the ground-truth pairs by construction."""
+    all_docs = t(spark, sf_dir, "documents")
+    dup_groups = (
+        all_docs.groupBy("text")
+        .agg(F.min("doc_id").alias("gid"), F.count("*").alias("nc"))
+        .filter(F.col("nc") >= 2)
+        .orderBy("gid")
+        .limit(50)
+        .select("text")
+    )
+    dup_members = all_docs.join(F.broadcast(dup_groups), "text", "left_semi")
+    docs = dup_members.unionByName(
+        all_docs.filter(F.col("doc_id") < 200)
+    ).dropDuplicates(["doc_id"])
+    truth = ngram_jaccard_pairs(docs, threshold=0.5).select("a_id", "b_id")
+    cand = banded_minhash_pairs(
+        docs, bands=8, rows_per_band=2, threshold=0.5
+    ).select("a_id", "b_id")
+    hits = truth.join(cand, ["a_id", "b_id"], "left_semi").count()
+    total = truth.count()
+    found = cand.count()
+    recall = hits / total if total else 1.0
+    precision = hits / found if found else 1.0
+    return spark.createDataFrame(
+        [(recall >= 0.9, precision == 1.0, found > 0)],
+        "recall_ok boolean, precision_ok boolean, nonempty boolean",
     )
 
 

@@ -222,3 +222,47 @@ def test_cluster_dedup_partitions_the_slice(spark):
         .count()
     )
     assert sum(r["n_docs"] for r in rows) == n_slice
+
+
+# ---------------------------------------------------------------------------
+# banded (b, r) MinHash invariants
+# ---------------------------------------------------------------------------
+
+
+def test_banded_minhash_finds_dups_with_exact_precision(spark):
+    """Exact duplicates MUST collide in every band (identical shingle
+    sets → identical signatures), near-dups at ~0.9 Jaccard collide
+    with probability 1 - 1.7e-6 (deterministic given md5), and the
+    final exact re-check makes output ⊆ exact-Jaccard truth."""
+    from smallquery_spark.operators.dedup import (
+        banded_minhash_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    near = base.replace("lazy", "sleepy")  # 1 token of 14 changed
+    docs = [
+        (0, base),
+        (1, base),              # exact dup of 0
+        (2, near),              # near-dup of 0/1
+        (3, "completely different words about spark shuffle partitions and codegen stages"),
+        (4, "unrelated text mentioning parquet footers statistics and bloom filters here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in banded_minhash_pairs(df, threshold=0.5).collect()
+    }
+    truth = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    # exact dup always found, with jaccard exactly 1
+    assert got[(0, 1)] == 1.0
+    # strong near-dups found
+    assert (0, 2) in got and (1, 2) in got
+    # precision 1: every reported pair is a true >= 0.5 pair with the
+    # same exact jaccard value the quadratic reference computes
+    for pair, j in got.items():
+        assert pair in truth
+        assert abs(j - truth[pair]) < 1e-12

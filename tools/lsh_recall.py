@@ -25,6 +25,7 @@ import time
 from pyspark.sql import functions as F
 
 from smallquery_spark.operators.dedup import (
+    banded_minhash_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     word_shingles,
@@ -110,6 +111,36 @@ def main() -> None:
                     if n_cand
                     else None,
                     "precision_after_recheck": round(rechecked / n_cand, 4)
+                    if n_cand
+                    else None,
+                }
+            )
+            cand.unpersist()
+            print(json.dumps(runs[-1]), file=sys.stderr, flush=True)
+
+        # native (b, r)-banded MinHash at the same threshold. Its exact
+        # re-check makes precision 1.0 by construction; measured anyway.
+        for bands, r in ((8, 2), (16, 2), (8, 4)):
+            t0 = time.time()
+            cand = (
+                banded_minhash_pairs(
+                    docs, bands=bands, rows_per_band=r, threshold=threshold
+                )
+                .select("a_id", "b_id")
+                .cache()
+            )
+            n_cand = cand.count()
+            lsh_sec = round(time.time() - t0, 3)
+            hits = cand.join(truth, ["a_id", "b_id"], "inner").count()
+            runs.append(
+                {
+                    "threshold": threshold,
+                    "banded": f"b={bands},r={r}",
+                    "truth_pairs": n_truth,
+                    "candidates": n_cand,
+                    "lsh_sec": lsh_sec,
+                    "recall": round(hits / n_truth, 4) if n_truth else None,
+                    "precision_raw": round(hits / n_cand, 4)
                     if n_cand
                     else None,
                 }

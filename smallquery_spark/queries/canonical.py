@@ -51,7 +51,8 @@ _ALIASES: dict[str, tuple[str, tuple[str, ...]]] = {
     "a_b66_arrow_batch": ("b66_map_in_arrow", ()),
     "a_b68_state_reader": ("b68_state_store_reader", ()),
     "a_c01_exact_dedup": ("c1_exact_dedup", ()),
-    "a_c02_minhash_lsh": ("c2_minhash_lsh", ()),
+    # a_c02 is a two-leg combo (Spark-ML LSH + native banded MinHash),
+    # registered by _register_neardup_contracts below.
     "a_c03_ann_ivf": ("c3_ann_ivf", ()),
     "a_c05_multimodal_schema": ("c5_multimodal_schema", ()),
     "a_c06_embedding_ops": ("c6_embedding_ops", ()),
@@ -1457,7 +1458,36 @@ def _register_sources() -> None:
         return out
 
 
+def _register_neardup_contracts() -> None:
+    """a_c02: both C2 near-dup scale paths under one window row — the
+    Spark-ML MinHashLSH recall contract (c2_minhash_lsh) and the native
+    (b, r)-banded AND-composition contract (c2_banded_minhash, whose
+    `ok` folds recall ≥ 0.9 AND precision == 1.0)."""
+
+    @query(
+        "a_c02_minhash_lsh",
+        oracle=(
+            "SELECT 'banded' AS leg, TRUE AS ok, TRUE AS nonempty "
+            "UNION ALL SELECT 'lsh', TRUE, TRUE"
+        ),
+        tags=("C2", "canonical"),
+    )
+    def a_c02_minhash_lsh(spark, sf_dir):
+        lsh = _fn("c2_minhash_lsh")(spark, sf_dir).select(
+            F.lit("lsh").alias("leg"),
+            F.col("recall_ok").alias("ok"),
+            F.col("nonempty"),
+        )
+        banded = _fn("c2_banded_minhash")(spark, sf_dir).select(
+            F.lit("banded").alias("leg"),
+            (F.col("recall_ok") & F.col("precision_ok")).alias("ok"),
+            F.col("nonempty"),
+        )
+        return lsh.unionByName(banded)
+
+
 _register_aliases()
+_register_neardup_contracts()
 _register_stream_windows()
 _register_stream_misc()
 _register_pandas_udtf()

@@ -242,8 +242,13 @@ def _bucketed_tables(spark, sf_dir) -> tuple[str, str]:
     this sf_dir; returns (orders_table, lineitem_table)."""
     from smallquery_spark.operators.bucketing import write_bucketed
 
+    # pid-suffixed like every other scratch artifact: two concurrent
+    # processes (e.g. pytest + tools.check) share the default
+    # ./spark-warehouse, and racing rmtree+saveAsTable on one table
+    # name corrupts whichever loses. Tables are dropped at exit.
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    ot, lt = f"orders_bkt_{tag}", f"lineitem_bkt_{tag}"
+    pid = os.getpid()
+    ot, lt = f"orders_bkt_{tag}_{pid}", f"lineitem_bkt_{tag}_{pid}"
     for name, table in (("orders", ot), ("lineitem", lt)):
         if not spark.catalog.tableExists(table):
             # a previous session may have left the managed location on
@@ -256,7 +261,34 @@ def _bucketed_tables(spark, sf_dir) -> tuple[str, str]:
             shutil.rmtree(os.path.join(wh, table), ignore_errors=True)
             key = "o_orderkey" if name == "orders" else "l_orderkey"
             write_bucketed(t(spark, sf_dir, name), table, key, n_buckets=8)
+            # catalog entry dies with the in-memory metastore; the
+            # on-disk location would outlive us without this
+            register_cleanup(os.path.join(wh, table))
+            _prune_stale_warehouse(wh)
     return ot, lt
+
+
+def _prune_stale_warehouse(wh: str, max_age_hours: float = 24.0) -> None:
+    """Scavenge pid-suffixed bucketed-table dirs left by killed runs."""
+    import re
+    import time
+
+    cutoff = time.time() - max_age_hours * 3600.0
+    try:
+        entries = os.listdir(wh)
+    except OSError:
+        return
+    for name in entries:
+        if not re.match(r"(orders|lineitem)_bkt_.*_\d+$", name):
+            continue
+        full = os.path.join(wh, name)
+        try:
+            if os.path.isdir(full) and os.path.getmtime(full) < cutoff:
+                import shutil
+
+                shutil.rmtree(full, ignore_errors=True)
+        except OSError:
+            continue
 
 
 @query(

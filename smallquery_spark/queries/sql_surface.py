@@ -378,8 +378,15 @@ def s12_funnel(spark, sf_dir):
     "s13_retention_cohorts",
     oracle="""
     WITH weekly AS (
+      -- floor(day-diff / 7), NOT date_diff('week', ...): DuckDB's week
+      -- variant counts Monday-boundary crossings, which truncates
+      -- toward zero for events BEFORE the anchor while Spark's
+      -- floor(datediff/7) rounds down — off by one per negative
+      -- non-multiple week (caught by the generated-fixture check when
+      -- a generator bug put events in 1970).
       SELECT DISTINCT user_id,
-             date_diff('week', TIMESTAMP '1996-01-01', ts) AS wk
+             CAST(FLOOR(date_diff('day', DATE '1996-01-01',
+                                  CAST(ts AS DATE)) / 7.0) AS BIGINT) AS wk
       FROM events
     ), cohort AS (
       SELECT user_id, MIN(wk) AS wk0 FROM weekly GROUP BY user_id

@@ -197,7 +197,12 @@ def gen(sf: float, out: str) -> None:
 
     # events: 30-day span from 2024-01-01, ordered ts with jitter
     span_us = 30 * DAY_US
-    base = (np.datetime64("2024-01-01") - np.datetime64("1970-01-01")).astype(int) * 1_000_000
+    # datetime64[D] subtraction yields DAYS — scale by DAY_US (a prior
+    # *1e6 treated it as seconds and landed every event in 1970, which
+    # is how the gen-fixture check caught the s13 sign bug).
+    base = (
+        np.datetime64("2024-01-01") - np.datetime64("1970-01-01")
+    ).astype(int) * DAY_US
     ts = base + np.sort(rng.integers(0, span_us, n_ev))
     ks = rng.integers(0, 100, n_ev)
     write(

@@ -1,0 +1,160 @@
+"""Checkpoint-recovery contract for the streaming path (SURVEY §2
+B50/B54/B59; reference has no streaming — this is the Spark-first
+extension's own reliability bar).
+
+A production streaming job's crash story is: the process dies, a new
+process starts the SAME query against the SAME checkpoint location, and
+the pipeline must be no-loss AND no-duplicate. Two tests pin the two
+halves of that contract:
+
+1. ``test_file_sink_exactly_once_across_restart`` — source offsets.
+   A pass-through stream drains batch A into a parquet sink, stops,
+   batch B arrives, and a NEW query object resumes from the same
+   checkpoint. The sink (read through its ``_spark_metadata`` commit
+   log) must hold exactly A ∪ B — batch A neither reprocessed (offsets
+   recovered from the WAL) nor lost.
+
+2. ``test_stateful_agg_state_survives_restart`` — operator state.
+   An update-mode grouped count drains A, stops, resumes on B. The
+   final per-key counts must equal the batch ``groupBy`` over A ∪ B —
+   which can only happen if the state store's counts from A were
+   recovered and then incremented by B without rereading A. (If offsets
+   reset, counts double; if state reset, counts drop to B's share.)
+
+Both run with ``availableNow`` triggers — the deterministic
+stop-and-resume protocol; a real crash differs only in WHERE the stop
+happens, and the checkpoint WAL is written before each micro-batch
+commits, so mid-batch death replays at most one (idempotently
+committed) batch.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from smallquery_spark.queries.tmpdirs import register_cleanup
+
+
+def _write_batch(spark, src_dir: str, name: str, ids, etype: str) -> None:
+    rows = [(int(i), etype, float(i) / 10.0) for i in ids]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(src_dir, name))
+
+
+def _drain(sdf_writer):
+    q = sdf_writer.trigger(availableNow=True).start()
+    try:
+        q.awaitTermination(120)
+    finally:
+        if q.isActive:
+            q.stop()
+
+
+@pytest.fixture()
+def stream_dirs(tmp_path):
+    # tmp_path gives per-test isolation; register_cleanup bounds /tmp
+    # growth if pytest's own GC is skipped.
+    src = register_cleanup(str(tmp_path / "src"))
+    os.makedirs(src, exist_ok=True)
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    return src, ckpt, sink
+
+
+SCHEMA = "event_id long, event_type string, value double"
+
+
+def test_file_sink_exactly_once_across_restart(spark, stream_dirs):
+    src, ckpt, sink = stream_dirs
+    # Stage each batch as its own subdirectory-of-one-file so the file
+    # source sees distinct files arriving over time.
+    _write_batch(spark, src + "/a0", "x", range(0, 200), "click")
+    _write_batch(spark, src + "/a1", "x", range(200, 350), "view")
+
+    def reader():
+        return (
+            spark.readStream.schema(SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .format("parquet")
+            .load(src)
+        )
+
+    _drain(
+        reader()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+    )
+    got_a = spark.read.parquet(sink)
+    assert got_a.count() == 350
+
+    # "Crash": the first query object is gone. New data arrives.
+    _write_batch(spark, src + "/b0", "x", range(350, 500), "purchase")
+
+    # A brand-new query resumes from the same checkpoint.
+    _drain(
+        reader()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+    )
+
+    got = spark.read.parquet(sink)
+    # Exactly-once: every id 0..499 exactly once — no replay of A (the
+    # WAL recovered the processed-file offsets), no loss of B.
+    assert got.count() == 500
+    assert got.select("event_id").distinct().count() == 500
+    assert got.agg(F.sum("event_id")).collect()[0][0] == sum(range(500))
+
+
+def test_stateful_agg_state_survives_restart(spark, stream_dirs):
+    src, ckpt, _ = stream_dirs
+    _write_batch(spark, src + "/a0", "x", range(0, 120), "click")
+    _write_batch(spark, src + "/a1", "x", range(120, 200), "view")
+
+    captured: dict[str, int] = {}
+
+    def sink_batch(batch_df, _batch_id):
+        # update mode emits changed keys; keep the latest value per key.
+        for r in batch_df.collect():
+            captured[r["event_type"]] = r["n"]
+
+    def agg_stream():
+        s = (
+            spark.readStream.schema(SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .format("parquet")
+            .load(src)
+        )
+        return s.groupBy("event_type").agg(F.count("*").alias("n"))
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        _drain(
+            agg_stream()
+            .writeStream.foreachBatch(sink_batch)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+        )
+        assert captured == {"click": 120, "view": 80}
+
+        # Crash + new data: clicks in B must INCREMENT the recovered
+        # state-store count, not restart from zero or double-count A.
+        _write_batch(spark, src + "/b0", "x", range(200, 260), "click")
+        _write_batch(spark, src + "/b1", "x", range(260, 300), "purchase")
+        _drain(
+            agg_stream()
+            .writeStream.foreachBatch(sink_batch)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    assert captured == {"click": 180, "view": 80, "purchase": 40}

@@ -32,7 +32,12 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ensure_driver_confs(spark)
-    path = os.path.join(sf_dir, "events.parquet")
+    # abspath: the symlink target below is resolved relative to the
+    # LINK's directory, not the caller's cwd — a relative sf_dir would
+    # stage a dangling link and the file source would silently list
+    # zero files (batch runs still work because spark.read resolves
+    # against cwd, so only the stream goes quietly empty).
+    path = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
     # File stream sources read directories; stage one with a symlink to
     # the fixture file (testdata itself is read-only). Re-link each call
     # so a stale link from a previous fixture generation can't survive.
@@ -52,6 +57,10 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if os.path.islink(link) or os.path.exists(link):
         os.unlink(link)
     os.symlink(path, link)
+    if not os.path.exists(link):  # exists() follows the link
+        raise FileNotFoundError(
+            f"staged stream source is a dangling link: {link} -> {path}"
+        )
     schema = spark.read.parquet(path).schema
     sdf = spark.readStream.schema(schema).format("parquet").load(stage)
     return normalize_events_ts(sdf)

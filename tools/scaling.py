@@ -1,18 +1,22 @@
-"""Scaling-curve runner: time a query set at two fixture scales.
+"""Scaling-curve runner: time a query set at N fixture scales.
 
 Usage:
-    python -m tools.scaling SMALL_DIR BIG_DIR [out.json]
+    python -m tools.scaling DIR1 DIR2 [DIR3 ...] [--out out.json]
 
 Runs the bench headline set plus the heavy composite operators
 (connected components, MinHash-LSH, k-means, sequence packing,
-cluster-level dedup) at BOTH dirs — two runs each, min taken, same
-protocol as bench.py — and prints per-query wall times and the
-big/small ratio. Both dirs should come from tools.gen_fixtures so the
-ratio is apples-to-apples (same generator, same distributions).
+cluster-level dedup) at EVERY dir — two runs each, min taken, same
+protocol as bench.py — and prints per-query wall times plus each dir's
+ratio to the smallest dir. Dirs should be listed smallest-first and all
+come from tools.gen_fixtures so ratios are apples-to-apples (same
+generator, same distributions).
 
-At gen1/gen0.1 the row ratio is 10x; a wall-time ratio <= ~12x means
-near-linear scaling on local[32]. Super-linear queries are the ones to
-investigate before any 100x claim.
+With three decades (gen0.1 / gen1 / gen10, row ratios 1:10:100) the
+curve separates fixed overhead from data-proportional work far better
+than a single 2-point ratio: a query that is truly linear shows its
+second-decade ratio approaching 10x as overhead amortizes, while a
+super-linear one accelerates. Those are the ones to fix before any
+100x claim.
 """
 
 from __future__ import annotations
@@ -49,37 +53,47 @@ def time_set(spark, names, sf_dir):
 
 
 def main() -> None:
-    small, big = sys.argv[1], sys.argv[2]
-    out_path = sys.argv[3] if len(sys.argv) > 3 else None
+    argv = sys.argv[1:]
+    out_path = None
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    dirs = argv
+    if len(dirs) < 2:
+        raise SystemExit("need at least two fixture dirs, smallest first")
+
     load_all()
     names = [n for n in HEADLINE + COMPOSITES if n in REGISTRY]
     spark = get_session("smallquery-scaling")
     spark.range(1).count()
 
-    # Order: small, big, small-again. The first small pass runs on a
-    # colder JVM than the big pass (codegen caches, JIT, GC sizing);
-    # taking the min over the two small passes removes that asymmetry
-    # from the ratio.
-    print(f"== small: {small}", file=sys.stderr, flush=True)
-    t_small1 = time_set(spark, names, small)
-    print(f"== big: {big}", file=sys.stderr, flush=True)
-    t_big = time_set(spark, names, big)
-    print(f"== small (2nd pass): {small}", file=sys.stderr, flush=True)
-    t_small2 = time_set(spark, names, small)
-    t_small = {n: min(t_small1[n], t_small2[n]) for n in names}
-
-    ratios = {
-        n: (round(t_big[n] / t_small[n], 2) if t_small[n] > 0 else None)
-        for n in names
+    # Order: smallest .. largest, then smallest again. The first pass
+    # runs on a colder JVM than the rest (codegen caches, JIT, GC
+    # sizing); taking the min over the two smallest-dir passes removes
+    # that asymmetry from every ratio.
+    times: dict[str, dict[str, float]] = {}
+    for d in dirs:
+        print(f"== {d}", file=sys.stderr, flush=True)
+        times[d] = time_set(spark, names, d)
+    print(f"== {dirs[0]} (2nd pass)", file=sys.stderr, flush=True)
+    t0_again = time_set(spark, names, dirs[0])
+    times[dirs[0]] = {
+        n: min(times[dirs[0]][n], t0_again[n]) for n in names
     }
+
+    base = times[dirs[0]]
     result = {
-        "small_dir": small,
-        "big_dir": big,
-        "small_sec": t_small,
-        "big_sec": t_big,
-        "ratio": ratios,
-        "total_small": round(sum(t_small.values()), 3),
-        "total_big": round(sum(t_big.values()), 3),
+        "dirs": dirs,
+        "sec": times,
+        "ratio_to_smallest": {
+            d: {
+                n: (round(times[d][n] / base[n], 2) if base[n] > 0 else None)
+                for n in names
+            }
+            for d in dirs[1:]
+        },
+        "totals": {d: round(sum(times[d].values()), 3) for d in dirs},
     }
     line = json.dumps(result)
     print(line)

@@ -1335,7 +1335,12 @@ def _register_sources() -> None:
     runs the ORIGINAL side-effecting query and reduces its result to
     (count, key-sum, length-sum) integrity sums the oracle computes
     directly from the source tables — corruption anywhere in the
-    write/read path breaks a sum."""
+    write/read path breaks a sum. Three legs additionally emit
+    ROW-LEVEL values over a deterministic key-modulus sample
+    ('b02r'/'b03r'/'b07r': ~0.5% of lineitem/events/orders), so the
+    window hash carries actual cell values through the parquet, JSON,
+    and write-read-back paths — per-row fidelity, not just sums (the
+    integrity triples alone would miss compensating corruptions)."""
     oracle = """
     SELECT 'b01' AS op, CAST(COUNT(*) AS BIGINT) AS v1,
            CAST(SUM(n_nationkey) AS BIGINT) AS v2,
@@ -1367,6 +1372,20 @@ def _register_sources() -> None:
     FROM orders
     UNION ALL
     SELECT 'b08', CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 'b02r', CAST(l_orderkey * 10 + l_linenumber AS BIGINT),
+           CAST(l_quantity AS BIGINT), CAST(l_orderkey % 97 AS BIGINT)
+    FROM lineitem WHERE l_orderkey % 199 = 0
+    UNION ALL
+    SELECT 'b03r', CAST(event_id AS BIGINT), CAST(user_id AS BIGINT),
+           CAST(ascii(event_type) * 1000 + length(props) AS BIGINT)
+    FROM events WHERE event_id % 499 = 0
+    UNION ALL
+    SELECT 'b07r', CAST(o_orderkey AS BIGINT),
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+           CAST(ascii(o_orderstatus) * 1000 + length(o_orderpriority)
+                AS BIGINT)
+    FROM orders WHERE o_orderkey % 199 = 0
     """
 
     @query(
@@ -1385,6 +1404,14 @@ def _register_sources() -> None:
             ).select(F.lit(op).alias("op"), "v1", "v2", "v3")
 
         cnt = F.count(F.lit(1))
+        # Each source query is invoked ONCE and its DataFrame shared by
+        # the integrity leg and the row-level sample leg: b07's write is
+        # an eager side effect at call time, so a second call would
+        # overwrite the directory the first leg's (already-listed) scan
+        # points at and the union would fail mid-execution.
+        b02df = _fn("b02_parquet_scan")(spark, sf_dir)
+        b03df = _fn("b03_json_scan")(spark, sf_dir)
+        b07df = _fn("b07_parquet_roundtrip")(spark, sf_dir)
         parts = [
             leg(
                 "b01",
@@ -1395,14 +1422,14 @@ def _register_sources() -> None:
             ),
             leg(
                 "b02",
-                _fn("b02_parquet_scan")(spark, sf_dir),
+                b02df,
                 cnt,
                 F.sum("l_orderkey"),
                 F.sum("l_linenumber"),
             ),
             leg(
                 "b03",
-                _fn("b03_json_scan")(spark, sf_dir),
+                b03df,
                 cnt,
                 F.sum("event_id"),
                 F.sum(F.length("props")),
@@ -1439,7 +1466,7 @@ def _register_sources() -> None:
             ),
             leg(
                 "b07",
-                _fn("b07_parquet_roundtrip")(spark, sf_dir),
+                b07df,
                 cnt,
                 F.sum("o_orderkey"),
                 F.sum(F.length("o_orderstatus")),
@@ -1450,6 +1477,42 @@ def _register_sources() -> None:
                 F.min(F.col("svg_ok").cast(_BIG)),
                 F.min(F.col("bars_ok").cast(_BIG)),
                 F.min(z_big),
+            ),
+            # Row-level sample legs: the same ORIGINAL queries, but a
+            # deterministic ~0.5% key-modulus slice carried as raw cell
+            # values — the window hash sees actual data that traversed
+            # the parquet scan, JSON round-trip, and write-read-back.
+            b02df.filter(F.col("l_orderkey") % 199 == 0)
+            .select(
+                F.lit("b02r").alias("op"),
+                (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+                .cast(_BIG)
+                .alias("v1"),
+                F.col("l_quantity").cast(_BIG).alias("v2"),
+                (F.col("l_orderkey") % 97).cast(_BIG).alias("v3"),
+            ),
+            b03df.filter(F.col("event_id") % 499 == 0)
+            .select(
+                F.lit("b03r").alias("op"),
+                F.col("event_id").cast(_BIG).alias("v1"),
+                F.col("user_id").cast(_BIG).alias("v2"),
+                (F.ascii("event_type") * 1000 + F.length("props"))
+                .cast(_BIG)
+                .alias("v3"),
+            ),
+            b07df.filter(F.col("o_orderkey") % 199 == 0)
+            .select(
+                F.lit("b07r").alias("op"),
+                F.col("o_orderkey").cast(_BIG).alias("v1"),
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast(_BIG)
+                .alias("v2"),
+                (
+                    F.ascii("o_orderstatus") * 1000
+                    + F.length("o_orderpriority")
+                )
+                .cast(_BIG)
+                .alias("v3"),
             ),
         ]
         out = parts[0]

@@ -42,22 +42,151 @@ def bpe_ish_token_count(text: Column | str) -> Column:
     )
 
 
+def _text_counts_udf():
+    """Arrow-vectorized struct UDF computing the four INTEGER counts the
+    quality features derive from: n_chars, n_tokens, n_punct, n_stop.
+
+    Why a pandas UDF for counts only: the pure-expression version is
+    re-evaluated wherever Catalyst inlines it — a filter on
+    quality_score pushed below the feature projection duplicates the
+    tokenizing split() up to 9x per row and the interpreted
+    stopword-filter lambda 2x (measured: 17s for 500k docs at gen-sf10).
+    Catalyst extracts Python UDFs into one ArrowEvalPython node, so the
+    counts are computed exactly once, vectorized. Every FLOAT (ratios,
+    quality_score) stays a Catalyst expression over these ints —
+    bit-for-bit identical to the previous plan and to the oracles.
+
+    Parity notes (must match Spark's JVM semantics exactly):
+    - tokens: split(trim(lower(text)), '\\s+') — Java \\s is ASCII-only
+      and trim strips ' ' only, hence re.ASCII and strip(' ').
+    - n_punct: length - length(regexp_replace(text, '[^\\w\\s]', ''))
+      with Java ASCII \\w — re.ASCII again (CJK chars count as punct on
+      both engines, and in DuckDB's RE2 oracle).
+    - counts are Spark INT (length/size return int32).
+    """
+    import re
+
+    import pandas as pd
+
+    stop = frozenset(w for ws in LANG_MARKERS.values() for w in ws)
+    ws_re = re.compile(r"\s+", re.ASCII)
+    punct_re = re.compile(r"[^\w\s]", re.ASCII)
+
+    def counts(text):
+        n_chars, n_toks, n_punct, n_stop = [], [], [], []
+        for s in text:
+            if s is None:
+                n_chars.append(None)
+                n_toks.append(None)
+                n_punct.append(None)
+                n_stop.append(None)
+                continue
+            toks = ws_re.split(s.lower().strip(" "))
+            n_chars.append(len(s))
+            n_toks.append(len(toks))
+            n_punct.append(len(s) - len(punct_re.sub("", s)))
+            n_stop.append(sum(1 for w in toks if w in stop))
+        return pd.DataFrame(
+            {
+                "n_chars": pd.array(n_chars, dtype="Int32"),
+                "n_tokens": pd.array(n_toks, dtype="Int32"),
+                "n_punct": pd.array(n_punct, dtype="Int32"),
+                "n_stop": pd.array(n_stop, dtype="Int32"),
+            }
+        )
+
+    counts.__annotations__ = {"text": pd.Series, "return": pd.DataFrame}
+    # asNondeterministic: the function IS deterministic, but the flag
+    # stops PushPredicateThroughProject from substituting the UDF call
+    # into downstream filter conditions — without it a quality filter
+    # makes Catalyst evaluate the UDF twice (one ArrowEvalPython below
+    # the filter, another for the surviving projection).
+    return F.pandas_udf(
+        counts,
+        "struct<n_chars: int, n_tokens: int, n_punct: int, n_stop: int>",
+    ).asNondeterministic()
+
+
+def _text_profile_udf():
+    """One-pass variant of _text_counts_udf that also emits the
+    sorted-distinct-token md5 fingerprint (see fingerprint() for the
+    parity argument). Pipelines that need both (c10/c31) tokenize and
+    Arrow-transfer each document ONCE instead of twice."""
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    stop = frozenset(w for ws in LANG_MARKERS.values() for w in ws)
+    ws_re = re.compile(r"\s+", re.ASCII)
+    punct_re = re.compile(r"[^\w\s]", re.ASCII)
+
+    def profile(text):
+        n_chars, n_toks, n_punct, n_stop, fps = [], [], [], [], []
+        for s in text:
+            if s is None:
+                n_chars.append(None)
+                n_toks.append(None)
+                n_punct.append(None)
+                n_stop.append(None)
+                fps.append(None)
+                continue
+            toks = ws_re.split(s.lower().strip(" "))
+            n_chars.append(len(s))
+            n_toks.append(len(toks))
+            n_punct.append(len(s) - len(punct_re.sub("", s)))
+            n_stop.append(sum(1 for w in toks if w in stop))
+            fps.append(
+                hashlib.md5(
+                    " ".join(sorted(set(toks))).encode("utf-8")
+                ).hexdigest()
+            )
+        return pd.DataFrame(
+            {
+                "n_chars": pd.array(n_chars, dtype="Int32"),
+                "n_tokens": pd.array(n_toks, dtype="Int32"),
+                "n_punct": pd.array(n_punct, dtype="Int32"),
+                "n_stop": pd.array(n_stop, dtype="Int32"),
+                "fingerprint": fps,
+            }
+        )
+
+    profile.__annotations__ = {"text": pd.Series, "return": pd.DataFrame}
+    # asNondeterministic: see _text_counts_udf — single-evaluation pin.
+    return F.pandas_udf(
+        profile,
+        "struct<n_chars: int, n_tokens: int, n_punct: int, n_stop: int,"
+        " fingerprint: string>",
+    ).asNondeterministic()
+
+
 def quality_features(
-    df: DataFrame, text_col: str = "text"
+    df: DataFrame, text_col: str = "text", with_fingerprint: bool = False
 ) -> DataFrame:
     """Append length / token / punctuation / stopword-ratio features and
-    a composite quality score in [0, 1]."""
-    c = F.col(text_col)
-    toks = tokens(text_col)
-    n_tok = F.size(toks)
-    stop = F.array([F.lit(w) for ws in LANG_MARKERS.values() for w in ws])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
-    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
-    avg_word = (F.length(c) - (n_tok - 1)) / n_tok
+    a composite quality score in [0, 1]; with_fingerprint=True also
+    appends the near-dup fingerprint from the SAME tokenization pass.
+
+    Integer counts come from one Arrow-vectorized pass (see
+    _text_counts_udf for why); every derived float below is the same
+    Catalyst expression as always, so results are bit-identical to the
+    pure-expression formulation."""
+    if with_fingerprint:
+        tc = _text_profile_udf()(F.col(text_col))
+    else:
+        tc = _text_counts_udf()(F.col(text_col))
+    df = df.withColumn("__tc", tc)
+    n_chars = F.col("__tc.n_chars")
+    n_tok = F.col("__tc.n_tokens")
+    n_punct = F.col("__tc.n_punct")
+    n_stop = F.col("__tc.n_stop")
+    avg_word = (n_chars - (n_tok - 1)) / n_tok
+    if with_fingerprint:
+        df = df.withColumn("fingerprint", F.col("__tc.fingerprint"))
     return (
-        df.withColumn("n_chars_m", F.length(c))
+        df.withColumn("n_chars_m", n_chars)
         .withColumn("n_tokens", n_tok)
-        .withColumn("punct_ratio", n_punct / F.greatest(F.length(c), F.lit(1)))
+        .withColumn("punct_ratio", n_punct / F.greatest(n_chars, F.lit(1)))
         .withColumn("stopword_ratio", n_stop / F.greatest(n_tok, F.lit(1)))
         .withColumn("avg_word_len", avg_word)
         .withColumn(
@@ -72,6 +201,7 @@ def quality_features(
                 ),
             ),
         )
+        .drop("__tc")
     )
 
 
@@ -105,14 +235,37 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Order-insensitive document fingerprint: md5 of the sorted distinct
-    token set (robust to token shuffling — catches permuted near-dups)."""
+    token set (robust to token shuffling — catches permuted near-dups).
+
+    Arrow-vectorized for the same reason as _text_counts_udf: the
+    tokenize -> distinct -> sort -> md5 chain is interpreted per element
+    as built-in higher-order expressions and gets re-inlined wherever
+    the fingerprint column is referenced. Parity: same ASCII-\\s
+    tokenization; Python sorted() on str equals Spark's array_sort
+    (UTF-8 byte order preserves codepoint order); md5 hex is lowercase
+    on both; set() == array_distinct since order is re-sorted anyway.
+    """
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    ws_re = re.compile(r"\s+", re.ASCII)
+
+    def fp(text):
+        out = []
+        for s in text:
+            if s is None:
+                out.append(None)
+                continue
+            toks = sorted(set(ws_re.split(s.lower().strip(" "))))
+            out.append(hashlib.md5(" ".join(toks).encode("utf-8")).hexdigest())
+        return pd.Series(out)
+
+    fp.__annotations__ = {"text": pd.Series, "return": pd.Series}
     return df.withColumn(
         "fingerprint",
-        F.md5(
-            F.array_join(
-                F.array_sort(F.array_distinct(tokens(text_col))), " "
-            )
-        ),
+        F.pandas_udf(fp, "string").asNondeterministic()(F.col(text_col)),
     )
 
 

@@ -126,12 +126,72 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+_SCAN_SPLIT_CACHE: dict[tuple[str, int, int], tuple[int, int]] = {}
+
+
+def _effective_splits(path: str) -> tuple[int, int]:
+    """(splittable task count, row count) for a parquet file.
+
+    Spark assigns byte-range splits, but a range only yields rows if it
+    contains a row-group START — so the real upper bound on scan
+    parallelism is the row-group count, not size/maxPartitionBytes.
+    The driver fixtures are single-file, SINGLE-ROW-GROUP parquet
+    (sf0.1 lineitem: 600k rows, 1 row group), which silently serializes
+    every scan onto one task no matter the core count. Returns (0, 0)
+    when unknown (dir-backed tables, unreadable footer)."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return (0, 0)
+    key = (path, st.st_mtime_ns, st.st_size)
+    if key not in _SCAN_SPLIT_CACHE:
+        try:
+            import pyarrow.parquet as pq
+
+            md = pq.ParquetFile(path).metadata
+            _SCAN_SPLIT_CACHE[key] = (md.num_row_groups, md.num_rows)
+        except Exception:
+            _SCAN_SPLIT_CACHE[key] = (0, 0)
+    return _SCAN_SPLIT_CACHE[key]
+
+
+# Below this many rows a table is treated as a dimension: the shuffle
+# is not worth it and broadcast plans handle it anyway.
+_REPARTITION_MIN_ROWS = 100_000
+
+# Only the wide-row tables that feed Arrow/pandas passes (text
+# profiling, vector math) get the unsplittable-file repartition.
+# Measured both ways at sf0.1/gen-sf10: for these, per-task Python
+# serialization dominates and fanning out is a ~4x win (8.0s -> 2.4s
+# for a profile pass over 500k docs); for numeric relational tables
+# the added round-robin exchange costs more than the single-task scan
+# it replaces (b17 broadcast join regressed 0.33s -> 0.94s at sf0.1).
+_REPARTITION_TABLES = {"documents", "embeddings"}
+
+
 def t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    """Load one fixture table (parquet scan — SURVEY B2)."""
+    """Load one fixture table (parquet scan — SURVEY B2).
+
+    Wide-row Python-pass tables (_REPARTITION_TABLES) stored as
+    single-row-group files get a round-robin repartition to the core
+    count: the file physically cannot be split (see _effective_splits),
+    so without it every downstream narrow stage — notably the
+    Arrow/pandas text-profile and vector passes — runs on ONE task.
+    This is a local-fixture artifact, not a scale posture: a 100 TB
+    table arrives as thousands of files/row groups and the branch never
+    triggers (condition: effective splits < half the cores). Filters
+    and column pruning still push through the repartition to the
+    scan."""
     ensure_driver_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    df = spark.read.parquet(path)
     if table == "events":
         df = normalize_events_ts(df)
+    if table in _REPARTITION_TABLES:
+        splits, n_rows = _effective_splits(path)
+        cpus = spark.sparkContext.defaultParallelism
+        if 0 < splits < max(cpus // 2, 2) and n_rows >= _REPARTITION_MIN_ROWS:
+            df = df.repartition(cpus)
     return df
 
 

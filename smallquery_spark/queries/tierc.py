@@ -656,25 +656,43 @@ def c10_prep_pipeline(spark, sf_dir):
     per-language corpus stats. Every stage is a narrow projection or a
     keyed shuffle (no collect, no Python loop) — at 100 TB the only
     wide ops are the two dedup shuffles and the final tiny aggregation,
-    and early quality filtering shrinks them first."""
+    and early quality filtering shrinks them first.
+
+    Shuffle-width hygiene: both digests (sha2 for exact dedup, token
+    fingerprint for near-dup) are computed in the narrow pre-shuffle
+    projection and the text column is DROPPED before the first window —
+    the dedup shuffles move ~80-byte rows (ids + two digests + two
+    ints), not document bodies. At 100 TB that is the difference
+    between shuffling the corpus twice and shuffling a fingerprint
+    table twice. (Deduping near-dups on survivors-of-exact equals
+    deduping on fingerprint keys directly because equal texts imply
+    equal fingerprints, but the two-stage form is kept: it mirrors the
+    declared C1 -> C2 pipeline and the oracle.)"""
     from pyspark.sql import Window
 
     d = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    q = quality_features(d)
+    q = quality_features(d, with_fingerprint=True)
     kept = q.filter((F.col("quality_score") >= 0.5) & (F.col("n_tokens") >= 10))
     # Shuffle-key hygiene (VERDICT r1): partition the exact-dedup window
     # by the 32-byte sha2 digest, not the full document text — same
     # asymptotics, far smaller shuffle keys at 100 TB (C1 does the same).
-    w_text = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    slim = kept.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "n_chars_m",
+        F.sha2(F.col("text"), 256).alias("__sha"),
+        "fingerprint",
+    )
+    w_text = Window.partitionBy("__sha").orderBy("doc_id")
     ex = (
-        kept.withColumn("__rn", F.row_number().over(w_text))
+        slim.withColumn("__rn", F.row_number().over(w_text))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
     w_fp = Window.partitionBy("fingerprint").orderBy("doc_id")
     nd = (
-        fingerprint(ex)
-        .withColumn("__rn", F.row_number().over(w_fp))
+        ex.withColumn("__rn", F.row_number().over(w_fp))
         .filter(F.col("__rn") == 1)
     )
     return nd.groupBy("lang").agg(

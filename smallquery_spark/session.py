@@ -29,6 +29,15 @@ _DEFAULTS = {
     # ANSI off matches classic Spark/TPC-H semantics (silent overflow/null
     # on bad casts) and DuckDB's permissive TRY-less reads of clean data.
     "spark.sql.ansi.enabled": "false",
+    # Scan-split sizing: Spark caps splits at max(openCostInBytes,
+    # totalBytes/defaultParallelism). The 4 MB openCost default was tuned
+    # for remote blob stores; on local NVMe/page-cache it forces a 57 MB
+    # file into 14 splits regardless of core count, starving the cores
+    # (measured: a pandas-UDF scan pass at gen-sf10 ran 8 s at 14 splits
+    # vs 2.4 s at 32). 1 MB lets the bytesPerCore term take over, so
+    # partitions self-tune to ~defaultParallelism. On a many-file cluster
+    # layout the same setting is a mild, safe open-cost estimate.
+    "spark.sql.files.openCostInBytes": str(1024 * 1024),
     # Quieter, faster local runs.
     "spark.ui.enabled": "false",
 }

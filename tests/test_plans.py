@@ -255,7 +255,6 @@ _CARTESIAN_OK = {
     "c32_bm25_retrieval",    # 1-row corpus-stats broadcasts (avgdl, n_docs)
     "c34_vocab_coverage",    # 1-row grand-total broadcast onto the top-50 vocab
     "c35_bigram_pmi",        # 1-row total-bigram-count broadcast
-    "c37_kmeans_embeddings", # k-row centroid broadcast (canonical k-means shape)
     "c2_embedding_neardup",  # bounded all-pairs baseline (vec_id < 400)
     "s01_scalar_subquery",   # 1-row scalar broadcast
     "s03_correlated_exists",

@@ -61,7 +61,13 @@ def _ts_ms_days(rng, n, start_days, span_days):
 
 
 def write(path, table):
-    pq.write_table(table, path, compression="snappy")
+    # Row-group sizing: Spark's scan parallelism is capped by row-group
+    # count (byte-range splits only yield rows at row-group starts), so
+    # a default single-row-group file serializes every scan onto one
+    # task. ~64 groups per table keeps any local[N] fully fed while
+    # staying far above the tiny-group regime that hurts compression.
+    rg = min(1 << 20, max(4096, len(table) // 64))
+    pq.write_table(table, path, compression="snappy", row_group_size=rg)
 
 
 def gen(sf: float, out: str) -> None:

@@ -20,7 +20,11 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from smallquery_spark.queries.registry import query, t
-from smallquery_spark.streaming import events_stream, run_to_df
+from smallquery_spark.streaming import (
+    events_stream,
+    run_to_df,
+    state_partitions_for,
+)
 
 _DEC = "decimal(18,2)"
 
@@ -318,7 +322,12 @@ def b58_stream_stateful(spark, sf_dir):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    df = run_to_df(out, "b58_state", output_mode="update")
+    df = run_to_df(
+        out,
+        "b58_state",
+        output_mode="update",
+        state_partitions=state_partitions_for(sf_dir),
+    )
     # one emission per (user, micro-batch); keep the final state per user.
     from pyspark.sql import Window as W
 
@@ -613,7 +622,12 @@ def b67_transform_with_state(spark, sf_dir):
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout,
             )
-        df = run_to_df(out, "b67_tws", output_mode="update")
+        df = run_to_df(
+            out,
+            "b67_tws",
+            output_mode="update",
+            state_partitions=state_partitions_for(sf_dir),
+        )
     finally:
         if old:
             spark.conf.set(provider_key, old)

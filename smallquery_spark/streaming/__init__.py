@@ -1,3 +1,7 @@
-from smallquery_spark.streaming.runner import events_stream, run_to_df
+from smallquery_spark.streaming.runner import (
+    events_stream,
+    run_to_df,
+    state_partitions_for,
+)
 
-__all__ = ["events_stream", "run_to_df"]
+__all__ = ["events_stream", "run_to_df", "state_partitions_for"]

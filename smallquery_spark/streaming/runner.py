@@ -66,6 +66,34 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_events_ts(sdf)
 
 
+def state_partitions_for(
+    sf_dir: str, default: int = 8, cap: int = 32
+) -> int:
+    """Size stateful-shuffle partitions to source volume.
+
+    Streaming state partitioning is fixed at checkpoint creation, so it
+    must be chosen up front: too few starves cores on big inputs (the
+    per-row Python state transitions of applyInPandasWithState are the
+    wall time), too many wastes a task + a RocksDB store per
+    near-empty partition at fixture scale. Production jobs set this
+    from key cardinality/throughput at job definition; here the events
+    fixture footer row count stands in for that knowledge.
+    """
+    try:
+        import pyarrow.parquet as pq
+
+        rows = pq.ParquetFile(
+            os.path.join(sf_dir, "events.parquet")
+        ).metadata.num_rows
+    except Exception:
+        return default
+    if rows >= 4_000_000:
+        return cap
+    if rows >= 1_000_000:
+        return max(16, default)
+    return default
+
+
 def run_to_df(
     sdf: DataFrame,
     name: str,

@@ -266,3 +266,78 @@ def test_banded_minhash_finds_dups_with_exact_precision(spark):
     for pair, j in got.items():
         assert pair in truth
         assert abs(j - truth[pair]) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Arrow-vectorized text pass: Python/JVM parity
+# ---------------------------------------------------------------------------
+
+
+def test_text_counts_udf_matches_jvm_expressions(spark):
+    """quality_features/fingerprint moved their per-doc integer counts
+    into an Arrow-vectorized pandas UDF for speed; this pins the
+    hand-argued parity contract against the original pure-expression
+    formulation on adversarial strings: Java's ASCII-only \\w and \\s,
+    trim() stripping ' ' only (not tabs/newlines), CJK counting as
+    punctuation on both sides, UTF-8 byte order == codepoint order for
+    the fingerprint's sorted token set, and empty-string tokenization
+    yielding one empty token."""
+    from smallquery_spark.operators.dedup import tokens
+    from smallquery_spark.operators.textstats import (
+        LANG_MARKERS,
+        fingerprint,
+        quality_features,
+    )
+
+    texts = [
+        "",                                  # empty -> [''] token
+        "   ",                               # spaces only
+        "\tthe and of\n",                    # tabs/newlines NOT trimmed by trim()
+        "the the the",                       # repeated stopwords
+        "Hello, World! 42 _underscore_",     # ASCII punct + \w edge (_)
+        "的 了 是 mixed 中文 tokens",          # CJK: punct for ASCII \w
+        "a b",                          # NBSP: not ASCII \s
+        "café naïve résumé",  # accented latin
+        "x " * 60,                           # long, trailing space
+        "UPPER lower MiXeD CaSe",
+        "semi;colon:and.dots...",
+        "zz yy xx ww vv uu tt ss rr qq pp oo",  # sort-order stress
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    got = {
+        r["doc_id"]: r
+        for r in fingerprint(quality_features(df)).collect()
+    }
+
+    # original pure-expression formulation (pre-vectorization)
+    c = F.col("text")
+    toks = tokens("text")
+    n_tok = F.size(toks)
+    stop = F.array([F.lit(w) for ws in LANG_MARKERS.values() for w in ws])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    want = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            F.length(c).alias("n_chars_m"),
+            n_tok.alias("n_tokens"),
+            (n_punct / F.greatest(F.length(c), F.lit(1))).alias("punct_ratio"),
+            (n_stop / F.greatest(n_tok, F.lit(1))).alias("stopword_ratio"),
+            F.md5(
+                F.array_join(F.array_sort(F.array_distinct(toks)), " ")
+            ).alias("fingerprint"),
+        ).collect()
+    }
+
+    assert set(got) == set(want)
+    for i in want:
+        g, w = got[i], want[i]
+        assert g["n_chars_m"] == w["n_chars_m"], texts[i]
+        assert g["n_tokens"] == w["n_tokens"], texts[i]
+        assert g["punct_ratio"] == w["punct_ratio"], texts[i]
+        assert g["stopword_ratio"] == w["stopword_ratio"], texts[i]
+        assert g["fingerprint"] == w["fingerprint"], texts[i]

@@ -58,6 +58,20 @@ def main() -> None:
     # Warm the JVM + parquet footers once (not timed): a trivial action.
     spark.range(1).count()
 
+    # Contention sentinel: a fixed no-op action timed before and after
+    # the query loop. Its cost is data-independent, so a high reading
+    # means THIS run was contended (another JVM on the box) and the
+    # per-query numbers carry that noise — readable from the JSON alone,
+    # no multi-run noise study needed (VERDICT r4 item 7; single-sample
+    # driver runs have produced 3-4σ outliers every round).
+    def _sentinel() -> float:
+        t0 = time.time()
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        return round(time.time() - t0, 3)
+
+    _sentinel()  # untimed: pay the one-time codegen for this plan shape
+    sentinel_before = _sentinel()
+
     # Two runs per query: run 1 pays Catalyst analysis + whole-stage
     # codegen compilation (one-time per plan shape), run 2 is the
     # steady-state execution a real workload sees. Report the min.
@@ -74,6 +88,7 @@ def main() -> None:
         cold[name] = per_run[0]
         timings[name] = min(per_run)
     total = round(sum(timings.values()), 3)
+    sentinel_after = _sentinel()
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
         json.dumps(
@@ -83,6 +98,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "cold_first_run": cold,
+                # Uncontended local[32] reference: ~0.05-0.15s. Readings
+                # several times that mean the run shared the box with
+                # other work; treat per-query outliers as noise first.
+                "sentinel_before_sec": sentinel_before,
+                "sentinel_after_sec": sentinel_after,
                 "sf": float(sf) if sf else None,
             }
         )

@@ -133,19 +133,38 @@ class Workspace:
         with self._lock:
             if os.path.isdir(dest) and os.listdir(dest):
                 return dest
-            tmp = dest + ".tmp"
+            # Unique tmp per process+thread: concurrent PROCESSES sharing
+            # a cache dir must never interleave extractions into one tmp
+            # path (and the loser of the publish race must not crash on
+            # rename-onto-nonempty-dir). Readers only ever see `dest`
+            # either absent or complete — os.rename is atomic.
+            tmp = f"{dest}.tmp.{os.getpid()}.{threading.get_ident()}"
             os.makedirs(tmp, exist_ok=True)
-            # `git archive | tar -x` materializes the tree without touching
-            # the repo's worktree/index — safe under concurrency.
-            archive = subprocess.run(
-                ["git", "-C", self.repo_dir, "archive", commit],
-                capture_output=True,
-                check=True,
-            )
-            subprocess.run(
-                ["tar", "-x", "-C", tmp], input=archive.stdout, check=True
-            )
-            os.rename(tmp, dest)
+            try:
+                # `git archive | tar -x` materializes the tree without
+                # touching the repo's worktree/index — safe under
+                # concurrency (a writer committing concurrently only
+                # moves refs; the commit object itself is immutable).
+                archive = subprocess.run(
+                    ["git", "-C", self.repo_dir, "archive", commit],
+                    capture_output=True,
+                    check=True,
+                )
+                subprocess.run(
+                    ["tar", "-x", "-C", tmp], input=archive.stdout, check=True
+                )
+                try:
+                    os.rename(tmp, dest)
+                except OSError:
+                    # another process published this commit first — its
+                    # snapshot is identical (content-addressed by commit)
+                    if not (os.path.isdir(dest) and os.listdir(dest)):
+                        raise
+            finally:
+                if os.path.isdir(tmp):
+                    import shutil
+
+                    shutil.rmtree(tmp, ignore_errors=True)
         return dest
 
     # -- reads (reference A3/A4, http_server.rs:249-265) -------------------

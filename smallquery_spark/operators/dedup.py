@@ -42,6 +42,24 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def py_word_shingles(s: str, n: int = 3) -> set[str]:
+    """Python mirror of :func:`word_shingles` (set semantics).
+
+    Used by the banded-MinHash signature UDF (band_keys below), whose
+    recall silently degrades if this drifts from the JVM tokenization
+    the exact re-check uses. Parity is pinned by
+    tests/test_dedup.py::test_py_shingles_match_jvm_word_shingles over
+    adversarial inputs (empty, <n tokens, NBSP, tabs, repeated spaces).
+    """
+    import re
+
+    ws_re = re.compile(r"\s+", re.ASCII)
+    toks = ws_re.split(s.lower().strip(" "))
+    return {
+        " ".join(toks[i : i + n]) for i in range(max(len(toks) - n, 0) + 1)
+    }
+
+
 def stable_token_hash(tok: Column) -> Column:
     """64-ish-bit stable hash from md5 (first 15 hex chars → bigint).
 
@@ -212,6 +230,78 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _banded_keys_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """(id, band, band-key) rows — the signature phase of the banded
+    scheme, factored out so tools/lsh_scale.py can time it separately
+    from the bucket join (the r4 verdict asked where the banded
+    constant factor goes)."""
+    import hashlib
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    br = bands * rows_per_band
+    prime = 2147483647  # 2^31 - 1; a*x+b < 2^62 — exact in int64
+    rnd = random.Random(1_000_003 * n + br)
+    a_perm = np.array(
+        [rnd.randrange(1, prime) for _ in range(br)], dtype="int64"
+    )
+    b_perm = np.array(
+        [rnd.randrange(0, prime) for _ in range(br)], dtype="int64"
+    )
+
+    def band_keys(text):
+        out = []
+        for s in text:
+            if s is None:
+                out.append(None)
+                continue
+            # parity with the JVM word_shingles() is pinned by test —
+            # the exact re-check uses the JVM sets, so any drift here
+            # silently costs recall, never precision.
+            shingles = py_word_shingles(s, n)
+            h = np.array(
+                [
+                    int(hashlib.md5(sg.encode("utf-8")).hexdigest()[:7], 16)
+                    for sg in shingles
+                ],
+                dtype="int64",
+            )
+            sig = ((a_perm[:, None] * h[None, :] + b_perm[:, None]) % prime).min(
+                axis=1
+            )
+            out.append(
+                [
+                    hashlib.md5(
+                        ",".join(
+                            str(v)
+                            for v in sig[
+                                j * rows_per_band : (j + 1) * rows_per_band
+                            ]
+                        ).encode("utf-8")
+                    ).hexdigest()
+                    for j in range(bands)
+                ]
+            )
+        return pd.Series(out)
+
+    band_keys.__annotations__ = {"text": pd.Series, "return": pd.Series}
+    keys_udf = F.pandas_udf(band_keys, "array<string>").asNondeterministic()
+
+    return df.select(
+        F.col(id_col),
+        F.posexplode(keys_udf(F.col(text_col))).alias("__band", "__bkey"),
+    )
+
+
 def banded_minhash_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -248,70 +338,17 @@ def banded_minhash_pairs(
        (relational, oracle-checkable — the correctness contract lives
        here, not in the hash family).
     """
-    import hashlib
-    import random
-    import re
-
-    import numpy as np
-    import pandas as pd
-
-    br = bands * rows_per_band
     sh = df.select(
         F.col(id_col), word_shingles(text_col, n).alias("__sh")
     ).filter(F.size("__sh") > 0)
 
-    prime = 2147483647  # 2^31 - 1; a*x+b < 2^62 — exact in int64
-    rnd = random.Random(1_000_003 * n + br)
-    a_perm = np.array(
-        [rnd.randrange(1, prime) for _ in range(br)], dtype="int64"
-    )
-    b_perm = np.array(
-        [rnd.randrange(0, prime) for _ in range(br)], dtype="int64"
-    )
-    ws_re = re.compile(r"\s+", re.ASCII)
-
-    def band_keys(text):
-        out = []
-        for s in text:
-            if s is None:
-                out.append(None)
-                continue
-            toks = ws_re.split(s.lower().strip(" "))
-            shingles = {
-                " ".join(toks[i : i + n])
-                for i in range(max(len(toks) - n, 0) + 1)
-            }
-            h = np.array(
-                [
-                    int(hashlib.md5(sg.encode("utf-8")).hexdigest()[:7], 16)
-                    for sg in shingles
-                ],
-                dtype="int64",
-            )
-            sig = ((a_perm[:, None] * h[None, :] + b_perm[:, None]) % prime).min(
-                axis=1
-            )
-            out.append(
-                [
-                    hashlib.md5(
-                        ",".join(
-                            str(v)
-                            for v in sig[
-                                j * rows_per_band : (j + 1) * rows_per_band
-                            ]
-                        ).encode("utf-8")
-                    ).hexdigest()
-                    for j in range(bands)
-                ]
-            )
-        return pd.Series(out)
-
-    band_keys.__annotations__ = {"text": pd.Series, "return": pd.Series}
-    keys_udf = F.pandas_udf(band_keys, "array<string>").asNondeterministic()
-
-    banded = df.select(
-        F.col(id_col),
-        F.posexplode(keys_udf(F.col(text_col))).alias("__band", "__bkey"),
+    banded = _banded_keys_df(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        n=n,
+        bands=bands,
+        rows_per_band=rows_per_band,
     )
     a = banded.select(
         F.col(id_col).alias("a_id"), F.col("__band"), F.col("__bkey")

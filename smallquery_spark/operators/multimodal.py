@@ -11,11 +11,14 @@ in, Arrow batches out, one Python worker per partition, which is the
 correct shape at 100 TB (no driver involvement, payload never shuffles
 unless a later op groups on it).
 
-The actual pixel/audio decode is STUBBED: codec libraries are not in
-this image. ``decode_image_stub`` produces a deterministic fake
-(width/height parsed from the synthetic payload header) so the plumbing
-— schema, batching, partition behavior — is fully real and tested; swap
-the stub body for PIL/ffmpeg in a real deployment.
+Image decode is REAL in every environment: PIL when importable, else
+the stdlib PNG codec (png_codec.py — zlib inflate + per-scanline
+de-filter; no third-party dependency), selected by ``codec_tier()``.
+Audio/video decode remains STUBBED (no stdlib codec exists):
+``decode_image_stub``/``audio_features_stub`` produce deterministic
+fakes so the plumbing — schema, batching, partition behavior — is fully
+real and tested; swap the stub body for ffmpeg/librosa in a real
+deployment.
 """
 
 from __future__ import annotations
@@ -43,6 +46,73 @@ def have_pil() -> bool:
         return True
     except ImportError:
         return False
+
+
+def codec_tier() -> str:
+    """Decode-capability tier: ``"pil"`` (any format, if PIL importable)
+    → ``"png"`` (stdlib zlib/struct codec, always available — see
+    png_codec.py) → never "stub" for images anymore. The stub tier
+    remains only for formats with no stdlib decode (audio/video)."""
+    return "pil" if have_pil() else "png"
+
+
+def attach_png_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """stdlib-codec twin of attach_real_images: payload is a REAL PNG
+    (solid gray, fill doc_id % 256, (id%64+8) x (id%48+6)) encoded by
+    png_codec.png_encode_gray in mapInPandas — same pixel contract as
+    the PIL path, so both share one closed-form oracle."""
+    from smallquery_spark.operators.png_codec import png_encode_gray
+
+    out_schema = IMAGE_SCHEMA
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                doc_id = int(doc_id)
+                w, h = doc_id % 64 + 8, doc_id % 48 + 6
+                payload = png_encode_gray(w, h, bytes([doc_id % 256]) * (w * h))
+                rows.append(
+                    (doc_id, "image/png", f"mem://img/{doc_id}", payload, w, h)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "mime", "uri", "payload", "width", "height"],
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(encode, schema=out_schema)
+
+
+def decode_image_png(df: DataFrame) -> DataFrame:
+    """stdlib-codec twin of decode_image_real: an ACTUAL pixel decode
+    (zlib inflate + de-filter) of the payload column, same output schema
+    (doc_id, dec_width, dec_height, n_bytes=pixel count, mean_pixel).
+    """
+    from smallquery_spark.operators.png_codec import png_decode
+
+    out_schema = (
+        "doc_id long, dec_width int, dec_height int, n_bytes long, mean_pixel double"
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, ch, raster = png_decode(bytes(payload))
+                n = w * h * ch
+                rows.append((doc_id, w, h, n, sum(raster) / n))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "dec_width",
+                    "dec_height",
+                    "n_bytes",
+                    "mean_pixel",
+                ],
+            )
+
+    return df.mapInPandas(decode, schema=out_schema)
 
 
 def attach_real_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -126,7 +126,11 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
-_SCAN_SPLIT_CACHE: dict[tuple[str, int, int], tuple[int, int]] = {}
+# Keyed by path; the value carries (mtime_ns, size) so a regenerated
+# fixture replaces its entry instead of stranding a stale one for the
+# process lifetime (the old (path, mtime, size) keying grew unbounded
+# across fixture regenerations).
+_SCAN_SPLIT_CACHE: dict[str, tuple[tuple[int, int], tuple[int, int]]] = {}
 
 
 def _effective_splits(path: str) -> tuple[int, int]:
@@ -143,16 +147,17 @@ def _effective_splits(path: str) -> tuple[int, int]:
         st = os.stat(path)
     except OSError:
         return (0, 0)
-    key = (path, st.st_mtime_ns, st.st_size)
-    if key not in _SCAN_SPLIT_CACHE:
+    stamp = (st.st_mtime_ns, st.st_size)
+    hit = _SCAN_SPLIT_CACHE.get(path)
+    if hit is None or hit[0] != stamp:
         try:
             import pyarrow.parquet as pq
 
             md = pq.ParquetFile(path).metadata
-            _SCAN_SPLIT_CACHE[key] = (md.num_row_groups, md.num_rows)
+            _SCAN_SPLIT_CACHE[path] = (stamp, (md.num_row_groups, md.num_rows))
         except Exception:
-            _SCAN_SPLIT_CACHE[key] = (0, 0)
-    return _SCAN_SPLIT_CACHE[key]
+            _SCAN_SPLIT_CACHE[path] = (stamp, (0, 0))
+    return _SCAN_SPLIT_CACHE[path][1]
 
 
 # Below this many rows a table is treated as a dimension: the shuffle

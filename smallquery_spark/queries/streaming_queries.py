@@ -148,7 +148,18 @@ def b53_stream_session(spark, sf_dir):
         .agg(F.count("*").alias("n_events"))
         .select("user_id", "n_events")
     )
-    return run_to_df(agg, "b53_session", output_mode="complete")
+    # Session state is keyed by (user, session) — near event-cardinality
+    # for sparse activity (30-day span, 5-min gap → mostly singleton
+    # sessions), so size the stateful shuffle like b58, not like the
+    # 4320-window tumbling aggs (8 partitions serialized the gen-sf10
+    # merge-sort onto a quarter of the cores: 35.7s, r₂ 11.6 —
+    # super-linear purely from starvation).
+    return run_to_df(
+        agg,
+        "b53_session",
+        output_mode="complete",
+        state_partitions=state_partitions_for(sf_dir),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -200,7 +211,10 @@ def b55_stream_dedup(spark, sf_dir):
         .dropDuplicates(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    return run_to_df(dd, "b55_dedup")
+    # dedup state is keyed by (user, type) — scales with key cardinality
+    return run_to_df(
+        dd, "b55_dedup", state_partitions=state_partitions_for(sf_dir)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -274,7 +288,11 @@ def b57_stream_stream_join(spark, sf_dir):
             """
         ),
     ).select("error_id", "click_id")
-    return run_to_df(joined, "b57_ssj")
+    # both join sides buffer rows keyed by user within the watermark —
+    # the largest state footprint after b58; size like it
+    return run_to_df(
+        joined, "b57_ssj", state_partitions=state_partitions_for(sf_dir)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -294,31 +312,45 @@ def b57_stream_stream_join(spark, sf_dir):
     tags=("B58",),
 )
 def b58_stream_stateful(spark, sf_dir):
+    """Arbitrary per-key stateful fold (count + exact money total).
+
+    Scale shape (measured at gen-sf10, 10M events): the state fold used
+    to parse every row's double into ``Decimal(f"{v:.2f}")`` in Python —
+    ~2µs/row, 20s of the op's 26.8s wall. Now the exact money conversion
+    happens JVM-side BEFORE the stateful op (decimal(18,2) cast → cents
+    as long — the same engine-exact recipe as the oracle and b67), so
+    the Python fold is two vectorized pandas reductions per (key, batch)
+    instead of per-row work. Only the truly arbitrary residue (the
+    per-key state machine itself) crosses the Arrow boundary; everything
+    algebraic stays Catalyst.
+    """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def track(key, pdfs, state: GroupState):
-        from decimal import Decimal
-
-        n, total = (state.get if state.exists else (0, "0.00"))
-        total = Decimal(total)
+        n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            # exact decimal accumulation (value has 2 decimals)
-            total += sum(Decimal(f"{v:.2f}") for v in pdf["value"])
-        state.update((n, str(total)))
+            # int64 column sum — exact (cents are integers, no float path)
+            cents += int(pdf["cents"].sum())
+        state.update((n, cents))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "total_value": [str(total)],
+                "total_value_cents": [cents],
             }
         )
 
-    sdf = events_stream(spark, sf_dir).select("user_id", "value")
+    sdf = events_stream(spark, sf_dir).select(
+        "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
     out = sdf.groupBy("user_id").applyInPandasWithState(
         track,
-        outputStructType="user_id long, n_events long, total_value string",
-        stateStructType="n long, total string",
+        outputStructType="user_id long, n_events long, total_value_cents long",
+        stateStructType="n long, total long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -335,13 +367,7 @@ def b58_stream_stateful(spark, sf_dir):
     return (
         df.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select(
-            "user_id",
-            "n_events",
-            (F.col("total_value").cast("decimal(18,2)") * 100)
-            .cast("bigint")
-            .alias("total_value_cents"),
-        )
+        .select("user_id", "n_events", "total_value_cents")
     )
 
 
@@ -415,7 +441,9 @@ def b55_stream_dedup_within_wm(spark, sf_dir):
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    return run_to_df(dd, "b55_dedup_wm")
+    return run_to_df(
+        dd, "b55_dedup_wm", state_partitions=state_partitions_for(sf_dir)
+    )
 
 
 @query(
@@ -533,9 +561,11 @@ def b67_transform_with_state(spark, sf_dir):
     """
 
     def _fold(n, mx, pdf):
-        n += len(pdf)
-        for cents in pdf["cents"]:
-            c = int(cents)
+        # vectorized: int64 column max, no per-row Python (b58 lesson —
+        # per-row loops here were ~2µs/row at gen-sf10)
+        if len(pdf):
+            n += len(pdf)
+            c = int(pdf["cents"].max())
             mx = c if mx is None or c > mx else mx
         return n, mx
 

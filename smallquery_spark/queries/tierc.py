@@ -468,23 +468,29 @@ def c5_multimodal_decode(spark, sf_dir):
     return decode_image_stub(attach_fake_images(d))
 
 
-# C5 capability-gated decode (VERDICT r2 item 7): the SAME operator
-# upgrades itself to a REAL codec when PIL exists in the image (encode a
-# solid-gray PNG per doc, decode it back with PIL.Image) and otherwise
-# runs the deterministic stub — both paths have closed-form value
-# oracles, selected at import time by the probe, mirroring the b67
-# protobuf gate. In this container PIL is absent -> stub path.
-from smallquery_spark.operators.multimodal import have_pil as _have_pil
+# C5 capability-gated decode (VERDICT r2 item 7, r4 item 4): the SAME
+# operator selects the best available codec tier — PIL when importable
+# (any format), else the stdlib PNG codec (operators/png_codec.py:
+# zlib inflate + per-scanline de-filter, no third-party dependency) —
+# so an ACTUAL pixel decode executes in every environment, including
+# this pip-blocked image. Both real tiers produce identical pixels
+# (solid-gray PNG per doc) and share one closed-form value oracle; the
+# pre-r5 header-parse stub remains only as the non-image-format
+# template (c5_multimodal_decode above).
+from smallquery_spark.operators.multimodal import codec_tier as _codec_tier
 
 # Latch the probe ONCE at import: both the oracle selection (below, at
 # decoration time) and the query body (at call time) read this constant,
 # so a mid-process PIL install can never desynchronize oracle and
-# implementation. decode_image_real runs in executor Python workers —
-# we assume driver and executors share one environment, which is true
-# in local mode and standard for uniformly-provisioned clusters.
-_PIL_AVAILABLE = _have_pil()
+# implementation. The decode runs in executor Python workers — we assume
+# driver and executors share one environment, which is true in local
+# mode and standard for uniformly-provisioned clusters.
+_C5_TIER = _codec_tier()  # "pil" | "png"
 
-_C5_GATED_ORACLE_PIL = """
+# Shared by the PIL and stdlib-PNG tiers: both decode the same
+# solid-gray raster, so n_bytes is the PIXEL count and mean_pixel is
+# exactly the fill value.
+_C5_GATED_ORACLE_REAL = """
     SELECT doc_id,
            CAST(doc_id % 64 + 8 AS INT) AS dec_width,
            CAST(doc_id % 48 + 6 AS INT) AS dec_height,
@@ -493,39 +499,31 @@ _C5_GATED_ORACLE_PIL = """
     FROM documents WHERE doc_id < 200
 """
 
-_C5_GATED_ORACLE_STUB = """
-    WITH p AS (
-      SELECT doc_id,
-             'IMG:' || CAST(doc_id % 64 + 8 AS VARCHAR) || 'x'
-                    || CAST(doc_id % 48 + 6 AS VARCHAR) || ':' || text AS s
-      FROM documents WHERE doc_id < 200
-    )
-    SELECT doc_id,
-           CAST(doc_id % 64 + 8 AS INT) AS dec_width,
-           CAST(doc_id % 48 + 6 AS INT) AS dec_height,
-           CAST(strlen(s) AS BIGINT) AS n_bytes,
-           CAST(list_sum(list_transform(range(1, CAST(strlen(s) + 1 AS INT)),
-                    i -> ord(substring(s, CAST(i AS INT), 1)))) AS DOUBLE)
-             / strlen(s) AS mean_pixel
-    FROM p
-"""
 
 
 @query(
     "c5_multimodal_decode_gated",
-    oracle=_C5_GATED_ORACLE_PIL if _PIL_AVAILABLE else _C5_GATED_ORACLE_STUB,
+    # Both codec tiers decode the same pixels — one oracle. The stub
+    # oracle is retired with the stub path (kept above for the
+    # no-stdlib-codec modalities).
+    oracle=_C5_GATED_ORACLE_REAL,
     tags=("C5",),
 )
 def c5_multimodal_decode_gated(spark, sf_dir):
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    if _PIL_AVAILABLE:
+    if _C5_TIER == "pil":
         from smallquery_spark.operators.multimodal import (
             attach_real_images,
             decode_image_real,
         )
 
         return decode_image_real(attach_real_images(d))
-    return decode_image_stub(attach_fake_images(d))
+    from smallquery_spark.operators.multimodal import (
+        attach_png_images,
+        decode_image_png,
+    )
+
+    return decode_image_png(attach_png_images(d))
 
 
 # ---------------------------------------------------------------------------

@@ -341,3 +341,112 @@ def test_text_counts_udf_matches_jvm_expressions(spark):
         assert g["punct_ratio"] == w["punct_ratio"], texts[i]
         assert g["stopword_ratio"] == w["stopword_ratio"], texts[i]
         assert g["fingerprint"] == w["fingerprint"], texts[i]
+
+
+def test_py_shingles_match_jvm_word_shingles(spark):
+    """The banded-MinHash signature UDF tokenizes in Python
+    (py_word_shingles) while the exact re-check uses the JVM
+    word_shingles(); drift between the two silently degrades recall
+    with precision staying 1.0 — i.e., invisibly. Pin set equality on
+    the adversarial tokenization cases (ADVICE r4): empty, <n tokens,
+    NBSP (not ASCII \\s on either side), tabs/newlines (split but NOT
+    trimmed by trim()), repeated separators, case folding."""
+    from smallquery_spark.operators.dedup import py_word_shingles, word_shingles
+
+    texts = [
+        "",                               # empty -> one empty shingle
+        "one",                            # < n tokens
+        "one two",                        # < n tokens
+        "one two three",                  # exactly n
+        "one two three four five",        # > n
+        "\tlead tab and\ninner newline",  # \s+ splits, trim() keeps
+        "nb sp stays one token x",   # NBSP: not ASCII \s
+        "  double  spaces   collapse  ",  # repeated separators
+        "MiXeD CaSe FOLDS lower",
+        "trailing space ",
+        " café naïve résumé tokens",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    jvm = {
+        r["doc_id"]: set(r["sh"])
+        for r in df.select(
+            "doc_id", word_shingles("text", 3).alias("sh")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert py_word_shingles(t, 3) == jvm[i], repr(t)
+
+
+def test_png_codec_roundtrip_and_filters():
+    """Pure-stdlib PNG codec (operators/png_codec.py): encoder→decoder
+    roundtrip on gradient + solid rasters, and decoder conformance on
+    ALL five scanline filter types via hand-filtered fixtures (our
+    encoder only emits filter 0, but libpng-encoded files in the wild
+    use all of them — a decoder that only handles 0 would look green
+    here and fail on real data)."""
+    import struct
+    import zlib
+
+    from smallquery_spark.operators.png_codec import (
+        _chunk,
+        _SIG,
+        png_decode,
+        png_encode_gray,
+    )
+
+    # roundtrip: gradient raster exercises value diversity
+    w, h = 13, 7
+    pixels = bytes((3 * x + 11 * y) % 256 for y in range(h) for x in range(w))
+    wd, hd, ch, raster = png_decode(png_encode_gray(w, h, pixels))
+    assert (wd, hd, ch) == (w, h, 1)
+    assert bytes(raster) == pixels
+
+    # hand-filter the same raster with each filter type, per the spec's
+    # reconstruction equations, and check the decoder inverts them
+    def filtered(ftype: int) -> bytes:
+        rows = []
+        prev = bytes(w)
+        for y in range(h):
+            line = pixels[y * w : (y + 1) * w]
+            out = bytearray([ftype])
+            for x in range(w):
+                left = line[x - 1] if x else 0
+                up = prev[x]
+                ul = prev[x - 1] if (x and y) else 0
+                if ftype == 0:
+                    out.append(line[x])
+                elif ftype == 1:
+                    out.append((line[x] - left) & 0xFF)
+                elif ftype == 2:
+                    out.append((line[x] - up) & 0xFF)
+                elif ftype == 3:
+                    out.append((line[x] - (left + up) // 2) & 0xFF)
+                else:  # 4: Paeth
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                    out.append((line[x] - pred) & 0xFF)
+            rows.append(bytes(out))
+            prev = line
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        return (
+            _SIG
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(b"".join(rows)))
+            + _chunk(b"IEND", b"")
+        )
+
+    for ftype in range(5):
+        _, _, _, got = png_decode(filtered(ftype))
+        assert bytes(got) == pixels, f"filter {ftype} mis-decoded"
+
+    # out-of-scope inputs fail loudly, never silently wrong
+    import pytest
+
+    with pytest.raises(ValueError):
+        png_decode(b"GIF89a not a png")
+    bad_depth = struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
+    with pytest.raises(ValueError):
+        png_decode(_SIG + _chunk(b"IHDR", bad_depth))

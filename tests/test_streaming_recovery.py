@@ -47,7 +47,11 @@ def _write_batch(spark, src_dir: str, name: str, ids, etype: str) -> None:
 def _drain(sdf_writer):
     q = sdf_writer.trigger(availableNow=True).start()
     try:
-        q.awaitTermination(120)
+        # awaitTermination returns False on timeout — fail HERE with a
+        # clear message instead of letting the caller assert on a
+        # partially-drained sink (a hang would otherwise surface as a
+        # confusing count mismatch).
+        assert q.awaitTermination(120), "stream did not drain within 120s"
     finally:
         if q.isActive:
             q.stop()

@@ -35,6 +35,11 @@ COMPOSITES = [
     "c37_kmeans_embeddings",
     "c22_sequence_packing",
     "c28_cluster_dedup",
+    # Stateful stream shapes with the largest state footprints after
+    # b58 (VERDICT r4 item 6): session windows merge state per key,
+    # stream-stream joins buffer both sides within the watermark.
+    "b53_stream_session",
+    "b57_stream_stream_join",
 ]
 
 
@@ -53,18 +58,35 @@ def time_set(spark, names, sf_dir):
 
 
 def main() -> None:
+    usage = (
+        "usage: python -m tools.scaling DIR1 DIR2 [DIR3 ...]"
+        " [--out out.json] [--only substr ...]"
+    )
     argv = sys.argv[1:]
     out_path = None
     if "--out" in argv:
         i = argv.index("--out")
+        if i + 1 >= len(argv):
+            raise SystemExit(usage)
         out_path = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
+    only: list[str] = []
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = argv[i + 1 :]
+        argv = argv[:i]
+        if not only:
+            raise SystemExit(usage)
     dirs = argv
     if len(dirs) < 2:
         raise SystemExit("need at least two fixture dirs, smallest first")
 
     load_all()
     names = [n for n in HEADLINE + COMPOSITES if n in REGISTRY]
+    if only:
+        names = [n for n in names if any(s in n for s in only)]
+        if not names:
+            raise SystemExit(f"--only matched no queries: {only}")
     spark = get_session("smallquery-scaling")
     spark.range(1).count()
 

@@ -99,12 +99,28 @@ def run_to_df(
     name: str,
     output_mode: str = "append",
     state_partitions: int = 8,
+    sink: str = "auto",
 ) -> DataFrame:
-    """Drain a streaming DataFrame into a memory table; return the table.
+    """Drain a streaming DataFrame into a sink; return it as a DataFrame.
 
     ``availableNow`` processes everything currently in the source then
-    stops — the deterministic test trigger. The memory sink is bounded
-    (fixture-scale only); real deployments use files/kafka/foreachBatch.
+    stops — the deterministic test trigger.
+
+    ``sink``:
+    - ``"memory"`` — the memory sink: every emitted row is collected to
+      the DRIVER. Deterministic and convenient at fixture scale, but a
+      driver collect is the one anti-pattern this engine bans at 100 TB
+      — measured at gen-sf10, b53's ~9.9M complete-mode session rows
+      made the memory sink the dominant cost (31s wall, r₂ ≈ 10, vs
+      2.1s for the identical batch aggregation).
+    - ``"files"`` — production shape: foreachBatch writes each epoch to
+      parquet (overwrite for complete mode — the epoch's emission IS
+      the full result — append otherwise) and the sink is read back as
+      a distributed scan; no driver materialization anywhere.
+    - ``"auto"`` (default) — files when the caller sized the state for
+      a big source (``state_partitions`` ≥ 16, i.e. ≥1M source rows per
+      ``state_partitions_for``), memory at fixture scale. Both sinks
+      receive identical rows (pinned by test_streaming_sinks_agree).
 
     ``state_partitions`` sizes the stateful operators: streaming state
     partitioning is FIXED at checkpoint creation from
@@ -116,21 +132,57 @@ def run_to_df(
     """
     qname = re.sub(r"[^A-Za-z0-9_]", "_", name)
     spark = sdf.sparkSession
+    use_files = sink == "files" or (sink == "auto" and state_partitions >= 16)
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q = (
-            sdf.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
+        if use_files:
+            import tempfile
+
+            from smallquery_spark.queries.tmpdirs import (
+                prune_stale,
+                register_cleanup,
+            )
+
+            prune_stale("smallquery_runsink_")
+            out_root = register_cleanup(
+                tempfile.mkdtemp(prefix="smallquery_runsink_")
+            )
+            data_dir = os.path.join(out_root, qname)
+            mode = "overwrite" if output_mode == "complete" else "append"
+
+            def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+                batch_df.write.mode(mode).parquet(data_dir)
+
+            writer = (
+                sdf.writeStream.foreachBatch(_sink)
+                .outputMode(output_mode)
+                .option(
+                    "checkpointLocation", os.path.join(out_root, qname + "_ckpt")
+                )
+            )
+        else:
+            writer = (
+                sdf.writeStream.format("memory")
+                .queryName(qname)
+                .outputMode(output_mode)
+            )
+        q = writer.trigger(availableNow=True).start()
         try:
-            q.awaitTermination(120)
+            finished = q.awaitTermination(600)
+            if not finished:
+                raise TimeoutError(
+                    f"stream {qname} did not drain within 600s"
+                )
         finally:
             if q.isActive:
                 q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    if use_files:
+        if not os.path.isdir(data_dir):
+            # zero emissions (e.g. everything beyond the watermark):
+            # an empty frame with the stream's schema
+            return spark.createDataFrame([], sdf.schema)
+        return spark.read.parquet(data_dir)
     return spark.table(qname)

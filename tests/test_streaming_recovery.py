@@ -162,3 +162,30 @@ def test_stateful_agg_state_survives_restart(spark, stream_dirs):
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
     assert captured == {"click": 180, "view": 80, "purchase": 40}
+
+
+def test_streaming_sinks_agree(spark):
+    """run_to_df's files sink (the production shape auto-selected at
+    volume) must produce exactly the rows the memory sink produces —
+    same stream, both sinks, full row-set equality. Pins the r5 sink
+    switch that removed the driver-side collect from big stateful runs
+    (b53 at gen-sf10: ~9.9M complete-mode rows through the memory sink
+    were the dominant cost)."""
+    from tests.conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+
+    from smallquery_spark.streaming import events_stream, run_to_df
+
+    def agg(name, sink):
+        sdf = events_stream(spark, SF_SMOKE)
+        a = (
+            sdf.groupBy(F.session_window("ts", "5 minutes"), F.col("user_id"))
+            .agg(F.count("*").alias("n_events"))
+            .select("user_id", "n_events")
+        )
+        return run_to_df(a, name, output_mode="complete", sink=sink)
+
+    mem = sorted(map(tuple, agg("sinks_mem", "memory").collect()))
+    fil = sorted(map(tuple, agg("sinks_fil", "files").collect()))
+    assert mem == fil
+    assert len(mem) > 0

@@ -742,12 +742,9 @@ def c3_ann_ivf(spark, sf_dir):
     # "pruned" certifies the index did its job: total (query, candidate)
     # pairs actually scored is strictly fewer than the full-scan
     # |queries| x |corpus| — the whole point of IVF.
-    from smallquery_spark.operators.similarity import _cell_scores
+    from smallquery_spark.operators.similarity import ivf_probe_cells
 
-    probes = queries.withColumn(
-        "__cells",
-        F.slice(F.reverse(F.array_sort(_cell_scores("vec", cents))), 1, 6),
-    ).select("q_id", F.explode(F.col("__cells")["cell"]).alias("cell"))
+    probes = ivf_probe_cells(queries, cents, 6).select("q_id", "cell")
     scored_pairs = probes.join(assigned, "cell").count()
     pruned = scored_pairs < queries.count() * corpus.count()
     return spark.createDataFrame(

@@ -148,7 +148,14 @@ def main() -> None:
         )
 
         # --- banded (b, r), phase-profiled --------------------------------
-        for bands, r in ((8, 2), (16, 4)):
+        # Band selectivity must be sized to the corpus: chance band
+        # collisions scale ~ n²·s^r (s = per-minhash agreement of
+        # near-zero-J pairs). (8,2) is fine at 1M docs (13.5M raw
+        # collisions) but its collision volume at 5M (~25×) exceeds
+        # local spill capacity — the exact failure mode r exists to
+        # kill, so multi-million corpora run the r=4 configs only.
+        configs = ((8, 2), (16, 4)) if n_doc < 2_000_000 else ((16, 4), (32, 4))
+        for bands, r in configs:
             # phase 1: signature + band keys alone (materialized count)
             from smallquery_spark.operators.dedup import (
                 _banded_keys_df as keys_df,

@@ -238,6 +238,38 @@ def test_bucketed_join_no_exchange(spark):
     assert "Exchange" not in plan
 
 
+def test_bucketed_rollup_workload_no_exchange(spark):
+    """The q18-shaped workload (join -> per-order rollup -> HAVING) is
+    Exchange-free END TO END on same-bucketed tables: hash(o_orderkey)
+    bucketing satisfies the grouping's clustered distribution too, so
+    the pay-once layout eliminates BOTH shuffles, not just the join's.
+    (Measured at gen-sf10 by tools/atrest_join.py: 4 -> 0 Exchanges,
+    ATREST_JOIN.json.)"""
+    from pyspark.sql import functions as F
+
+    from smallquery_spark.queries.scale import _bucketed_tables
+
+    ot, lt = _bucketed_tables(spark, SF_SMOKE)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        o = spark.table(ot)
+        l = spark.table(lt)
+        df = (
+            o.join(l, o.o_orderkey == l.l_orderkey)
+            .groupBy("o_orderkey", "o_custkey")
+            .agg(F.sum("l_quantity").alias("sum_qty"))
+            .filter(F.col("sum_qty") > 300)
+        )
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+
+
 # ---------------------------------------------------------------------------
 # Global plan hygiene: no accidental quadratic joins anywhere
 # ---------------------------------------------------------------------------

@@ -24,7 +24,13 @@ from smallquery_spark.queries.registry import t
 from smallquery_spark.session import get_session
 
 
-def run(sf_dir: str, n_queries: int, n_cells: int, n_probe: int) -> dict:
+def run(
+    sf_dir: str,
+    n_queries: int,
+    n_cells: int,
+    n_probe: int,
+    probe_sweep: list[int] | None = None,
+) -> dict:
     from smallquery_spark.operators.similarity import (
         ivf_assign,
         ivf_build_centroids,
@@ -34,13 +40,18 @@ def run(sf_dir: str, n_queries: int, n_cells: int, n_probe: int) -> dict:
 
     spark = get_session("smallquery-ivf-recall")
     emb = t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")
-    )
     corpus = emb.select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec")
     ).cache()
     n_corpus = corpus.count()
+    # Queries come from the TAIL of the id range: the first_n quantizer
+    # takes the FIRST n_cells vectors as centroids, so head-of-range
+    # queries would sit at the exact center of their own cell and
+    # inflate its low-probe recall (measured: probe-1 recall 0.946
+    # biased vs 0.32 unbiased).
+    queries = emb.filter(F.col("vec_id") >= n_corpus - n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")
+    )
 
     t0 = time.time()
     exact = (
@@ -83,6 +94,16 @@ def run(sf_dir: str, n_queries: int, n_cells: int, n_probe: int) -> dict:
         ).select("q_id", "c_id")
         hits = exact.join(approx, ["q_id", "c_id"], "left_semi").count()
         search_sec = round(time.time() - t0, 3)
+        # Low-probe regime: recall as the probe budget shrinks is where
+        # centroid quality shows up — a bad quantizer puts a query's
+        # true neighbours in cells the first few probes never open.
+        sweep = {}
+        for p in probe_sweep or []:
+            ap = ivf_search(
+                queries, assigned, cents, k=10, n_probe=p
+            ).select("q_id", "c_id")
+            h = exact.join(ap, ["q_id", "c_id"], "left_semi").count()
+            sweep[p] = round(h / n_exact, 4) if n_exact else None
         mean_sz = sum(sizes) / len(sizes) if sizes else 0
         out["methods"][method] = {
             "recall_at_10": round(hits / n_exact, 4) if n_exact else None,
@@ -102,6 +123,8 @@ def run(sf_dir: str, n_queries: int, n_cells: int, n_probe: int) -> dict:
             if n_corpus
             else None,
         }
+        if sweep:
+            out["methods"][method]["recall_by_probe"] = sweep
         assigned.unpersist()
         print(f"{method}: {out['methods'][method]}", file=sys.stderr, flush=True)
     exact.unpersist()
@@ -133,11 +156,15 @@ def main() -> None:
             raise SystemExit(usage)
         out_path = argv[i + 1]
         del argv[i : i + 2]
+    sweep = None
+    if "--sweep" in argv:
+        argv.remove("--sweep")
+        sweep = [1, 2, 4, 8]
     n_queries = opt("--queries", 50)
     n_cells = opt("--cells", 64)
     n_probe = opt("--probe", 8)
     sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
-    result = run(sf_dir, n_queries, n_cells, n_probe)
+    result = run(sf_dir, n_queries, n_cells, n_probe, probe_sweep=sweep)
     line = json.dumps(result)
     print(line)
     if out_path:

@@ -45,6 +45,11 @@ HEADLINE = [
     # applyInPandasWithState pipeline and the state-store read-back.
     "b58_stream_stateful",
     "b68_state_store_reader",
+    # The two largest remaining state footprints (VERDICT r4 item 6),
+    # curve-tracked since r5: session-window merge state and the
+    # dual-buffered stream-stream join.
+    "b53_stream_session",
+    "b57_stream_stream_join",
 ]
 
 

@@ -121,6 +121,23 @@ def main() -> None:
             raise SystemExit("--out needs a value")
         out_path = argv[i + 1]
         del argv[i : i + 2]
+    configs_arg = None
+    if "--configs" in argv:
+        i = argv.index("--configs")
+        if i + 1 >= len(argv):
+            raise SystemExit("--configs needs b:r[,b:r...]")
+        configs_arg = tuple(
+            tuple(int(x) for x in pair.split(":"))
+            for pair in argv[i + 1].split(",")
+        )
+        del argv[i : i + 2]
+    thresholds = THRESHOLDS
+    if "--thresholds" in argv:
+        i = argv.index("--thresholds")
+        if i + 1 >= len(argv):
+            raise SystemExit("--thresholds needs t[,t...]")
+        thresholds = tuple(float(x) for x in argv[i + 1].split(","))
+        del argv[i : i + 2]
     n_doc = int(argv[0]) if argv else 5_000_000
 
     from smallquery_spark.operators.dedup import (
@@ -135,8 +152,8 @@ def main() -> None:
     docs = spark.read.parquet(path)
 
     runs = []
-    result = {"n_docs": n_doc, "thresholds": list(THRESHOLDS), "runs": runs}
-    for threshold in THRESHOLDS:
+    result = {"n_docs": n_doc, "thresholds": list(thresholds), "runs": runs}
+    for threshold in thresholds:
         t0 = time.time()
         truth = planted_truth(docs, threshold).cache()
         n_truth = truth.count()
@@ -154,7 +171,9 @@ def main() -> None:
         # collisions) but its collision volume at 5M (~25×) exceeds
         # local spill capacity — the exact failure mode r exists to
         # kill, so multi-million corpora run the r=4 configs only.
-        configs = ((8, 2), (16, 4)) if n_doc < 2_000_000 else ((16, 4), (32, 4))
+        configs = configs_arg or (
+            ((8, 2), (16, 4)) if n_doc < 2_000_000 else ((16, 4), (32, 4))
+        )
         for bands, r in configs:
             # phase 1: signature + band keys alone (materialized count)
             from smallquery_spark.operators.dedup import (

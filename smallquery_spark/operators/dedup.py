@@ -523,3 +523,79 @@ def embedding_neardup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("a_id", "b_id", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming ingest step (incremental near-dup vs a persistent index)
+# ---------------------------------------------------------------------------
+
+
+def neardup_ingest_step(
+    sig_df: DataFrame,
+    index_df: DataFrame | None,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """One micro-batch of streaming near-dup dedup: the survivors of
+    ``sig_df`` (a `_banded_sig_df` frame: id, __keys, __hashes, __sz).
+
+    A document is DROPPED when it is hash-Jaccard-similar (≥ threshold)
+    to a smaller-id document in its own batch, or to ANY document in
+    ``index_df`` — the already-accepted corpus (same signature schema).
+    The caller appends the survivors to the index, which is exactly the
+    steady-state ingest loop of a training-data pipeline: candidate
+    generation is the banded (b, r) bucket join against both the batch
+    itself and the at-rest index (band keys only — accepted TEXT never
+    moves), and the similarity rule is the same 60-bit hash-set Jaccard
+    the batch operator uses (see banded_minhash_pairs step 4 for why
+    that is probabilistically exact).
+
+    At 100 TB the index side is a bucketed table partitioned by band
+    key; each micro-batch shuffles only its own signatures.
+    """
+    exploded = sig_df.select(
+        F.col(id_col),
+        F.col("__sz"),
+        F.col("__hashes"),
+        F.posexplode("__keys").alias("__band", "__bkey"),
+    )
+    new_side = exploded.select(
+        F.col(id_col).alias("n_id"),
+        F.col("__sz").alias("n_sz"),
+        F.col("__hashes").alias("n_h"),
+        "__band",
+        "__bkey",
+    )
+    old_in_batch = exploded.select(
+        F.col(id_col).alias("o_id"),
+        F.col("__sz").alias("o_sz"),
+        F.col("__hashes").alias("o_h"),
+        "__band",
+        "__bkey",
+    )
+    cand = new_side.join(old_in_batch, ["__band", "__bkey"]).filter(
+        F.col("o_id") < F.col("n_id")
+    )
+    if index_df is not None:
+        idx = index_df.select(
+            F.col(id_col).alias("o_id"),
+            F.col("__sz").alias("o_sz"),
+            F.col("__hashes").alias("o_h"),
+            F.posexplode("__keys").alias("__band", "__bkey"),
+        )
+        cand = cand.unionByName(
+            new_side.join(idx, ["__band", "__bkey"]),
+            allowMissingColumns=False,
+        )
+    dropped = (
+        cand.filter(
+            F.least("n_sz", "o_sz") / F.greatest("n_sz", "o_sz")
+            >= F.lit(threshold)
+        )
+        .dropDuplicates(["n_id", "o_id"])
+        .withColumn("__hj", _hash_jaccard_udf()("n_h", "o_h"))
+        .filter(F.col("__hj") >= threshold)
+        .select(F.col("n_id").alias(id_col))
+        .distinct()
+    )
+    return sig_df.join(dropped, id_col, "left_anti")

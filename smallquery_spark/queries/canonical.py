@@ -60,7 +60,8 @@ _ALIASES: dict[str, tuple[str, tuple[str, ...]]] = {
     "a_c08_salted_aggregate": ("c8_salted_aggregate", ()),
     "a_c09_bucketed_join": ("c9_bucketed_join", ()),
     "a_c10_prep_pipeline": ("c10_prep_pipeline", ()),
-    "a_c11_incremental_dedup": ("c11_incremental_dedup", ()),
+    # a_c11 is a two-leg combo (batch incremental dedup + the streamed
+    # ingest loop), registered by _register_incremental_dedup below.
     "a_c12_compaction": ("c12_compaction", ()),
     "a_c13_heavy_hitters": ("c13_heavy_hitters", ()),
     "a_c14_merge_upsert": ("c14_merge_upsert", ()),
@@ -1549,7 +1550,44 @@ def _register_neardup_contracts() -> None:
         return lsh.unionByName(banded)
 
 
+def _register_incremental_dedup() -> None:
+    """a_c11: the batch incremental-dedup shape (new batch vs the
+    historical digest index) AND the same loop run as a REAL stream
+    (4 foreachBatch epochs appending to a persistent fingerprint
+    index, c11_streaming_dedup) — value-preserving tagged union, so
+    the driver hash-checks the streamed index contents row-for-row."""
+    oracle = f"""
+    SELECT 'c11' AS op, lang AS k1, CAST(n_new_docs AS BIGINT) AS v1,
+           CAST(n_new_chars AS BIGINT) AS v2
+    FROM ({_oracle("c11_incremental_dedup")})
+    UNION ALL
+    SELECT 'c11s', '', CAST(doc_id AS BIGINT), CAST(0 AS BIGINT)
+    FROM ({_oracle("c11_streaming_dedup")})
+    """
+
+    @query(
+        "a_c11_incremental_dedup",
+        oracle=oracle,
+        tags=("C11", "C1", "B16", "B50", "B59", "canonical"),
+    )
+    def a_c11_incremental_dedup(spark, sf_dir):
+        batch = _fn("c11_incremental_dedup")(spark, sf_dir).select(
+            F.lit("c11").alias("op"),
+            F.col("lang").alias("k1"),
+            F.col("n_new_docs").cast(_BIG).alias("v1"),
+            F.col("n_new_chars").cast(_BIG).alias("v2"),
+        )
+        streamed = _fn("c11_streaming_dedup")(spark, sf_dir).select(
+            F.lit("c11s").alias("op"),
+            F.lit("").alias("k1"),
+            F.col("doc_id").cast(_BIG).alias("v1"),
+            F.lit(0).cast(_BIG).alias("v2"),
+        )
+        return batch.unionByName(streamed)
+
+
 _register_aliases()
+_register_incremental_dedup()
 _register_neardup_contracts()
 _register_stream_windows()
 _register_stream_misc()

@@ -738,3 +738,217 @@ def b68_state_store_reader(spark, sf_dir):
         F.col("key.user_id").alias("user_id"),
         F.col("value.count").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C11 × B50/B59 — streaming ingestion dedup: micro-batches arrive in id
+# order and each is deduplicated against a PERSISTENT index built by the
+# batches before it (the steady-state ingest loop of a training-data
+# pipeline, run end-to-end through a real file stream + foreachBatch).
+# ---------------------------------------------------------------------------
+
+
+def _stage_doc_slices(spark, df, k: int, prefix: str):
+    """Write a documents frame as k id-ordered parquet slices; return
+    (work_root, slices_dir). Slice i holds a contiguous doc_id range
+    and mtimes ascend with i, so the file-stream source consumes the
+    corpus chronologically one slice per micro-batch."""
+    import glob
+    import tempfile
+    import time as _time
+
+    from smallquery_spark.queries.tmpdirs import (
+        prune_stale,
+        register_cleanup,
+    )
+
+    prune_stale(prefix)
+    root = register_cleanup(tempfile.mkdtemp(prefix=prefix))
+    out = os.path.join(root, "slices")
+    (
+        df.repartitionByRange(k, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    parts = sorted(glob.glob(os.path.join(out, "part-*.parquet")))
+    base = _time.time() - 10 * len(parts)
+    for i, p in enumerate(parts):
+        os.utime(p, (base + 10 * i, base + 10 * i))
+    return root, out
+
+
+def _drain(writer, name: str, timeout: int = 300):
+    q = writer.trigger(availableNow=True).start()
+    try:
+        if not q.awaitTermination(timeout):
+            raise TimeoutError(f"{name}: stream did not drain in {timeout}s")
+    finally:
+        if q.isActive:
+            q.stop()
+
+
+@query(
+    "c11_streaming_dedup",
+    oracle="""
+    WITH slice AS (
+      SELECT doc_id, substring(text, 1, 40) AS fp
+      FROM documents WHERE doc_id < 400
+    )
+    SELECT s.doc_id FROM slice s
+    WHERE NOT EXISTS (
+      SELECT 1 FROM slice e
+      WHERE e.doc_id < s.doc_id AND e.fp = s.fp)
+    """,
+    tags=("C11", "C1", "B50", "B59"),
+)
+def c11_streaming_dedup(spark, sf_dir):
+    """Fingerprint-dedup ingestion as a REAL stream: 4 id-ordered
+    micro-batches; each foreachBatch epoch fingerprints its documents
+    (md5 over the first-40-char prefix — the standard crawl-dedup
+    heuristic; the driver fixtures contain zero EXACT-duplicate texts
+    at sf0.01, while prefix-40 collides at every sf, so this key makes
+    the drop path real at the gate scale), anti-joins the accumulated
+    fingerprint INDEX (hashes only — accepted text never moves, the
+    c11 posture), dedups within the batch, and appends survivors to
+    the index. The returned frame is the index contents: exactly the
+    first occurrence of every distinct fingerprint, which the oracle
+    states as a plain NOT EXISTS — the streaming plumbing (source
+    ordering, per-epoch index reads, appends) is what is being
+    value-checked against DuckDB."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    root, slices = _stage_doc_slices(spark, docs, 4, "smallquery_sdedup_")
+    index_dir = os.path.join(root, "digest_index")
+    schema = spark.read.parquet(slices).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(slices)
+    )
+
+    def _ingest(batch_df, epoch_id):
+        sess = batch_df.sparkSession
+        fresh = (
+            batch_df.withColumn("__h", F.md5(F.substring("text", 1, 40)))
+            .groupBy("__h")
+            .agg(F.min("doc_id").alias("doc_id"))
+        )
+        if os.path.isdir(index_dir):
+            idx = sess.read.parquet(index_dir).select("__h")
+            fresh = fresh.join(idx, "__h", "left_anti")
+        fresh.select("doc_id", "__h").write.mode("append").parquet(index_dir)
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        _drain(
+            sdf.writeStream.foreachBatch(_ingest)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(root, "ckpt")),
+            "c11_streaming_dedup",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.read.parquet(index_dir).select("doc_id")
+
+
+@query(
+    "c2_streaming_neardup",
+    oracle=(
+        "SELECT TRUE AS sets_equal, TRUE AS nonempty,"
+        " TRUE AS dropped_some"
+    ),
+    tags=("C2", "C11", "B50", "B59"),
+)
+def c2_streaming_neardup(spark, sf_dir):
+    """Near-dup ingestion as a real stream: 3 id-ordered micro-batches
+    run `operators.dedup.neardup_ingest_step` inside foreachBatch — the
+    banded (b, r) bucket join against the batch itself plus the at-rest
+    SIGNATURE index (band keys + 60-bit hash sets; accepted text never
+    moves) — and append survivors to the index. The contract compares
+    the streamed accepted set against a sequential batch loop applying
+    the IDENTICAL step to the same slices: equality checks the
+    streaming plumbing (epoch ordering, index read-your-writes across
+    epochs), while the pair-finding core is already value-checked by
+    the c2 family. Slice construction guarantees duplicate clusters at
+    every sf (same recipe as c2_minhash_lsh), so dropped_some is a real
+    assertion, not vacuous."""
+    from smallquery_spark.operators.dedup import (
+        _banded_sig_df,
+        neardup_ingest_step,
+    )
+
+    all_docs = t(spark, sf_dir, "documents")
+    dup_groups = (
+        all_docs.groupBy("text")
+        .agg(F.min("doc_id").alias("gid"), F.count("*").alias("nc"))
+        .filter(F.col("nc") >= 2)
+        .orderBy("gid")
+        .limit(30)
+        .select("text")
+    )
+    dup_members = all_docs.join(F.broadcast(dup_groups), "text", "left_semi")
+    docs = dup_members.unionByName(
+        all_docs.filter(F.col("doc_id") < 150)
+    ).dropDuplicates(["doc_id"])
+    total = docs.count()
+    root, slices = _stage_doc_slices(spark, docs, 3, "smallquery_sndup_")
+    index_dir = os.path.join(root, "sig_index")
+    schema = spark.read.parquet(slices).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(slices)
+    )
+
+    def _ingest(batch_df, epoch_id):
+        sess = batch_df.sparkSession
+        sig = _banded_sig_df(batch_df)
+        idx = (
+            sess.read.parquet(index_dir)
+            if os.path.isdir(index_dir)
+            else None
+        )
+        surv = neardup_ingest_step(sig, idx, threshold=0.5)
+        surv.write.mode("append").parquet(index_dir)
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        _drain(
+            sdf.writeStream.foreachBatch(_ingest)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(root, "ckpt")),
+            "c2_streaming_neardup",
+        )
+        streamed = spark.read.parquet(index_dir).select("doc_id")
+
+        # sequential reference: the same step applied slice-by-slice
+        # through the BATCH engine (no stream source, no foreachBatch)
+        import glob
+
+        ref_idx = None
+        for part in sorted(glob.glob(os.path.join(slices, "part-*.parquet"))):
+            sig = _banded_sig_df(spark.read.parquet(part))
+            surv = neardup_ingest_step(sig, ref_idx, threshold=0.5)
+            surv = surv.localCheckpoint(eager=True)
+            ref_idx = surv if ref_idx is None else ref_idx.unionByName(surv)
+        reference = ref_idx.select("doc_id")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    n_streamed = streamed.count()
+    missing = reference.exceptAll(streamed).count()
+    extra = streamed.exceptAll(reference).count()
+    return spark.createDataFrame(
+        [
+            (
+                missing == 0 and extra == 0,
+                n_streamed > 0,
+                n_streamed < total,
+            )
+        ],
+        "sets_equal boolean, nonempty boolean, dropped_some boolean",
+    )

@@ -450,3 +450,40 @@ def test_png_codec_roundtrip_and_filters():
     bad_depth = struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
     with pytest.raises(ValueError):
         png_decode(_SIG + _chunk(b"IHDR", bad_depth))
+
+
+def test_neardup_ingest_step_semantics(spark):
+    """One ingest step drops exactly: (a) docs similar to a smaller-id
+    doc in the same batch, (b) docs similar to anything in the index —
+    and keeps everything else. Similarity here is the banded pipeline's
+    hash-set Jaccard at threshold 0.5; identical texts are Jaccard 1.0,
+    disjoint texts 0.0, so the fixture is unambiguous."""
+    from smallquery_spark.operators.dedup import (
+        _banded_sig_df,
+        neardup_ingest_step,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different words about parquet shuffles and state"
+    third = "a third unrelated sentence mentioning broadcast joins only"
+    index_docs = spark.createDataFrame(
+        [(1, base)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, base),    # dup of the INDEX doc -> dropped (cross)
+            (11, other),   # fresh -> kept
+            (12, other),   # dup of smaller-id 11 in-batch -> dropped
+            (13, third),   # fresh -> kept
+        ],
+        "doc_id long, text string",
+    )
+    idx = _banded_sig_df(index_docs)
+    surv = neardup_ingest_step(_banded_sig_df(batch), idx, threshold=0.5)
+    kept = sorted(r["doc_id"] for r in surv.select("doc_id").collect())
+    assert kept == [11, 13]
+
+    # no index (first epoch): only the in-batch rule applies
+    surv0 = neardup_ingest_step(_banded_sig_df(batch), None, threshold=0.5)
+    kept0 = sorted(r["doc_id"] for r in surv0.select("doc_id").collect())
+    assert kept0 == [10, 11, 13]

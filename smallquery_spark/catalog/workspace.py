@@ -215,6 +215,40 @@ class Workspace:
                 return full
         raise PathNotFound(table)
 
+    # -- bucketed materialization (engine feature, VERDICT r5 item 5) ------
+
+    def materialize_bucketed(
+        self,
+        spark,
+        table: str,
+        key: str,
+        n_buckets: int,
+        version: str = LATEST,
+    ) -> str:
+        """Materialize a bucketed copy of a versioned table; return the
+        managed table name.
+
+        The catalog half of the at-rest layout story
+        (operators/bucketing.py, ATREST_gen100.json): the workspace
+        resolves ``version`` to an immutable commit, and the bucketed
+        copy is content-addressed by ``workspace@commit:table`` +
+        ``(key, n_buckets)`` — re-calling on the same data version
+        reuses the existing layout (pay the fact-table shuffle once),
+        while a NEW commit of the table naturally materializes a new
+        copy. This is the reference's "versioned derived artifact"
+        posture (README.md:7-8) applied to physical layout.
+        """
+        from smallquery_spark.operators.bucketing import (
+            materialize_bucketed as _materialize,
+        )
+        from smallquery_spark.sources import read_any
+
+        commit = self.resolve_version(version)
+        path = self.table_path(table, version)
+        df = read_any(spark, path)
+        identity = f"{self.name}@{commit}:{sanitize_path(table)}"
+        return _materialize(spark, df, identity, key, n_buckets)
+
 
 class VersionedCatalog:
     """The workspace mount: a directory of git-repo workspaces.

@@ -21,6 +21,13 @@ workloads.
 
 from __future__ import annotations
 
+import hashlib
+import os
+import re
+import shutil
+import time
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -44,6 +51,73 @@ def write_bucketed(
     if sort:
         w = w.sortBy(key)
     w.saveAsTable(table)
+
+
+def materialize_bucketed(
+    spark: SparkSession,
+    df: DataFrame,
+    identity: str,
+    key: str,
+    n_buckets: int,
+) -> str:
+    """Content-addressed bucketed materialization — the pay-once layout
+    as an ENGINE feature rather than a per-query hand-roll.
+
+    ``identity`` names the logical content of ``df`` (e.g.
+    ``workspace@commit:table`` from the versioned catalog, or
+    ``path|mtime`` for a raw fixture): the managed table name is a
+    digest of ``(identity, key, n_buckets)``, so a second call with the
+    same content returns the EXISTING table without re-writing — the
+    measured economics (ATREST_gen100.json: write cost amortizes after
+    ~3.6 queries) only materialize if the layout is actually reused.
+
+    The table name carries a pid suffix like every other warehouse
+    scratch artifact: Spark's default in-memory metastore is
+    per-process, so the bucket SPEC (which lives in the metastore, not
+    the parquet footers) cannot be shared across processes anyway, and
+    pid-suffixed locations keep two concurrent runs from racing
+    rmtree+saveAsTable on one directory. On a cluster with a shared
+    metastore the same digest-named table would be shared; the
+    content-addressing is what makes that safe.
+
+    Returns the managed table name (query it via ``spark.table`` /
+    ``bucketed_join``).
+    """
+    from smallquery_spark.queries.tmpdirs import register_cleanup
+
+    digest = hashlib.md5(
+        f"{identity}|{key}|{n_buckets}".encode()
+    ).hexdigest()[:12]
+    tname = f"bkt_{digest}_{os.getpid()}"
+    if spark.catalog.tableExists(tname):
+        return tname
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    # a killed previous session may have left the managed location on
+    # disk without a catalog entry — clear it or saveAsTable fails with
+    # LOCATION_ALREADY_EXISTS
+    shutil.rmtree(os.path.join(wh, tname), ignore_errors=True)
+    write_bucketed(df, tname, key, n_buckets)
+    register_cleanup(os.path.join(wh, tname))
+    _prune_stale_bucketed(wh)
+    return tname
+
+
+def _prune_stale_bucketed(wh: str, max_age_hours: float = 24.0) -> None:
+    """Scavenge digest-named bucketed-table dirs left by killed runs."""
+    cutoff = time.time() - max_age_hours * 3600.0
+    try:
+        entries = os.listdir(wh)
+    except OSError:
+        return
+    for name in entries:
+        if not re.match(r"bkt_[0-9a-f]{12}_\d+$", name):
+            continue
+        full = os.path.join(wh, name)
+        try:
+            if os.path.isdir(full) and os.path.getmtime(full) < cutoff:
+                shutil.rmtree(full, ignore_errors=True)
+        except OSError:
+            continue
 
 
 def bucketed_join(

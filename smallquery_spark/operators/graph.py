@@ -49,8 +49,11 @@ def connected_components(
     round here (measured at gen-sf10: 4.2 s with AQE on, 1.8 s off —
     the rounds do no work AQE could improve, since partition count is
     already sized to the label frame and the agg key is the vertex id
-    itself). The returned frame reads from the loop's cache, so
-    downstream consumers keep the session's own AQE setting.
+    itself). The returned frame is an eager ``localCheckpoint`` of the
+    converged labels — a vertex-sized materialization taken BEFORE the
+    loop's caches are released — so downstream consumers neither
+    recompute the (possibly expensive) edge builder nor inherit the
+    loop's suspended AQE / resized shuffle confs.
     """
     spark = nodes.sparkSession
     old_parts = None
@@ -90,12 +93,21 @@ def _cc_loop(
 
     labels = nodes.select(F.col(id_col).alias("v"), F.col(id_col).alias("lbl"))
     labels.cache()
+    # ``labels`` is rebound to DERIVED frames (merged.select / checkpoint)
+    # below; unpersist() on a derivative is a no-op (CacheManager matches
+    # on sameResult), so track the actually-cached frame separately.
+    prev_cached = labels
     for it in range(max_iter):
         # every few rounds, cut the accumulated plan lineage: without
         # this, round N's plan nests N joins and Catalyst analysis cost
         # grows superlinearly on long-diameter graphs.
         if it > 0 and it % 5 == 0:
             labels = labels.localCheckpoint(eager=True)
+            # the eager checkpoint has materialized the data — the cached
+            # frame it was built from can be released now.
+            if prev_cached is not None:
+                prev_cached.unpersist()
+                prev_cached = None
         # One fused round: neighbor messages (b receives a's label) and
         # each vertex's own label go through a SINGLE groupBy — min(lbl)
         # is the new label, min(old) recovers the previous label (only
@@ -126,10 +138,20 @@ def _cc_loop(
         )
         merged.cache()
         changed = merged.filter(F.col("lbl") < F.col("old")).count()
-        labels.unpersist()
+        # the count() above materialized merged's cache; the previous
+        # round's cache (if any) is no longer needed.
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = merged
         labels = merged.select("v", "lbl")
         if changed == 0:
-            merged.unpersist()
             break
+    # Materialize the final labels (vertex-sized, cheap) BEFORE dropping
+    # the loop caches: otherwise the caller's first action would recompute
+    # the last round's union/groupBy AND the upstream edge frame under the
+    # session's restored confs.
+    if prev_cached is not None:
+        labels = labels.localCheckpoint(eager=True)
+        prev_cached.unpersist()
     both.unpersist()
     return labels.select(F.col("v").alias(id_col), F.col("lbl").alias("component"))

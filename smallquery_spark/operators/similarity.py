@@ -145,8 +145,15 @@ def ivf_build_centroids(
     bucket = F.conv(
         F.substring(F.md5(F.col(corpus_id).cast("string")), 1, 6), 16, 10
     ).cast("bigint")
+    # The cap must be ORDER-FREE: a bare limit() after the filter takes
+    # whichever rows the scan yields first — partition-layout dependent,
+    # so trained centroids would differ across file splits / cluster
+    # layouts despite the fixed seed. Sorting the ~4×sample_size filtered
+    # set by (md5 bucket, id) before the limit is cheap at that size and
+    # makes the sample a pure function of the data.
     rows = (
         corpus.filter(bucket < int(frac * (1 << 24)))
+        .orderBy(bucket, F.col(corpus_id))
         .limit(sample_size)
         .select(vec_col)
         .collect()

@@ -316,6 +316,82 @@ def c9_bucketed_join(spark, sf_dir):
     )
 
 
+@query(
+    "c9_bucketed_fact_join",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey % 16 = 1
+    GROUP BY o_orderpriority
+    """,
+    tags=("C9", "B5", "B14"),
+)
+def c9_bucketed_fact_join(spark, sf_dir):
+    """The at-rest bucketed layout as a CATALOG feature (VERDICT r5 item
+    5), not a per-query hand-roll: a git workspace versions the fact
+    tables; ``Workspace.materialize_bucketed`` resolves the commit,
+    reads the snapshot's parquet, and materializes a content-addressed
+    bucketed copy (``bkt_<digest(ws@commit:table|key|n)>``), so the
+    fact shuffle is paid once PER DATA VERSION and every later call on
+    the same commit reuses the layout. Both facts use the same bucket
+    count, so the join is a zero-Exchange sort-merge join (pinned in
+    tests/test_plans.py). The oracle is the PLAIN join over the same
+    logical slice — layout must never change the answer.
+
+    The ``% 16`` slice keeps the once-per-fixture git staging bounded
+    at generated scale; the bucketing economics at full volume are
+    measured separately (ATREST_gen100.json: 4 Exchanges → 0,
+    breakeven 3.6 queries)."""
+    import subprocess
+
+    from smallquery_spark.engine import Engine
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    mount = os.path.join(_WORK, tag, "bktws_mount")
+    repo = os.path.join(mount, "facts")
+    if not os.path.isdir(os.path.join(repo, ".git")):
+        os.makedirs(repo, exist_ok=True)
+        env = {
+            **os.environ,
+            "GIT_AUTHOR_NAME": "t",
+            "GIT_AUTHOR_EMAIL": "t@t",
+            "GIT_COMMITTER_NAME": "t",
+            "GIT_COMMITTER_EMAIL": "t@t",
+        }
+
+        def g(*a):
+            subprocess.run(
+                ["git", "-C", repo, *a],
+                check=True,
+                capture_output=True,
+                env=env,
+            )
+
+        g("init", "-b", "main")
+        for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+            (
+                t(spark, sf_dir, name)
+                .filter((F.col(key) % 16) == 1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(repo, f"{name}.parquet"))
+            )
+        g("add", "-A")
+        g("commit", "-m", "fact slices v1")
+
+    eng = Engine(spark, workspace_mount=mount)
+    ws = eng.catalog.workspace("facts")
+    ot = ws.materialize_bucketed(spark, "orders", "o_orderkey", 8)
+    lt = ws.materialize_bucketed(spark, "lineitem", "l_orderkey", 8)
+    lt_df = spark.table(lt).withColumnRenamed("l_orderkey", "o_orderkey")
+    joined = spark.table(ot).join(lt_df, "o_orderkey")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double").alias("gross"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # C7 (streaming) — continuous-aggregate maintenance via foreachBatch
 # ---------------------------------------------------------------------------

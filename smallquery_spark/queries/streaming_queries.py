@@ -407,7 +407,12 @@ def b59_foreach_batch(spark, sf_dir):
     )
 
     def sink(batch_df, epoch_id):
-        batch_df.write.mode("append").parquet(out_dir)
+        # epoch_id-keyed idempotent append (see _epoch_commit): a replayed
+        # epoch after restart must not double-append its rows.
+        epoch_dir = os.path.join(out_dir, f"epoch_{epoch_id:010d}")
+        if os.path.exists(os.path.join(epoch_dir, "_SUCCESS")):
+            return
+        batch_df.write.mode("overwrite").parquet(epoch_dir)
 
     q = (
         sdf.writeStream.foreachBatch(sink)
@@ -422,7 +427,7 @@ def b59_foreach_batch(spark, sf_dir):
     finally:
         if q.isActive:
             q.stop()
-    return spark.read.parquet(out_dir)
+    return spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
 
 
 @query(
@@ -778,6 +783,32 @@ def _stage_doc_slices(spark, df, k: int, prefix: str):
     return root, out
 
 
+def _committed_epochs(index_dir: str) -> list[str]:
+    """Epoch subdirectories of an at-rest index whose ``_SUCCESS`` marker
+    landed. foreachBatch is at-least-once per epoch: after a restart the
+    last uncommitted epoch replays, so readers must see only COMMITTED
+    epochs (a partial epoch's files would otherwise anti-join the
+    replaying batch against its own half-written output)."""
+    import glob as _glob
+
+    return sorted(
+        d
+        for d in _glob.glob(os.path.join(index_dir, "epoch_*"))
+        if os.path.exists(os.path.join(d, "_SUCCESS"))
+    )
+
+
+def _epoch_commit(df, index_dir: str, epoch_id: int) -> None:
+    """Idempotent epoch append: each epoch writes its own subdirectory
+    (mode=overwrite, so a crashed partial write is replaced wholesale on
+    replay); an epoch whose ``_SUCCESS`` already exists is skipped. This
+    is the epoch_id-keyed discipline Spark's foreachBatch contract
+    requires for exactly-once sinks."""
+    df.write.mode("overwrite").parquet(
+        os.path.join(index_dir, f"epoch_{epoch_id:010d}")
+    )
+
+
 def _drain(writer, name: str, timeout: int = 300):
     q = writer.trigger(availableNow=True).start()
     try:
@@ -793,7 +824,7 @@ def _drain(writer, name: str, timeout: int = 300):
     oracle="""
     WITH slice AS (
       SELECT doc_id, substring(text, 1, 40) AS fp
-      FROM documents WHERE doc_id < 400
+      FROM documents WHERE doc_id < 400 AND text IS NOT NULL
     )
     SELECT s.doc_id FROM slice s
     WHERE NOT EXISTS (
@@ -815,8 +846,19 @@ def c11_streaming_dedup(spark, sf_dir):
     first occurrence of every distinct fingerprint, which the oracle
     states as a plain NOT EXISTS — the streaming plumbing (source
     ordering, per-epoch index reads, appends) is what is being
-    value-checked against DuckDB."""
-    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    value-checked against DuckDB.
+
+    NULL contract pinned explicitly: NULL-text docs are excluded on
+    BOTH sides (engine filter + oracle predicate) because groupBy
+    treats NULL fingerprints as equal while the oracle's ``e.fp =
+    s.fp`` never matches NULL — the two semantics would diverge if a
+    fixture ever carried NULL text. Index appends are epoch-keyed and
+    idempotent (``_epoch_commit``)."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 400)
+        .filter(F.col("text").isNotNull())
+    )
     root, slices = _stage_doc_slices(spark, docs, 4, "smallquery_sdedup_")
     index_dir = os.path.join(root, "digest_index")
     schema = spark.read.parquet(slices).schema
@@ -829,15 +871,19 @@ def c11_streaming_dedup(spark, sf_dir):
 
     def _ingest(batch_df, epoch_id):
         sess = batch_df.sparkSession
+        epoch_dir = os.path.join(index_dir, f"epoch_{epoch_id:010d}")
+        if os.path.exists(os.path.join(epoch_dir, "_SUCCESS")):
+            return  # replayed epoch after restart: already committed
         fresh = (
             batch_df.withColumn("__h", F.md5(F.substring("text", 1, 40)))
             .groupBy("__h")
             .agg(F.min("doc_id").alias("doc_id"))
         )
-        if os.path.isdir(index_dir):
-            idx = sess.read.parquet(index_dir).select("__h")
+        committed = _committed_epochs(index_dir)
+        if committed:
+            idx = sess.read.parquet(*committed).select("__h")
             fresh = fresh.join(idx, "__h", "left_anti")
-        fresh.select("doc_id", "__h").write.mode("append").parquet(index_dir)
+        _epoch_commit(fresh.select("doc_id", "__h"), index_dir, epoch_id)
 
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -850,7 +896,7 @@ def c11_streaming_dedup(spark, sf_dir):
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    return spark.read.parquet(index_dir).select("doc_id")
+    return spark.read.parquet(*_committed_epochs(index_dir)).select("doc_id")
 
 
 @query(
@@ -905,14 +951,14 @@ def c2_streaming_neardup(spark, sf_dir):
 
     def _ingest(batch_df, epoch_id):
         sess = batch_df.sparkSession
+        epoch_dir = os.path.join(index_dir, f"epoch_{epoch_id:010d}")
+        if os.path.exists(os.path.join(epoch_dir, "_SUCCESS")):
+            return  # replayed epoch after restart: already committed
         sig = _banded_sig_df(batch_df)
-        idx = (
-            sess.read.parquet(index_dir)
-            if os.path.isdir(index_dir)
-            else None
-        )
+        committed = _committed_epochs(index_dir)
+        idx = sess.read.parquet(*committed) if committed else None
         surv = neardup_ingest_step(sig, idx, threshold=0.5)
-        surv.write.mode("append").parquet(index_dir)
+        _epoch_commit(surv, index_dir, epoch_id)
 
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -923,7 +969,9 @@ def c2_streaming_neardup(spark, sf_dir):
             .option("checkpointLocation", os.path.join(root, "ckpt")),
             "c2_streaming_neardup",
         )
-        streamed = spark.read.parquet(index_dir).select("doc_id")
+        streamed = spark.read.parquet(*_committed_epochs(index_dir)).select(
+            "doc_id"
+        )
 
         # sequential reference: the same step applied slice-by-slice
         # through the BATCH engine (no stream source, no foreachBatch)

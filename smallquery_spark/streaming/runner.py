@@ -149,10 +149,25 @@ def run_to_df(
                 tempfile.mkdtemp(prefix="smallquery_runsink_")
             )
             data_dir = os.path.join(out_root, qname)
-            mode = "overwrite" if output_mode == "complete" else "append"
+            complete = output_mode == "complete"
 
             def _sink(batch_df: DataFrame, epoch_id: int) -> None:
-                batch_df.write.mode(mode).parquet(data_dir)
+                # foreachBatch's exactly-once contract requires the sink to
+                # be idempotent ON epoch_id: after a restart, Spark replays
+                # the last epoch whose sink ran but whose streaming
+                # checkpoint never committed. Complete mode is naturally
+                # idempotent (each epoch IS the full result — overwrite);
+                # append mode writes each epoch to its own epoch-keyed
+                # subdirectory and skips epochs whose _SUCCESS marker
+                # already landed (a partial write without _SUCCESS is
+                # overwritten, so a mid-write crash also replays cleanly).
+                if complete:
+                    batch_df.write.mode("overwrite").parquet(data_dir)
+                    return
+                epoch_dir = os.path.join(data_dir, f"epoch_{epoch_id:010d}")
+                if os.path.exists(os.path.join(epoch_dir, "_SUCCESS")):
+                    return
+                batch_df.write.mode("overwrite").parquet(epoch_dir)
 
             writer = (
                 sdf.writeStream.foreachBatch(_sink)
@@ -184,5 +199,8 @@ def run_to_df(
             # zero emissions (e.g. everything beyond the watermark):
             # an empty frame with the stream's schema
             return spark.createDataFrame([], sdf.schema)
-        return spark.read.parquet(data_dir)
+        # recursiveFileLookup: append-mode epochs live in epoch_* subdirs
+        # (no partition-column inference wanted); complete mode is flat
+        # and reads identically.
+        return spark.read.option("recursiveFileLookup", "true").parquet(data_dir)
     return spark.table(qname)

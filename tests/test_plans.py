@@ -270,6 +270,44 @@ def test_bucketed_rollup_workload_no_exchange(spark):
     assert "Exchange" not in plan
 
 
+def test_catalog_bucketed_join_no_exchange(spark):
+    """The CATALOG bucketing API (Workspace.materialize_bucketed) yields
+    the same zero-Exchange join as the hand-rolled tables, and the
+    content-addressed name is stable across calls (layout paid once per
+    data version)."""
+    from smallquery_spark.engine import Engine
+    from smallquery_spark.queries.registry import REGISTRY
+
+    # run the registered query once to stage the workspace + tables
+    REGISTRY["c9_bucketed_fact_join"].fn(spark, SF_SMOKE)
+    import os
+    import tempfile
+
+    from smallquery_spark.queries.scale import _WORK
+
+    tag = os.path.basename(SF_SMOKE.rstrip("/")).replace(".", "_")
+    mount = os.path.join(_WORK, tag, "bktws_mount")
+    eng = Engine(spark, workspace_mount=mount)
+    ws = eng.catalog.workspace("facts")
+    ot = ws.materialize_bucketed(spark, "orders", "o_orderkey", 8)
+    # content-addressed: the second call must return the SAME table
+    assert ot == ws.materialize_bucketed(spark, "orders", "o_orderkey", 8)
+    lt = ws.materialize_bucketed(spark, "lineitem", "l_orderkey", 8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        lt_df = spark.table(lt).withColumnRenamed("l_orderkey", "o_orderkey")
+        df = spark.table(ot).join(lt_df, "o_orderkey")
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    assert "Exchange" not in plan
+
+
 # ---------------------------------------------------------------------------
 # Global plan hygiene: no accidental quadratic joins anywhere
 # ---------------------------------------------------------------------------

@@ -78,7 +78,12 @@ def get_session(
     cpus = _cpu_count()
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master or f"local[{cpus}]")
+        # SPARK_GRAFT_MASTER lets the same session factory (and thus
+        # bench.py / tools.* unchanged) run under a real executor
+        # boundary: e.g. local-cluster[4,8,8192] spawns 4 worker JVMs
+        # with serialized netty shuffle — the closest this sandbox gets
+        # to a cluster (tools/cluster_bench.py).
+        .master(master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

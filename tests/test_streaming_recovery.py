@@ -189,3 +189,47 @@ def test_streaming_sinks_agree(spark):
     fil = sorted(map(tuple, agg("sinks_fil", "files").collect()))
     assert mem == fil
     assert len(mem) > 0
+
+
+def test_epoch_keyed_sink_replay_idempotent(spark, tmp_path):
+    """foreachBatch's contract is at-least-once per epoch: after a
+    restart the last epoch whose sink ran but whose streaming commit
+    didn't lands AGAIN with the same epoch_id. The epoch-keyed sink
+    discipline (_epoch_commit/_committed_epochs) must (a) skip a
+    committed replayed epoch, (b) rewrite a partial (no _SUCCESS)
+    epoch wholesale, and (c) expose only committed epochs to readers."""
+    import os
+
+    from smallquery_spark.queries.streaming_queries import (
+        _committed_epochs,
+        _epoch_commit,
+    )
+
+    index_dir = str(tmp_path / "idx")
+    df1 = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    _epoch_commit(df1, index_dir, 0)
+    assert len(_committed_epochs(index_dir)) == 1
+
+    # (b) partial epoch: files present, no _SUCCESS — invisible to
+    # readers, replaced wholesale when the epoch replays
+    epoch1 = os.path.join(index_dir, "epoch_0000000001")
+    df_partial = spark.createDataFrame([(99,)], "doc_id long")
+    df_partial.write.mode("overwrite").parquet(epoch1)
+    os.remove(os.path.join(epoch1, "_SUCCESS"))
+    assert len(_committed_epochs(index_dir)) == 1  # partial is invisible
+    df2 = spark.createDataFrame([(3,), (4,), (5,)], "doc_id long")
+    _epoch_commit(df2, index_dir, 1)  # replay overwrites the partial
+    committed = _committed_epochs(index_dir)
+    assert len(committed) == 2
+    rows = {
+        r["doc_id"] for r in spark.read.parquet(*committed).collect()
+    }
+    assert rows == {1, 2, 3, 4, 5}  # 99 from the partial write is gone
+
+    # (a) a replayed COMMITTED epoch is skipped by the query-side guard
+    # (the c11/c2/b59 sinks check _SUCCESS before writing); the reader
+    # view is unchanged either way
+    assert {
+        r["doc_id"]
+        for r in spark.read.parquet(*_committed_epochs(index_dir)).collect()
+    } == {1, 2, 3, 4, 5}

@@ -89,6 +89,16 @@ def get_session(
     )
     for k, v in _DEFAULTS.items():
         builder = builder.config(k, v)
+    # SPARK_GRAFT_CONF="k=v;k2=v2" — ad-hoc conf passthrough for harness
+    # runs that need a non-default (e.g. spark.driver.maxResultSize for
+    # the full-oracle check at gen-sf10, where value-comparing a 60M-row
+    # result legitimately collects multi-GB to the driver). Applied after
+    # _DEFAULTS, before extra_conf, so explicit callers still win.
+    env_conf = os.environ.get("SPARK_GRAFT_CONF", "")
+    for pair in env_conf.split(";"):
+        if "=" in pair:
+            k, _, v = pair.partition("=")
+            builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

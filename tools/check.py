@@ -85,28 +85,70 @@ def canon_value(v) -> str:
     return str(v)
 
 
-def canon_rows(cols: list[str], rows: list[tuple]) -> tuple[int, str]:
+_HASH_MOD = 1 << 256
+_PARALLEL_MIN_ROWS = 200_000
+
+
+def _hash_chunk(pdf, order) -> tuple[int, int]:
+    """Multiset-hash a DataFrame chunk: sum of per-row sha256 values.
+
+    Equal row-multisets give equal sums regardless of order, so the
+    global sort of the old scheme is unnecessary; the per-value
+    canonicalization (canon_value) is unchanged and stays the exact
+    contract the driver's compare demands.
+    """
+    total = 0
+    for r in pdf.itertuples(index=False, name=None):
+        s = "\x01".join(canon_value(r[i]) for i in order)
+        total += int.from_bytes(hashlib.sha256(s.encode()).digest(), "big")
+    return len(pdf), total % _HASH_MOD
+
+
+def canon_pdf(pdf) -> tuple[int, str]:
+    """Row-count + order-insensitive value hash of a pandas frame.
+
+    Large results (gen-sf10 queries legitimately return 60M rows) fan
+    the per-row canonicalization out over a fork pool — pandas slices
+    pickle as numpy blocks, so the send cost is bytes, not 60M boxed
+    tuples. Falls back to serial on any pool failure.
+    """
+    cols = list(pdf.columns)
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    canon = sorted(
-        "\x01".join(canon_value(r[i]) for i in order) for r in rows
-    )
-    h = hashlib.sha256("\x02".join(canon).encode()).hexdigest()[:16]
-    return len(canon), h
+    n = len(pdf)
+    if n >= _PARALLEL_MIN_ROWS:
+        try:
+            import multiprocessing as mp
+            from concurrent.futures import ProcessPoolExecutor
+
+            workers = min(32, os.cpu_count() or 4)
+            chunk = max(100_000, -(-n // (workers * 2)))
+            with ProcessPoolExecutor(
+                max_workers=workers, mp_context=mp.get_context("fork")
+            ) as ex:
+                futs = [
+                    ex.submit(_hash_chunk, pdf.iloc[a : a + chunk], order)
+                    for a in range(0, n, chunk)
+                ]
+                total = 0
+                for f in futs:
+                    _, part = f.result()
+                    total = (total + part) % _HASH_MOD
+            return n, f"{total:064x}"[:16]
+        except Exception:  # noqa: BLE001 — pool trouble: do it serially
+            pass
+    _, total = _hash_chunk(pdf, order)
+    return n, f"{total:064x}"[:16]
 
 
 def run_spark(qd, spark, sf_dir):
     df = qd.fn(spark, sf_dir)
     pdf = df.toPandas()
-    cols = list(pdf.columns)
-    rows = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
-    return cols, rows
+    return list(pdf.columns), pdf
 
 
-def run_duckdb(sql: str, con) -> tuple[list[str], list[tuple]]:
+def run_duckdb(sql: str, con):
     pdf = con.execute(sql).df()
-    cols = list(pdf.columns)
-    rows = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
-    return cols, rows
+    return list(pdf.columns), pdf
 
 
 def main() -> int:
@@ -127,23 +169,24 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            cols_s, rows_s = run_spark(qd, spark, sf_dir)
+            cols_s, pdf_s = run_spark(qd, spark, sf_dir)
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"SPARK ERROR: {type(e).__name__}: {e}"))
             print(f"FAIL  {name}: spark error: {e}")
             continue
         if qd.oracle is None:
             rows_only += 1
-            print(f"rows  {name}: {len(rows_s)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            print(f"rows  {name}: {len(pdf_s)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
-            cols_d, rows_d = run_duckdb(qd.oracle, con)
+            cols_d, pdf_d = run_duckdb(qd.oracle, con)
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"DUCKDB ERROR: {type(e).__name__}: {e}"))
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
-        n_s, h_s = canon_rows(cols_s, rows_s)
-        n_d, h_d = canon_rows(cols_d, rows_d)
+        n_s, h_s = canon_pdf(pdf_s)
+        n_d, h_d = canon_pdf(pdf_d)
+        del pdf_s, pdf_d
         if sorted(cols_s) != sorted(cols_d):
             failures.append((name, f"COLUMNS: spark={sorted(cols_s)} duckdb={sorted(cols_d)}"))
             print(f"FAIL  {name}: column mismatch {sorted(cols_s)} vs {sorted(cols_d)}")

@@ -48,6 +48,14 @@ _DEFAULTS = {
     # insert-dominated state (session windows 1.49x vs snapshot's
     # 1.29x, STATESTORE_gen100.json) -- insert-dominated jobs should
     # override this to false. No effect under the default provider.
+    # For STREAM-STREAM JOINS under RocksDB the checkpoint knob is NOT
+    # the lever: the gen100 2x overhead is format v1/v2 running four
+    # stores per partition whose memtable flushes dominate; set
+    # spark.sql.streaming.join.stateFormatVersion=3 (new checkpoints,
+    # RocksDB only: one store per partition via virtual column
+    # families, 2.0x -> 1.20x) and size state partitions so per-store
+    # state stays ~O(100 MB) (p64 reached 0.92x of the in-memory
+    # provider; B57_ROOTCAUSE_gen100.json).
     "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
         "true"
     ),

@@ -76,14 +76,28 @@ def _checksum(df):
     return (r["n"], int(r["se"] or 0), int(r["h"] or 0))
 
 
-def run_streaming(spark, sf_dir, n_parts, provider, mode="complete"):
+def run_streaming(spark, sf_dir, n_parts, provider, mode="complete", staged=None):
     if provider == "rocksdb":
         spark.conf.set(_PROVIDER_KEY, _ROCKS)
     try:
         if mode == "complete":
             agg = _session_agg(spark, sf_dir)
-        else:  # append: watermark-driven eviction; only closed sessions emit
-            sdf = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+        else:
+            # append: watermark-driven eviction; only closed sessions emit.
+            # MUST consume time-ordered slices one per micro-batch — in a
+            # single availableNow mega-batch the watermark never advances
+            # mid-drain, nothing evicts, and the in-memory store holds the
+            # full corpus state PLUS the emit bookkeeping (measured: OOM at
+            # gen100/48g where complete mode survived). Eviction is only a
+            # lever under steady arrival, which the sliced source models.
+            schema = spark.read.parquet(staged).schema
+            sdf = (
+                spark.readStream.schema(schema)
+                .format("parquet")
+                .option("maxFilesPerTrigger", "1")
+                .load(staged)
+                .withWatermark("ts", "10 minutes")
+            )
             agg = (
                 sdf.groupBy(
                     F.session_window("ts", "5 minutes"), F.col("user_id")
@@ -185,7 +199,7 @@ def run_prereduce(spark, sf_dir, n_parts):
 
 def main() -> None:
     argv = sys.argv[1:]
-    out_path, runs, skip = None, 2, set()
+    out_path, runs, skip, k_slices = None, 2, set(), 16
     if "--out" in argv:
         i = argv.index("--out")
         out_path = argv[i + 1]
@@ -193,6 +207,10 @@ def main() -> None:
     if "--runs" in argv:
         i = argv.index("--runs")
         runs = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
+    if "--slices" in argv:
+        i = argv.index("--slices")
+        k_slices = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2 :]
     if "--skip" in argv:
         i = argv.index("--skip")
@@ -216,35 +234,63 @@ def main() -> None:
         "sf_dir": sf_dir,
         "runs": runs,
         "base_state_partitions": base_parts,
+        "append_slices": k_slices,
         "levers": {},
     }
     checksums: dict[str, tuple] = {}
+
+    def flush():
+        # incremental write: a crashed/OOM'd case must not lose the
+        # cases already measured (the first gen100 run did exactly that)
+        if out_path:
+            with open(out_path, "w") as f:
+                f.write(json.dumps(out) + "\n")
+
+    def record(label, fn, *a, checksum_asserted=True):
+        try:
+            sec, cs = timed(fn, *a)
+        except Exception as e:  # noqa: BLE001 — isolate case failures
+            out["levers"][label] = None
+            out.setdefault("errors", {})[label] = str(e)[:300]
+            print(f"  {label}: ERROR {str(e)[:120]}", file=sys.stderr, flush=True)
+            flush()
+            return
+        out["levers"][label] = sec
+        if checksum_asserted:
+            checksums[label] = cs
+        else:
+            out.setdefault("append_checksums", {})[label] = cs
+        print(f"  {label}: {sec}s cs={cs}", file=sys.stderr, flush=True)
+        flush()
 
     for n in (32, 64, 128):
         for prov in ("hdfs", "rocksdb"):
             label = f"complete_p{n}_{prov}"
             if label in skip or "partitions" in skip and n != base_parts:
                 continue
-            sec, cs = timed(run_streaming, sf_dir, n, prov, "complete")
-            out["levers"][label] = sec
-            checksums[label] = cs
-            print(f"  {label}: {sec}s cs={cs}", file=sys.stderr, flush=True)
+            record(label, run_streaming, sf_dir, n, prov, "complete")
 
     if "eviction" not in skip:
+        from tools.ssj_state_bound import stage_slices
+
+        staged = stage_slices(spark, sf_dir, k_slices)
         for prov in ("hdfs", "rocksdb"):
             label = f"append_wm_p{base_parts}_{prov}"
-            sec, cs = timed(run_streaming, sf_dir, base_parts, prov, "append")
-            out["levers"][label] = sec
             # append emits only watermark-closed sessions: checksum is
             # expected to differ from complete mode; recorded, not asserted
-            out.setdefault("append_checksums", {})[label] = cs
-            print(f"  {label}: {sec}s cs={cs}", file=sys.stderr, flush=True)
+            record(
+                label,
+                run_streaming,
+                sf_dir,
+                base_parts,
+                prov,
+                "append",
+                staged,
+                checksum_asserted=False,
+            )
 
     if "prereduce" not in skip:
-        sec, cs = timed(run_prereduce, sf_dir, base_parts)
-        out["levers"]["prereduce_foreachbatch"] = sec
-        checksums["prereduce_foreachbatch"] = cs
-        print(f"  prereduce: {sec}s cs={cs}", file=sys.stderr, flush=True)
+        record("prereduce_foreachbatch", run_prereduce, sf_dir, base_parts)
 
     # every complete-mode/prereduce variant must produce the SAME multiset
     vals = list(checksums.values())

@@ -66,7 +66,8 @@ _ALIASES: dict[str, tuple[str, tuple[str, ...]]] = {
     "a_c13_heavy_hitters": ("c13_heavy_hitters", ()),
     "a_c14_merge_upsert": ("c14_merge_upsert", ()),
     "a_c15_connected_components": ("c15_connected_components", ()),
-    "a_c16_gap_fill": ("c16_gap_fill", ()),
+    # a_c16_c38 is a two-leg combo (gap fill + incremental sessionize),
+    # registered by _register_time_series below.
     "a_c17_importance_sampling": ("c17_importance_sampling", ()),
     "a_c18_linear_fit": ("c18_linear_fit", ()),
     "a_c20_zorder_layout": ("c20_zorder_layout", ()),
@@ -1294,6 +1295,53 @@ def _register_aggs() -> None:
         return out
 
 
+def _register_time_series() -> None:
+    """a_c16_c38: the two event-time-structure operators, tagged union
+    with full row-level values — C16's dense-grid resample and C38's
+    incremental sessionization (operators/sessionize.py: per-epoch
+    gaps-and-islands + exact span gap-merge, the at-rest counterpart
+    of B53's streaming session_window). Both legs run the ORIGINAL
+    registered queries; bucket timestamps ride as integer epoch-µs."""
+    oracle = f"""
+    SELECT 'c16' AS op, CAST(user_id AS BIGINT) AS user_id,
+           epoch_us(bucket_start) AS k,
+           CAST(n_obs AS BIGINT) AS v1, CAST(0 AS BIGINT) AS v2,
+           CAST(0 AS BIGINT) AS v3, sum_value AS dv
+    FROM ({_oracle("c16_gap_fill")})
+    UNION ALL
+    SELECT 'c38', CAST(user_id AS BIGINT), CAST(0 AS BIGINT),
+           n_sessions, n_events, max_session_events, CAST(0 AS DOUBLE)
+    FROM ({_oracle("c38_incremental_sessionize")})
+    """
+
+    @query(
+        "a_c16_c38_time_series",
+        oracle=oracle,
+        tags=("C16", "C38", "B31", "B43", "B15", "B53", "canonical"),
+    )
+    def a_c16_c38_time_series(spark, sf_dir):
+        z_big = F.lit(0).cast(_BIG)
+        c16 = _fn("c16_gap_fill")(spark, sf_dir).select(
+            F.lit("c16").alias("op"),
+            F.col("user_id").cast(_BIG).alias("user_id"),
+            F.unix_micros("bucket_start").alias("k"),
+            F.col("n_obs").cast(_BIG).alias("v1"),
+            z_big.alias("v2"),
+            z_big.alias("v3"),
+            F.col("sum_value").alias("dv"),
+        )
+        c38 = _fn("c38_incremental_sessionize")(spark, sf_dir).select(
+            F.lit("c38").alias("op"),
+            F.col("user_id").cast(_BIG).alias("user_id"),
+            z_big.alias("k"),
+            F.col("n_sessions").alias("v1"),
+            F.col("n_events").alias("v2"),
+            F.col("max_session_events").alias("v3"),
+            F.lit(0.0).cast("double").alias("dv"),
+        )
+        return c16.union(c38)
+
+
 def _register_distinct_sketches() -> None:
     """a_c19_c21: mergeable HLL sketch contract + exact mergeable
     bitmap distinct, tagged union (both are distinct-count machinery —
@@ -1602,4 +1650,5 @@ _register_shapes_udf_merged()
 _register_joins()
 _register_aggs()
 _register_distinct_sketches()
+_register_time_series()
 _register_sources()

@@ -1109,3 +1109,72 @@ def c22_sequence_packing(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
     )
+
+
+@query(
+    "c38_incremental_sessionize",
+    # The oracle computes GLOBAL sessions directly (lag/cumsum over each
+    # user's full event series in integer microseconds); the Spark side
+    # deliberately takes the incremental route — sessionize 4 adversarial
+    # hash-split epochs independently, then span-merge. Equality IS the
+    # proof that the merge reconstructs exact global sessions from
+    # arbitrary (not even time-contiguous) epoch splits.
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us FROM events
+    ), lagd AS (
+      SELECT user_id, us,
+             LAG(us) OVER (PARTITION BY user_id ORDER BY us) AS prev
+      FROM e
+    ), marked AS (
+      SELECT user_id, us,
+             CASE WHEN prev IS NULL OR us - prev >= 300000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM lagd
+    ), sess AS (
+      SELECT user_id,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ), per_session AS (
+      SELECT user_id, sid, COUNT(*) AS n FROM sess GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(MAX(n) AS BIGINT) AS max_session_events
+    FROM per_session GROUP BY user_id
+    """,
+    tags=("C38", "B31", "B53"),
+)
+def c38_incremental_sessionize(spark, sf_dir):
+    """Incremental batch sessionization (operators/sessionize.py): the
+    at-rest counterpart of B53's streaming session_window, built for
+    epoch-at-a-time ingestion. Events are split into 4 epochs by an
+    ADVERSARIAL hash of event_id (epochs are not even time-contiguous —
+    strictly harder than daily drops), each epoch is sessionized
+    independently with one keyed window sort, and the per-epoch spans
+    are reconstructed into exact global sessions by a span-sized
+    interval gap-merge. Why it scales: per-epoch sorts are epoch-sized
+    and amortize over ingestion; the merge input is #sub-sessions rows,
+    not #events — no corpus-sized streaming state store (the b53 gen100
+    churn case holds ~99M mostly-singleton sessions in state;
+    B53_LEVERS_gen100.json measures that cost directly). Single lazy
+    plan: the epoch column is an extra partition key, so the whole
+    incremental path is 2 shuffles (events-sized, then span-sized)."""
+    from smallquery_spark.operators.sessionize import (
+        merge_session_spans,
+        session_spans,
+    )
+
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    epoched = ev.withColumn(
+        "__epoch", F.crc32(F.col("event_id").cast("string")) % 4
+    )
+    spans = session_spans(epoched, extra_keys=("__epoch",))
+    merged = merge_session_spans(spans)
+    return merged.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.max("n_events").cast("bigint").alias("max_session_events"),
+    )

@@ -487,3 +487,85 @@ def test_neardup_ingest_step_semantics(spark):
     surv0 = neardup_ingest_step(_banded_sig_df(batch), None, threshold=0.5)
     kept0 = sorted(r["doc_id"] for r in surv0.select("doc_id").collect())
     assert kept0 == [10, 11, 13]
+
+
+def test_incremental_sessionize_exact_under_any_split(spark):
+    """The span-merge exactness claim (operators/sessionize.py): for
+    ANY partition of events into epochs, sessionize-per-epoch +
+    gap-merge equals direct global sessionization — verified against a
+    brute-force python oracle on adversarial data: boundary gaps
+    exactly ==gap and ==gap-1µs, duplicate timestamps, singleton and
+    long sessions, epoch splits that isolate middle events."""
+    import random
+
+    from smallquery_spark.operators.sessionize import (
+        merge_session_spans,
+        session_spans,
+        sessionize,
+    )
+
+    rng = random.Random(7)
+    gap = 1000  # µs, small so boundaries are dense
+    rows = []
+    # structured users: exact-boundary chains
+    rows += [(1, t) for t in (0, 999, 1998, 2998, 3997)]  # 999<gap joins,
+    #    1000 would split: 1998->2998 is exactly gap -> split
+    rows += [(2, t) for t in (0, 1000, 2000)]  # all exactly gap -> all split
+    rows += [(3, t) for t in (5, 5, 5, 6)]  # duplicate timestamps
+    rows += [(4, t) for t in (42,)]  # singleton
+    # fuzz users
+    for u in range(5, 25):
+        t = 0
+        for _ in range(rng.randint(1, 60)):
+            t += rng.choice([1, 500, 999, 1000, 1001, 5000])
+            rows.append((u, t))
+    ev = spark.createDataFrame(
+        [(u, __import__("datetime").datetime.utcfromtimestamp(t / 1e6))
+         for u, t in rows],
+        "user_id bigint, ts timestamp",
+    )
+
+    # python oracle: global sessions per user
+    def oracle():
+        per_user: dict[int, list[int]] = {}
+        for u, t in rows:
+            per_user.setdefault(u, []).append(t)
+        out = set()
+        for u, ts in per_user.items():
+            ts.sort()
+            runs, n = [], 1
+            for a, b in zip(ts, ts[1:]):
+                if b - a >= gap:
+                    runs.append(n)
+                    n = 1
+                else:
+                    n += 1
+            runs.append(n)
+            for i, n in enumerate(runs):
+                out.add((u, i, n))
+        # compare as per-user sorted session-length multisets
+        agg: dict[int, list[int]] = {}
+        for u, _, n in out:
+            agg.setdefault(u, []).append(n)
+        return {u: sorted(v) for u, v in agg.items()}
+
+    def got(df):
+        res = df.groupBy("user_id").agg(
+            F.sort_array(F.collect_list("n_events")).alias("lens")
+        )
+        return {r["user_id"]: list(r["lens"]) for r in res.collect()}
+
+    want = oracle()
+    # direct
+    assert got(sessionize(ev, gap_us=gap)) == want
+    # adversarial epoch splits: hash, round-robin, and all-in-one
+    for epoch_expr in (
+        F.crc32(F.col("ts").cast("string")) % 5,
+        F.monotonically_increasing_id() % 3,
+        F.lit(0),
+    ):
+        spans = session_spans(
+            ev.withColumn("__epoch", epoch_expr), extra_keys=("__epoch",),
+            gap_us=gap,
+        )
+        assert got(merge_session_spans(spans, gap_us=gap)) == want

@@ -50,6 +50,11 @@ HEADLINE = [
     # dual-buffered stream-stream join.
     "b53_stream_session",
     "b57_stream_stream_join",
+    # The at-rest counterpart of b53 (r6): incremental span-merge
+    # sessionization — measured 6.3x cheaper than streaming session
+    # state at gen100 (B53_LEVERS_gen100.json), tracked here so the
+    # claim stays pinned to a per-round number.
+    "c38_incremental_sessionize",
 ]
 
 

@@ -532,3 +532,20 @@ def test_repetition_ratio_no_shuffle(spark):
     assert "Exchange" not in plan
     assert "FlatMapGroupsInPandas" not in plan and "BatchEvalPython" not in plan
     assert "PushedFilters" in plan_of("c23_repetition_ratio", spark)
+
+
+def test_incremental_sessionize_two_shuffles(spark):
+    """c38's whole incremental path must be two hash exchanges — the
+    (user, epoch) window sort and the user-keyed span merge; the final
+    per-user agg reuses the merge window's partitioning. No joins, no
+    event-sized third shuffle."""
+    plan = plan_of("c38_incremental_sessionize", spark)
+    assert "Join" not in plan
+    assert plan.count("Window") >= 2
+    import re
+
+    exchanges = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
+    assert len(exchanges) == 2, exchanges
+    # first shuffle carries the epoch key, second is user-only
+    assert any("__epoch" in e for e in exchanges)
+    assert any("__epoch" not in e for e in exchanges)

@@ -557,8 +557,21 @@ def c12_compaction(spark, sf_dir):
     orders = t(spark, sf_dir, "orders")
     orders.repartition(64).write.mode("overwrite").parquet(base)
 
+    # Scale-aware target: 1/16th of the actual data, floored at 4 MB.
+    # A fixed 4 MB target stops COMPACTING once the table outgrows
+    # 64 x 4 MB (at gen-sf10 orders is ~400 MB, so 4 MB targets would
+    # EXPAND 64 fragments into ~100 files — caught by the gen10 oracle
+    # run, CHECKRUN_r6_gen10). Real compaction picks its target from
+    # table size (e.g. 128 MB-1 GB at warehouse scale); tying it to
+    # measured bytes keeps the query meaningful at every fixture sf.
+    from smallquery_spark.operators.compaction import dir_stats as _ds
+
+    _, frag_bytes = _ds(base)
     before, after = compact_parquet_dir(
-        spark, base, target_file_bytes=4 * 1024 * 1024, min_files=8
+        spark,
+        base,
+        target_file_bytes=max(4 * 1024 * 1024, frag_bytes // 16),
+        min_files=8,
     )
     res = spark.read.parquet(base).agg(
         F.count("*").alias("n_rows"),

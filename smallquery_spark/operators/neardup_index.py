@@ -1,0 +1,242 @@
+"""Bucketed at-rest signature index for streaming near-dup ingest.
+
+`operators.dedup.neardup_ingest_step` reads the accumulated signature
+index as plain parquet and band-joins it against each micro-batch. That
+is correct, but the plan shuffles BOTH join sides — and the index side
+grows with corpus lifetime, so per-epoch cost creeps from epoch-bounded
+to index-bounded (measured: +40 s per ~580k index rows at 5M docs,
+C2_STREAM_CURVE_5M.json; flat at 1M where the index shuffle is noise).
+At 100 TB continuous ingest that is a scale-killer: the engine would
+re-shuffle the whole corpus's signatures every micro-batch, forever.
+
+This module stores the index the way the join wants to read it, so the
+at-rest side NEVER shuffles again after it is written:
+
+- ``<name>_bands``: the EXPLODED band keys, one narrow row per
+  (band, key) per accepted doc — ``(__bk, o_id, o_sz)`` with the
+  32-hex md5 band key cut to a 60-bit bigint — written
+  ``bucketBy(n, __bk)`` + ``sortBy(__bk)``. The index join is on
+  ``__bk`` ALONE (bucket column == join keys, which is what lets the
+  planner keep the bucketed scan; joining on (band, key) made it fall
+  back to "Bucketed: false (disabled by query planner)" + a full
+  Exchange). Dropping the band id from the key admits cross-band and
+  60-bit-truncation collisions — both only ADD candidate pairs, which
+  the hash-Jaccard re-check removes; results are value-identical.
+  Each epoch's band join then plans with ZERO Exchange on this side:
+  only the epoch's own keys shuffle, sized by the epoch.
+- ``<name>_hashes``: one row per accepted doc, ``(o_id, o_h)`` —
+  the 60-bit shingle hash set needed by the exactness re-check —
+  bucketed by ``o_id``. Candidate pairs (near-dup-density-sized, tiny)
+  shuffle TO it; the store itself never moves. Keeping the hash arrays
+  out of the band table also keeps the per-epoch scan narrow: the old
+  layout dragged every doc's hash array through the explode (x bands)
+  and the exchange.
+
+Epoch appends go through ``bucketBy(...).mode("append").saveAsTable``
+(one file per bucket per epoch — ``write_bucketed``'s pre-repartition).
+Exactly-once sits with the CALLER's epoch-commit protocol (the
+``_SUCCESS``-marked epoch dirs in queries/streaming_queries.py); a
+crash between a table append and the marker can replay an append, which
+is harmless here: duplicate index rows only duplicate candidate pairs,
+and the pair pipeline dedups on (n_id, o_id) before checking.
+
+Scale posture: per-epoch work = scan(index, 4 narrow columns, zero
+shuffle) + shuffle(epoch keys) + candidate-sized hash fetch. The scan
+is linear in corpus size but IO-bounded and column-pruned — orders of
+magnitude cheaper than the exchange it replaces; on a cluster it reads
+bucket-local.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _bk60(col) -> "F.Column":
+    """32-hex md5 band key -> 60-bit bigint (15 hex chars), exact in
+    int64. Truncation collisions across ~10^8 index rows are ~1e-3
+    birthday mass and only ever ADD candidate pairs."""
+    return F.conv(F.substring(col, 1, 15), 16, 10).cast("bigint")
+
+
+class NearDupIndex:
+    """At-rest near-dup signature index backed by two bucketed tables.
+
+    One instance per ingest run; ``name`` must be unique per run (the
+    caller's scratch-dir token works — table names land in the per-pid
+    warehouse and are cleaned with it).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        name: str,
+        n_buckets: int = 16,
+        id_col: str = "doc_id",
+    ) -> None:
+        self.spark = spark
+        self.id_col = id_col
+        self.n_buckets = n_buckets
+        self.bands_table = f"ndx_{name}_bands"
+        self.hashes_table = f"ndx_{name}_hashes"
+
+    # -- state ---------------------------------------------------------
+
+    @property
+    def exists(self) -> bool:
+        return self.spark.catalog.tableExists(self.bands_table)
+
+    def doc_count(self) -> int:
+        if not self.exists:
+            return 0
+        return self.spark.table(self.hashes_table).count()
+
+    def drop(self) -> None:
+        for tname in (self.bands_table, self.hashes_table):
+            self.spark.sql(f"DROP TABLE IF EXISTS {tname}")
+
+    # -- write path ----------------------------------------------------
+
+    def append(self, sig_df: DataFrame) -> None:
+        """Append accepted signature rows (`_banded_sig_df` schema:
+        id, __keys, __hashes, __sz) to both bucketed tables."""
+        idc = self.id_col
+        bands = (
+            sig_df.select(
+                F.col(idc).alias("o_id"),
+                F.col("__sz").alias("o_sz"),
+                F.explode("__keys").alias("__bkey"),
+            )
+            .select(_bk60(F.col("__bkey")).alias("__bk"), "o_id", "o_sz")
+            .repartition(self.n_buckets, F.col("__bk"))
+        )
+        hashes = sig_df.select(
+            F.col(idc).alias("o_id"), F.col("__hashes").alias("o_h")
+        ).repartition(self.n_buckets, F.col("o_id"))
+        mode = "append" if self.exists else "overwrite"
+        (
+            bands.write.mode(mode)
+            .bucketBy(self.n_buckets, "__bk")
+            .sortBy("__bk")
+            .saveAsTable(self.bands_table)
+        )
+        (
+            hashes.write.mode(mode)
+            .bucketBy(self.n_buckets, "o_id")
+            .sortBy("o_id")
+            .saveAsTable(self.hashes_table)
+        )
+        # writes may come from a foreachBatch clone session; refresh the
+        # owning session's relation cache so non-batch readers
+        # (doc_count, post-run audits) see the appended files too
+        for tname in (self.bands_table, self.hashes_table):
+            try:
+                self.spark.catalog.refreshTable(tname)
+            except Exception:
+                pass
+
+    # -- read path -----------------------------------------------------
+
+    def ingest_epoch(
+        self, sig_df: DataFrame, threshold: float = 0.5
+    ) -> DataFrame:
+        """One micro-batch: survivors of ``sig_df`` vs the batch itself
+        and the at-rest index — semantics identical to
+        ``neardup_ingest_step`` (same size-ratio prefilter, same
+        hash-set Jaccard rule), but the index side of the band join is
+        a bucketed scan with no Exchange. Does NOT append; callers
+        append survivors themselves — BEFORE their epoch commit marker,
+        so a replay never runs against an index missing an already-
+        committed epoch (the self-exclusion below makes the
+        append-then-crash replay a fixed point)."""
+        from smallquery_spark.operators.dedup import _hash_jaccard_udf
+
+        # resolve catalog reads through the BATCH's own session: inside
+        # foreachBatch the outer session's relation cache can serve a
+        # STALE file listing for a table appended by a previous
+        # micro-batch's cloned session (observed: epoch 2 seeing only
+        # epoch 0's rows via the outer session while the batch session
+        # saw both) — silent under-dropping, caught by the
+        # c2_streaming_neardup sets_equal oracle
+        sess = sig_df.sparkSession
+        idc = self.id_col
+        ratio_ok = (
+            F.least("n_sz", "o_sz") / F.greatest("n_sz", "o_sz")
+            >= F.lit(threshold)
+        )
+        exploded = sig_df.select(
+            F.col(idc),
+            F.col("__sz"),
+            F.col("__hashes"),
+            F.posexplode("__keys").alias("__band", "__bkey"),
+        ).withColumn("__bk", _bk60(F.col("__bkey")))
+        # in-batch pairs: epoch-sized self-join, carries hashes directly
+        new_full = exploded.select(
+            F.col(idc).alias("n_id"),
+            F.col("__sz").alias("n_sz"),
+            F.col("__hashes").alias("n_h"),
+            "__band",
+            "__bk",
+        )
+        old_in_batch = exploded.select(
+            F.col(idc).alias("o_id"),
+            F.col("__sz").alias("o_sz"),
+            F.col("__hashes").alias("o_h"),
+            "__band",
+            "__bk",
+        )
+        batch_checked = (
+            new_full.join(old_in_batch, ["__band", "__bk"])
+            .filter(F.col("o_id") < F.col("n_id"))
+            .filter(ratio_ok)
+            .dropDuplicates(["n_id", "o_id"])
+            .withColumn("__hj", _hash_jaccard_udf()("n_h", "o_h"))
+            .filter(F.col("__hj") >= threshold)
+            .select("n_id")
+        )
+        dropped = batch_checked
+        if sess.catalog.tableExists(self.bands_table):
+            # vs index: NARROW epoch keys (no hash arrays through the
+            # explode/exchange) against the bucketed band table — index
+            # side scans in place, epoch side shuffles epoch-sized.
+            new_keys = exploded.select(
+                F.col(idc).alias("n_id"),
+                F.col("__sz").alias("n_sz"),
+                "__bk",
+            )
+            cand = (
+                new_keys.join(sess.table(self.bands_table), "__bk")
+                # self-exclusion makes a replayed epoch (whose survivors
+                # were already appended before the crash) recompute the
+                # SAME survivor set instead of matching itself out
+                .filter(F.col("o_id") != F.col("n_id"))
+                .filter(ratio_ok)
+                .select("n_id", "o_id")
+                .dropDuplicates(["n_id", "o_id"])
+            )
+            # hash fetch: candidate pairs shuffle TO the id-bucketed
+            # store (store side zero-Exchange), then the epoch-local
+            # n_h attaches from the batch signatures
+            idx_checked = (
+                cand.join(sess.table(self.hashes_table), "o_id")
+                .join(
+                    sig_df.select(
+                        F.col(idc).alias("n_id"),
+                        F.col("__hashes").alias("n_h"),
+                    ),
+                    "n_id",
+                )
+                .withColumn("__hj", _hash_jaccard_udf()("n_h", "o_h"))
+                .filter(F.col("__hj") >= threshold)
+                .select("n_id")
+            )
+            dropped = dropped.unionByName(idx_checked)
+        surv = sig_df.join(
+            dropped.distinct().withColumnRenamed("n_id", idc),
+            idc,
+            "left_anti",
+        )
+        # epoch-sized; materialize once — consumed by the caller's
+        # commit write AND the index append
+        return surv.localCheckpoint(eager=True)

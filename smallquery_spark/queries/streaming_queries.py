@@ -909,21 +909,29 @@ def c11_streaming_dedup(spark, sf_dir):
 )
 def c2_streaming_neardup(spark, sf_dir):
     """Near-dup ingestion as a real stream: 3 id-ordered micro-batches
-    run `operators.dedup.neardup_ingest_step` inside foreachBatch — the
-    banded (b, r) bucket join against the batch itself plus the at-rest
-    SIGNATURE index (band keys + 60-bit hash sets; accepted text never
-    moves) — and append survivors to the index. The contract compares
-    the streamed accepted set against a sequential batch loop applying
-    the IDENTICAL step to the same slices: equality checks the
-    streaming plumbing (epoch ordering, index read-your-writes across
-    epochs), while the pair-finding core is already value-checked by
-    the c2 family. Slice construction guarantees duplicate clusters at
-    every sf (same recipe as c2_minhash_lsh), so dropped_some is a real
-    assertion, not vacuous."""
+    run the BUCKETED at-rest index path (`operators.neardup_index.
+    NearDupIndex`) inside foreachBatch — the banded bucket join against
+    the batch itself plus the bucketed signature index (band keys +
+    60-bit hash sets; accepted text never moves) — and append survivors
+    to the index. The index side of the band join never shuffles
+    (bucketBy(__bk) scan, plan-pinned in tests/test_plans.py); each
+    epoch shuffles only itself, which is what keeps per-epoch ingest
+    cost flat as the corpus accumulates (C2_STREAM_CURVE_5M.json showed
+    the old read-parquet index path growing +40 s/epoch at 5M docs).
+    The contract compares the streamed accepted set against a
+    sequential batch loop applying `neardup_ingest_step` — the SAME
+    size-ratio + hash-Jaccard rule through the non-bucketed plan — to
+    the same slices: equality checks both the streaming plumbing (epoch
+    ordering, index read-your-writes across epochs) and the bucketed
+    layout's value-parity with the reference step. Slice construction
+    guarantees duplicate clusters at every sf (same recipe as
+    c2_minhash_lsh), so dropped_some is a real assertion, not
+    vacuous."""
     from smallquery_spark.operators.dedup import (
         _banded_sig_df,
         neardup_ingest_step,
     )
+    from smallquery_spark.operators.neardup_index import NearDupIndex
 
     all_docs = t(spark, sf_dir, "documents")
     dup_groups = (
@@ -949,15 +957,23 @@ def c2_streaming_neardup(spark, sf_dir):
         .load(slices)
     )
 
+    ndx = NearDupIndex(
+        spark, f"sndup_{os.path.basename(root).rsplit('_', 1)[-1]}", n_buckets=8
+    )
+    ndx.drop()
+
     def _ingest(batch_df, epoch_id):
-        sess = batch_df.sparkSession
         epoch_dir = os.path.join(index_dir, f"epoch_{epoch_id:010d}")
         if os.path.exists(os.path.join(epoch_dir, "_SUCCESS")):
             return  # replayed epoch after restart: already committed
         sig = _banded_sig_df(batch_df)
-        committed = _committed_epochs(index_dir)
-        idx = sess.read.parquet(*committed) if committed else None
-        surv = neardup_ingest_step(sig, idx, threshold=0.5)
+        surv = ndx.ingest_epoch(sig, threshold=0.5)
+        # append BEFORE the epoch commit: a crash in the window replays
+        # the epoch against an index already holding its survivors,
+        # which ingest_epoch's self-exclusion makes a fixed point;
+        # append-after-commit would instead let the NEXT epoch run
+        # against an index missing this one (silent under-dropping)
+        ndx.append(surv)
         _epoch_commit(surv, index_dir, epoch_id)
 
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -986,6 +1002,7 @@ def c2_streaming_neardup(spark, sf_dir):
         reference = ref_idx.select("doc_id")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        ndx.drop()
 
     n_streamed = streamed.count()
     missing = reference.exceptAll(streamed).count()

@@ -489,6 +489,64 @@ def test_neardup_ingest_step_semantics(spark):
     assert kept0 == [10, 11, 13]
 
 
+def test_neardup_index_matches_ingest_step(spark):
+    """The BUCKETED at-rest index path (operators/neardup_index) is
+    value-identical to `neardup_ingest_step` run epoch-by-epoch over
+    the same slices — the bucketed layout, the 60-bit band-key
+    truncation, and the __bk-only join (both admit extra candidates)
+    must never change the survivor set. Replay safety is pinned too:
+    re-running an epoch whose survivors were already appended (the
+    crash-between-append-and-commit window) returns the SAME set."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from smallquery_spark.operators.dedup import (
+        _banded_sig_df,
+        neardup_ingest_step,
+    )
+    from smallquery_spark.operators.neardup_index import NearDupIndex
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(
+        os.path.join(SF_SMOKE, "documents.parquet")
+    ).select("doc_id", "text")
+    # 3 hash-split epochs (adversarial: near-dup pairs straddle epochs)
+    epochs = [
+        docs.filter(F.abs(F.hash("doc_id")) % 3 == i).localCheckpoint()
+        for i in range(3)
+    ]
+    ref_idx, ref_ids = None, []
+    for ep in epochs:
+        surv = neardup_ingest_step(
+            _banded_sig_df(ep), ref_idx, threshold=0.5
+        ).localCheckpoint(eager=True)
+        ref_idx = surv if ref_idx is None else ref_idx.unionByName(surv)
+        ref_ids.extend(r.doc_id for r in surv.select("doc_id").collect())
+
+    ndx = NearDupIndex(spark, f"proptest_{os.getpid()}", n_buckets=4)
+    ndx.drop()
+    try:
+        got_ids = []
+        last_sig = None
+        for ep in epochs:
+            sig = _banded_sig_df(ep)
+            surv = ndx.ingest_epoch(sig, threshold=0.5)
+            ndx.append(surv)
+            got_ids.extend(r.doc_id for r in surv.select("doc_id").collect())
+            last_sig = (sig, [r.doc_id for r in surv.select("doc_id").collect()])
+        assert sorted(got_ids) == sorted(ref_ids)
+        assert ndx.doc_count() == len(ref_ids)
+        # replay the LAST epoch against an index that already holds its
+        # survivors: self-exclusion must make it a fixed point
+        sig, prev = last_sig
+        again = ndx.ingest_epoch(sig, threshold=0.5)
+        got_again = sorted(r.doc_id for r in again.select("doc_id").collect())
+        assert got_again == sorted(prev)
+    finally:
+        ndx.drop()
+
+
 def test_incremental_sessionize_exact_under_any_split(spark):
     """The span-merge exactness claim (operators/sessionize.py): for
     ANY partition of events into epochs, sessionize-per-epoch +

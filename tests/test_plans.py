@@ -308,6 +308,62 @@ def test_catalog_bucketed_join_no_exchange(spark):
     assert "Exchange" not in plan
 
 
+def test_neardup_index_band_join_no_index_exchange(spark):
+    """The streaming near-dup ingest's band join must NEVER shuffle the
+    at-rest index side (the r6 scale defect: the read-parquet index
+    path re-shuffled the whole accumulated index every epoch — +40 s
+    per ~580k index rows at 5M docs, C2_STREAM_CURVE_5M.json). Pin:
+    the index scan reads bucketed ("Bucketed: true") and the plan's
+    only Exchange hashes the EPOCH side's key column."""
+    import os
+    import re
+
+    from pyspark.sql import functions as F
+
+    from smallquery_spark.operators.dedup import _banded_sig_df
+    from smallquery_spark.operators.neardup_index import (
+        NearDupIndex,
+        _bk60,
+    )
+
+    docs = spark.read.parquet(
+        os.path.join(SF_SMOKE, "documents.parquet")
+    ).select("doc_id", "text")
+    ndx = NearDupIndex(spark, f"plantest_{os.getpid()}", n_buckets=4)
+    ndx.drop()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        sig = _banded_sig_df(docs).localCheckpoint(eager=True)
+        ndx.append(sig)
+        new_keys = (
+            sig.select(
+                F.col("doc_id").alias("n_id"),
+                F.col("__sz").alias("n_sz"),
+                F.explode("__keys").alias("__bkey"),
+            )
+            .withColumn("__bk", _bk60(F.col("__bkey")))
+            .drop("__bkey")
+        )
+        # forbid broadcasting the epoch side: at real scale the epoch
+        # does not broadcast, so the pin must hold for the SMJ shape
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = new_keys.join(spark.table(ndx.bands_table), "__bk")
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert "Bucketed: true" in plan
+        blocks = re.findall(
+            r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan
+        )
+        assert len(blocks) == 1, plan
+        # the lone Exchange must carry the EPOCH side's columns (n_*),
+        # never the index table's (o_*)
+        assert "n_id" in blocks[0] and "o_id" not in blocks[0], plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        ndx.drop()
+
+
 # ---------------------------------------------------------------------------
 # Global plan hygiene: no accidental quadratic joins anywhere
 # ---------------------------------------------------------------------------

@@ -17,9 +17,17 @@ but band keys are uniform md5 buckets, so the per-epoch candidate
 count grows only with true near-dup density, not with index size. A
 super-linear drift in the curve would falsify that.
 
+Round 7: the tool now measures the BUCKETED at-rest index path
+(operators/neardup_index.NearDupIndex) by default — the fix for the r6
+finding that the read-parquet index path re-shuffled the whole
+accumulated index every epoch (+40 s per ~580k index rows at 5M docs).
+``--legacy`` runs the old path for comparison. A diskguard preflight
+refuses runs that cannot fit (the r6 5M run died on spill-disk
+exhaustion at epoch 4).
+
 Usage:
     python -m tools.c2_stream_curve [docs_dir] [--epochs K]
-        [--threshold T] [--out OUT.json]
+        [--threshold T] [--out OUT.json] [--legacy] [--require-gb G]
 """
 
 from __future__ import annotations
@@ -43,6 +51,7 @@ from smallquery_spark.session import get_session
 def main() -> None:
     argv = sys.argv[1:]
     out_path, k_epochs, threshold = None, 8, 0.5
+    legacy, require_gb = False, 20.0
     if "--out" in argv:
         i = argv.index("--out")
         out_path = argv[i + 1]
@@ -55,7 +64,19 @@ def main() -> None:
         i = argv.index("--threshold")
         threshold = float(argv[i + 1])
         argv = argv[:i] + argv[i + 2 :]
+    if "--require-gb" in argv:
+        i = argv.index("--require-gb")
+        require_gb = float(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
+    if "--legacy" in argv:
+        legacy = True
+        argv.remove("--legacy")
     docs_dir = argv[0] if argv else ".fixtures/docs1000000"
+
+    from tools.diskguard import preflight
+
+    disk = preflight(require_gb)
+    print(f"diskguard: {json.dumps(disk)}", file=sys.stderr, flush=True)
 
     spark = get_session("smallquery-c2-curve")
     ensure_driver_confs(spark)
@@ -94,16 +115,32 @@ def main() -> None:
             if os.path.exists(os.path.join(d, "_SUCCESS"))
         )
 
+    ndx = None
+    if not legacy:
+        from smallquery_spark.operators.neardup_index import NearDupIndex
+
+        ndx = NearDupIndex(
+            spark, f"curve_{os.path.basename(root).rsplit('_', 1)[-1]}",
+            n_buckets=32,
+        )
+        ndx.drop()
+
     def _ingest(batch_df, epoch_id):
         sess = batch_df.sparkSession
         t0 = time.time()
-        committed = _committed()
-        idx = sess.read.parquet(*committed) if committed else None
-        idx_rows = idx.count() if idx is not None else 0
         batch_rows = batch_df.count()
         sig = _banded_sig_df(batch_df)
-        surv = neardup_ingest_step(sig, idx, threshold=threshold)
         epoch_dir = os.path.join(index_dir, f"epoch_{epoch_id:010d}")
+        if legacy:
+            committed = _committed()
+            idx = sess.read.parquet(*committed) if committed else None
+            idx_rows = idx.count() if idx is not None else 0
+            surv = neardup_ingest_step(sig, idx, threshold=threshold)
+        else:
+            idx_rows = ndx.doc_count()
+            surv = ndx.ingest_epoch(sig, threshold=threshold)
+            if not os.path.exists(os.path.join(epoch_dir, "_SUCCESS")):
+                ndx.append(surv)
         if not os.path.exists(os.path.join(epoch_dir, "_SUCCESS")):
             surv.write.mode("overwrite").parquet(epoch_dir)
         survivors = sess.read.parquet(epoch_dir).count()
@@ -140,11 +177,15 @@ def main() -> None:
     total_wall = round(time.time() - t0, 1)
     accepted = sum(e["survivors"] for e in epochs)
     walls = [e["wall_sec"] for e in epochs if e["index_rows_before"] > 0]
+    if ndx is not None:
+        ndx.drop()
     out = {
         "docs_dir": docs_dir,
         "n_docs": n_docs,
+        "path": "legacy_read_parquet" if legacy else "bucketed_index",
         "epochs_requested": k_epochs,
         "threshold": threshold,
+        "disk_preflight": disk,
         "total_wall_sec": total_wall,
         "accepted_total": accepted,
         "dropped_total": n_docs - accepted,

@@ -97,6 +97,32 @@ def ann_lsh(
     )
 
 
+def ivf_defaults(n_corpus: int) -> tuple[int, int]:
+    """Corpus-size-derived ``(n_cells, n_probe)`` — the measured posture
+    from the 2M-embedding sweep (IVF_RECALL_gen100.json): cells ≈ √n
+    rounded to a power of two (clamped [16, 4096]) and probe = cells/16
+    floored at 4. At the sweep's scale that ratio is the sweet spot —
+    c256/p16 k-means hit 0.994 recall@10 scanning 9.2% of the corpus
+    (probe growing proportionally with cells is what keeps recall flat
+    while the scan fraction SHRINKS; under-probing at the same cell
+    count collapses recall: c256/p8 = 0.87). Replaces the pre-sweep
+    fixed n_probe=4 default, which under-probes any index past ~64
+    cells."""
+    import math
+
+    root = math.sqrt(max(n_corpus, 1))
+    n_cells = 1 << max(0, round(math.log2(root))) if root >= 1 else 16
+    n_cells = max(16, min(4096, n_cells))
+    # probe = cells/16 is the at-scale ratio; the candidate floor keeps
+    # tiny corpora honest (probing must still reach ~256 candidates —
+    # at n=500 the bare ratio probes 4 of 16 ~31-row cells ≈ 125
+    # candidates and recall@10 collapses under 0.6 on near-random
+    # embeddings). Capped at cells/2 so the index always prunes.
+    candidate_floor = math.ceil(n_cells * 256 / max(n_corpus, 1))
+    n_probe = max(4, n_cells // 16, candidate_floor)
+    return n_cells, min(n_probe, max(1, n_cells // 2))
+
+
 def ivf_build_centroids(
     corpus: DataFrame,
     n_cells: int,
@@ -298,13 +324,16 @@ def ivf_search(
     assigned_corpus: DataFrame,
     centroids: list[list[float]],
     k: int = 10,
-    n_probe: int = 4,
+    n_probe: int | None = None,
     query_id: str = "q_id",
     corpus_id: str = "c_id",
     vec_col: str = "vec",
 ) -> DataFrame:
     """IVF probe: each query scores only the corpus vectors in its
     ``n_probe`` nearest cells (vs. the whole corpus for brute force).
+    ``n_probe=None`` derives cells/16 (floor 4) from the centroid
+    count — the measured ratio from IVF_RECALL_gen100.json (see
+    ivf_defaults).
 
     The query→cell fan-out is an explode of the vectorized top-cell
     array; the cell join is an equi-join on ``cell`` with the (small)
@@ -312,6 +341,8 @@ def ivf_search(
     is the Arrow-vectorized pair cosine (the literal-fold form measured
     12s for 2.5M candidates at gen-sf10; the numpy form 1.3s).
     """
+    if n_probe is None:
+        n_probe = max(4, len(centroids) // 16)
     probes = ivf_probe_cells(
         queries, centroids, n_probe, vec_col=vec_col
     ).withColumnRenamed(vec_col, "__qvec")

@@ -506,22 +506,15 @@ def b58_rocksdb_state(spark, sf_dir):
     checkpointing) instead of the default in-memory HDFS-backed store.
     At 100 TB of keyed state this is the difference between an executor
     OOM and steady-state — and the results must be bit-identical, which
-    is exactly what this query's oracle asserts."""
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    old = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    try:
+    is exactly what this query's oracle asserts. Runs through the
+    engine's `rocksdb_state` posture helper (provider + join
+    stateFormatVersion=3 as one unit, B57_ROOTCAUSE_gen100.json)."""
+    from smallquery_spark.session import rocksdb_state
+
+    with rocksdb_state(spark):
         sdf = events_stream(spark, sf_dir)
         agg = sdf.groupBy("user_id").agg(F.count("*").alias("n_events"))
         return run_to_df(agg, "b58_rocks", output_mode="complete")
-    finally:
-        if old:
-            spark.conf.set(provider_key, old)
-        else:
-            spark.conf.unset(provider_key)
 
 
 # ---------------------------------------------------------------------------
@@ -581,13 +574,9 @@ def b67_transform_with_state(spark, sf_dir):
     except ImportError:
         _HAVE_TWS = False
 
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    old = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    try:
+    from smallquery_spark.session import rocksdb_state
+
+    with rocksdb_state(spark):
         sdf = events_stream(spark, sf_dir).select(
             "user_id",
             (F.col("value").cast("decimal(18,2)") * 100)
@@ -663,11 +652,6 @@ def b67_transform_with_state(spark, sf_dir):
             output_mode="update",
             state_partitions=state_partitions_for(sf_dir),
         )
-    finally:
-        if old:
-            spark.conf.set(provider_key, old)
-        else:
-            spark.conf.unset(provider_key)
     # one emission per (user, micro-batch); keep the final state per user.
     from pyspark.sql import Window as W
 

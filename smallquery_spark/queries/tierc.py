@@ -713,6 +713,7 @@ def c3_ann_ivf(spark, sf_dir):
     from smallquery_spark.operators.similarity import (
         ivf_assign,
         ivf_build_centroids,
+        ivf_defaults,
         ivf_search,
     )
 
@@ -723,12 +724,16 @@ def c3_ann_ivf(spark, sf_dir):
     corpus = emb.select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec")
     )
-    cents = ivf_build_centroids(corpus, n_cells=16)
-    # the cell assignment (16 centroid cosines over the full corpus) and
+    # cells/probe derive from corpus size (ivf_defaults: cells ≈ √n,
+    # probe = cells/16 floor 4 — the IVF_RECALL_gen100 posture), so the
+    # same query is correctly sized at sf0.001 and at gen100.
+    n_cells, n_probe = ivf_defaults(corpus.count())
+    cents = ivf_build_centroids(corpus, n_cells=n_cells)
+    # the cell assignment (centroid cosines over the full corpus) and
     # the exact baseline are each consumed by several validation actions
     # below — materialize them once instead of recomputing per action.
     assigned = ivf_assign(corpus, cents).cache()
-    approx = ivf_search(queries, assigned, cents, k=10, n_probe=6)
+    approx = ivf_search(queries, assigned, cents, k=10, n_probe=n_probe)
 
     exact = knn_bruteforce(
         queries.select("q_id", F.col("vec").alias("q_vec")),
@@ -744,7 +749,7 @@ def c3_ann_ivf(spark, sf_dir):
     # |queries| x |corpus| — the whole point of IVF.
     from smallquery_spark.operators.similarity import ivf_probe_cells
 
-    probes = ivf_probe_cells(queries, cents, 6).select("q_id", "cell")
+    probes = ivf_probe_cells(queries, cents, n_probe).select("q_id", "cell")
     scored_pairs = probes.join(assigned, "cell").count()
     pruned = scored_pairs < queries.count() * corpus.count()
     return spark.createDataFrame(

@@ -11,6 +11,7 @@ the UDF slow-path), UTC session timezone (oracle comparability).
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -50,12 +51,12 @@ _DEFAULTS = {
     # override this to false. No effect under the default provider.
     # For STREAM-STREAM JOINS under RocksDB the checkpoint knob is NOT
     # the lever: the gen100 2x overhead is format v1/v2 running four
-    # stores per partition whose memtable flushes dominate; set
-    # spark.sql.streaming.join.stateFormatVersion=3 (new checkpoints,
-    # RocksDB only: one store per partition via virtual column
-    # families, 2.0x -> 1.20x) and size state partitions so per-store
-    # state stays ~O(100 MB) (p64 reached 0.92x of the in-memory
-    # provider; B57_ROOTCAUSE_gen100.json).
+    # stores per partition whose memtable flushes dominate. The fix —
+    # stateFormatVersion=3 — is applied by the `rocksdb_state` helper
+    # below WITH the provider (v3 needs column families; the default
+    # HDFS provider throws on it, so it cannot be a global here), plus
+    # partitions sized so per-store state stays ~O(100 MB) (p64 reached
+    # 0.92x of the in-memory provider; B57_ROOTCAUSE_gen100.json).
     "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
         "true"
     ),
@@ -112,6 +113,49 @@ def get_session(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@contextmanager
+def rocksdb_state(spark: SparkSession):
+    """Opt a block of streaming queries into the production state
+    backend with the MEASURED posture applied as one unit:
+
+    - RocksDB state-store provider (spill-to-disk keyed state — at
+      100 TB state the difference between executor OOM and steady
+      state), and
+    - ``spark.sql.streaming.join.stateFormatVersion=3`` for NEW
+      stream-stream-join checkpoints: one store per partition via
+      virtual column families instead of four, which is where the
+      provider's 2.0x join overhead lived (2.0x -> 1.20x at gen100,
+      B57_ROOTCAUSE_gen100.json; p64 sizing reached 0.92x).
+
+    The two settings travel TOGETHER here rather than v3 being a
+    session-factory global because v3 requires column families, which
+    only RocksDB implements — under the default HDFSBackedStateStore a
+    v3 join throws UNSUPPORTED_FEATURE.STATE_STORE_MULTIPLE_COLUMN_
+    FAMILIES (probed on this image, Spark 4.1.2). Existing checkpoints
+    keep their recorded version either way; the conf applies to new
+    ones only.
+    """
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    fmt_key = "spark.sql.streaming.join.stateFormatVersion"
+    old_provider = spark.conf.get(provider_key, None)
+    old_fmt = spark.conf.get(fmt_key, None)
+    spark.conf.set(provider_key, ROCKSDB_PROVIDER)
+    spark.conf.set(fmt_key, "3")
+    try:
+        yield spark
+    finally:
+        for key, old in ((provider_key, old_provider), (fmt_key, old_fmt)):
+            if old is not None:
+                spark.conf.set(key, old)
+            else:
+                spark.conf.unset(key)
 
 
 def stop_session() -> None:

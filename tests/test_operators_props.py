@@ -547,6 +547,42 @@ def test_neardup_index_matches_ingest_step(spark):
         ndx.drop()
 
 
+def test_ivf_defaults_posture():
+    """Pin the corpus-size-derived IVF sizing (IVF_RECALL_gen100
+    posture): cells ≈ √n as a power of two in [16, 4096]; probe is the
+    at-scale cells/16 ratio with a 256-candidate floor for tiny corpora
+    and a cells/2 cap so the index always prunes."""
+    from smallquery_spark.operators.similarity import ivf_defaults
+
+    assert ivf_defaults(2_000_000) == (1024, 64)  # cells/16 at scale
+    assert ivf_defaults(200_000) == (512, 32)
+    cells, probe = ivf_defaults(500)  # tiny corpus: candidate floor
+    assert cells == 16 and probe == 8  # = cells/2 cap, still pruning
+    for n in (1, 50, 500, 2_000, 10**9):
+        cells, probe = ivf_defaults(n)
+        assert 16 <= cells <= 4096 and cells & (cells - 1) == 0
+        assert 1 <= probe <= cells // 2 or cells == 16 and probe <= 8
+
+
+def test_rocksdb_state_posture(spark):
+    """The rocksdb_state helper applies the measured production posture
+    as ONE unit — RocksDB provider + join stateFormatVersion=3
+    (B57_ROOTCAUSE_gen100.json) — and restores both confs on exit. v3
+    must never leak out: under the default HDFS provider it throws
+    UNSUPPORTED_FEATURE.STATE_STORE_MULTIPLE_COLUMN_FAMILIES."""
+    from smallquery_spark.session import ROCKSDB_PROVIDER, rocksdb_state
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    fmt_key = "spark.sql.streaming.join.stateFormatVersion"
+    before_provider = spark.conf.get(provider_key, None)
+    before_fmt = spark.conf.get(fmt_key, None)
+    with rocksdb_state(spark):
+        assert spark.conf.get(provider_key) == ROCKSDB_PROVIDER
+        assert spark.conf.get(fmt_key) == "3"
+    assert spark.conf.get(provider_key, None) == before_provider
+    assert spark.conf.get(fmt_key, None) == before_fmt
+
+
 def test_incremental_sessionize_exact_under_any_split(spark):
     """The span-merge exactness claim (operators/sessionize.py): for
     ANY partition of events into epochs, sessionize-per-epoch +

@@ -11,6 +11,7 @@ the UDF slow-path), UTC session timezone (oracle comparability).
 from __future__ import annotations
 
 import os
+import sys
 from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
@@ -107,6 +108,13 @@ def get_session(
     for pair in env_conf.split(";"):
         if "=" in pair:
             k, _, v = pair.partition("=")
+            # visible in run logs: a leftover env var from a prior
+            # harness run must never change behavior invisibly
+            print(
+                f"smallquery_spark: SPARK_GRAFT_CONF applied "
+                f"{k.strip()}={v.strip()}",
+                file=sys.stderr,
+            )
             builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -613,8 +613,13 @@ def test_incremental_sessionize_exact_under_any_split(spark):
         for _ in range(rng.randint(1, 60)):
             t += rng.choice([1, 500, 999, 1000, 1001, 5000])
             rows.append((u, t))
+    from datetime import datetime, timezone
+
+    # tz-aware construction: utcfromtimestamp() is deprecated (3.12) and
+    # yields naive datetimes whose epoch meaning depends on the session
+    # timezone — this form is correct regardless of session.py's UTC pin
     ev = spark.createDataFrame(
-        [(u, __import__("datetime").datetime.utcfromtimestamp(t / 1e6))
+        [(u, datetime.fromtimestamp(t / 1e6, tz=timezone.utc))
          for u, t in rows],
         "user_id bigint, ts timestamp",
     )

@@ -77,6 +77,10 @@ def _checksum(df):
 
 
 def run_streaming(spark, sf_dir, n_parts, provider, mode="complete", staged=None):
+    if mode != "complete" and staged is None:
+        raise ValueError(
+            "append mode requires staged slices; run stage_slices first"
+        )
     if provider == "rocksdb":
         spark.conf.set(_PROVIDER_KEY, _ROCKS)
     try:

@@ -122,8 +122,14 @@ def canon_pdf(pdf) -> tuple[int, str]:
 
             workers = min(32, os.cpu_count() or 4)
             chunk = max(100_000, -(-n // (workers * 2)))
+            # spawn, not fork: this runs inside the PySpark driver, which
+            # is multithreaded (py4j gateway threads) — fork() from a
+            # multithreaded parent can deadlock the child on a lock held
+            # at fork time, and the serial fallback below only catches
+            # raised exceptions, not hangs. The per-future timeout is the
+            # backstop that turns any residual hang into the fallback.
             with ProcessPoolExecutor(
-                max_workers=workers, mp_context=mp.get_context("fork")
+                max_workers=workers, mp_context=mp.get_context("spawn")
             ) as ex:
                 futs = [
                     ex.submit(_hash_chunk, pdf.iloc[a : a + chunk], order)
@@ -131,7 +137,7 @@ def canon_pdf(pdf) -> tuple[int, str]:
                 ]
                 total = 0
                 for f in futs:
-                    _, part = f.result()
+                    _, part = f.result(timeout=900)
                     total = (total + part) % _HASH_MOD
             return n, f"{total:064x}"[:16]
         except Exception:  # noqa: BLE001 — pool trouble: do it serially

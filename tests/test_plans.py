@@ -345,13 +345,20 @@ def test_neardup_index_band_join_no_index_exchange(spark):
             .drop("__bkey")
         )
         # forbid broadcasting the epoch side: at real scale the epoch
-        # does not broadcast, so the pin must hold for the SMJ shape
+        # does not broadcast, so the pin must hold for the shuffle shape
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        j = new_keys.join(spark.table(ndx.bands_table), "__bk")
+        j = new_keys.hint("shuffle_hash").join(
+            spark.table(ndx.bands_table), "__bk"
+        )
         plan = j._sc._jvm.PythonSQLUtils.explainString(
             j._jdf.queryExecution(), "formatted"
         )
         assert "Bucketed: true" in plan
+        # hash join, not sort-merge: SMJ would re-SORT the full index
+        # scan inside the join every epoch (index-sized n log n)
+        assert "ShuffledHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert re.search(r"\(\d+\) Sort\b", plan) is None, plan
         blocks = re.findall(
             r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan
         )

@@ -36,7 +36,9 @@ import sys
 import time
 
 
-def _inner(sf_dir: str, names: list[str]) -> None:
+def _inner(
+    sf_dir: str, names: list[str], n_runs: int = 2, gap_sec: float = 0.0
+) -> None:
     from smallquery_spark.queries import REGISTRY, load_all
     from smallquery_spark.session import get_session
 
@@ -49,11 +51,22 @@ def _inner(sf_dir: str, names: list[str]) -> None:
     for name in names:
         qd = REGISTRY[name]
         runs = []
-        for _ in range(2):
+        for r in range(n_runs):
+            # gap_sec > the state-store maintenance interval (60 s
+            # default) lets executors UNLOAD the previous run's
+            # deactivated state-store providers before the next run —
+            # the lever that separates "stale state maps crowd the
+            # heap" from genuine run-to-run variance (the b53 lc run2
+            # anomaly, CLUSTER_gen100.json)
+            if r > 0 and gap_sec > 0:
+                time.sleep(gap_sec)
             t0 = time.time()
             qd.fn(spark, sf_dir).count()
             runs.append(round(time.time() - t0, 3))
-        out[name] = {"run1": runs[0], "run2": runs[1], "min": min(runs)}
+        out[name] = {
+            **{f"run{i + 1}": w for i, w in enumerate(runs)},
+            "min": min(runs),
+        }
         print(f"  {name}: {runs}", file=sys.stderr, flush=True)
     print(json.dumps(out))
 
@@ -61,7 +74,9 @@ def _inner(sf_dir: str, names: list[str]) -> None:
 def main() -> None:
     argv = sys.argv[1:]
     if argv and argv[0] == "--inner":
-        _inner(argv[1], argv[2].split(","))
+        n_runs = int(argv[3]) if len(argv) > 3 else 2
+        gap = float(argv[4]) if len(argv) > 4 else 0.0
+        _inner(argv[1], argv[2].split(","), n_runs, gap)
         return
 
     usage = (
@@ -74,6 +89,7 @@ def main() -> None:
     queries: list[str] = []
     conditions: list[tuple[str, str, str]] = []
     out_path = None
+    n_runs, gap_sec = 2, 0.0
     i = 1
     while i < len(argv):
         a = argv[i]
@@ -82,6 +98,12 @@ def main() -> None:
             i += 2
         elif a == "--out":
             out_path = argv[i + 1]
+            i += 2
+        elif a == "--runs":
+            n_runs = int(argv[i + 1])
+            i += 2
+        elif a == "--gap-sec":
+            gap_sec = float(argv[i + 1])
             i += 2
         elif a == "--conditions":
             i += 1
@@ -106,7 +128,7 @@ def main() -> None:
         t0 = time.time()
         proc = subprocess.run(
             [sys.executable, "-m", "tools.cluster_bench", "--inner",
-             sf_dir, ",".join(queries)],
+             sf_dir, ",".join(queries), str(n_runs), str(gap_sec)],
             env=env,
             capture_output=True,
             text=True,

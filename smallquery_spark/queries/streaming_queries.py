@@ -950,7 +950,10 @@ def c2_streaming_neardup(spark, sf_dir):
         epoch_dir = os.path.join(index_dir, f"epoch_{epoch_id:010d}")
         if os.path.exists(os.path.join(epoch_dir, "_SUCCESS")):
             return  # replayed epoch after restart: already committed
-        sig = _banded_sig_df(batch_df)
+        # checkpoint the signatures once (ingest_epoch fans them out to
+        # ~5 consumers); unpersist both at epoch end so per-epoch blocks
+        # never accumulate across micro-batches
+        sig = _banded_sig_df(batch_df).localCheckpoint(eager=True)
         surv = ndx.ingest_epoch(sig, threshold=0.5)
         # append BEFORE the epoch commit: a crash in the window replays
         # the epoch against an index already holding its survivors,
@@ -959,6 +962,8 @@ def c2_streaming_neardup(spark, sf_dir):
         # against an index missing this one (silent under-dropping)
         ndx.append(surv)
         _epoch_commit(surv, index_dir, epoch_id)
+        sig.unpersist()
+        surv.unpersist()
 
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")

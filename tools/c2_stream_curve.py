@@ -130,6 +130,7 @@ def main() -> None:
         t0 = time.time()
         batch_rows = batch_df.count()
         sig = _banded_sig_df(batch_df)
+        surv = None
         epoch_dir = os.path.join(index_dir, f"epoch_{epoch_id:010d}")
         if legacy:
             committed = _committed()
@@ -137,6 +138,10 @@ def main() -> None:
             idx_rows = idx.count() if idx is not None else 0
             surv = neardup_ingest_step(sig, idx, threshold=threshold)
         else:
+            # materialize the signatures ONCE: ingest_epoch fans sig out
+            # to ~5 consumers, and without this each re-runs the Arrow
+            # signature UDF over the epoch
+            sig = sig.localCheckpoint(eager=True)
             idx_rows = ndx.doc_count()
             surv = ndx.ingest_epoch(sig, threshold=threshold)
             if not os.path.exists(os.path.join(epoch_dir, "_SUCCESS")):
@@ -144,6 +149,13 @@ def main() -> None:
         if not os.path.exists(os.path.join(epoch_dir, "_SUCCESS")):
             surv.write.mode("overwrite").parquet(epoch_dir)
         survivors = sess.read.parquet(epoch_dir).count()
+        if not legacy:
+            # drop this epoch's pinned blocks NOW: localCheckpoint blocks
+            # otherwise accumulate one epoch-sized set per micro-batch in
+            # the single shared heap until py4j's lazy finalizers run —
+            # rising GC pressure masquerading as per-epoch cost growth
+            sig.unpersist()
+            surv.unpersist()
         epochs.append(
             {
                 "epoch": int(epoch_id),

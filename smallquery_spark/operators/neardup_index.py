@@ -74,10 +74,32 @@ class NearDupIndex:
         name: str,
         n_buckets: int = 16,
         id_col: str = "doc_id",
+        join_strategy: str = "shuffle_hash",
     ) -> None:
+        """``join_strategy`` picks how epoch keys meet the index:
+
+        - ``"shuffle_hash"`` (default): builds a hash map of the EPOCH
+          keys per partition and STREAMS the index scan — no sort, no
+          exchange on the index side; per-epoch cost is epoch+candidate
+          bounded. This is the 100 TB shape (the build side is
+          epoch/partitions, controllable); its cost is that Spark's
+          hash build cannot spill — under a candidate explosion in an
+          undersized heap it fails with "Can't acquire ... bytes to
+          build hash relation" (observed: 38M FP candidate pairs at 8g,
+          SCALE.md round 7).
+        - ``"merge"``: sort-merge — fully spill-robust, but re-SORTS
+          the full index scan inside the join every epoch (Spark does
+          not trust bucket sortBy order, and appends make buckets
+          multi-file): an index-sized n·log n per epoch. Right when
+          the corpus' similarity distribution makes candidates explode
+          and the heap is fixed.
+        """
+        if join_strategy not in ("shuffle_hash", "merge"):
+            raise ValueError(f"unknown join_strategy {join_strategy!r}")
         self.spark = spark
         self.id_col = id_col
         self.n_buckets = n_buckets
+        self.join_strategy = join_strategy
         self.bands_table = f"ndx_{name}_bands"
         self.hashes_table = f"ndx_{name}_hashes"
 
@@ -205,17 +227,15 @@ class NearDupIndex:
                 F.col("__sz").alias("n_sz"),
                 "__bk",
             )
-            # SHUFFLE_HASH with the epoch side as build: a sort-merge
-            # join would SORT the full bucketed scan inside the join
-            # every epoch (Spark does not trust bucket sortBy order by
-            # default, and appends make buckets multi-file anyway) — a
-            # per-epoch index-sized n·log n that re-grows with corpus
-            # lifetime (measured: +4%/epoch creep at 5M docs). The hash
-            # join builds on the epoch's keys (epoch-sized/bucket) and
-            # STREAMS the index scan: no sort, no exchange on the index.
-            cand = (
+            # see __init__: shuffle_hash streams the index with no sort
+            # and no exchange; merge is the spill-robust fallback
+            hinted = (
                 new_keys.hint("shuffle_hash")
-                .join(sess.table(self.bands_table), "__bk")
+                if self.join_strategy == "shuffle_hash"
+                else new_keys.hint("merge")
+            )
+            cand = (
+                hinted.join(sess.table(self.bands_table), "__bk")
                 # self-exclusion makes a replayed epoch (whose survivors
                 # were already appended before the crash) recompute the
                 # SAME survivor set instead of matching itself out
@@ -227,9 +247,13 @@ class NearDupIndex:
             # hash fetch: candidate pairs shuffle TO the id-bucketed
             # store (store side zero-Exchange), then the epoch-local
             # n_h attaches from the batch signatures
-            idx_checked = (
+            cand_hinted = (
                 cand.hint("shuffle_hash")
-                .join(sess.table(self.hashes_table), "o_id")
+                if self.join_strategy == "shuffle_hash"
+                else cand.hint("merge")
+            )
+            idx_checked = (
+                cand_hinted.join(sess.table(self.hashes_table), "o_id")
                 .join(
                     sig_df.select(
                         F.col(idc).alias("n_id"),

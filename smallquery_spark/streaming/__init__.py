@@ -2,6 +2,12 @@ from smallquery_spark.streaming.runner import (
     events_stream,
     run_to_df,
     state_partitions_for,
+    unload_state_stores,
 )
 
-__all__ = ["events_stream", "run_to_df", "state_partitions_for"]
+__all__ = [
+    "events_stream",
+    "run_to_df",
+    "state_partitions_for",
+    "unload_state_stores",
+]

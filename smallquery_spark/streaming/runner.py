@@ -94,6 +94,29 @@ def state_partitions_for(
     return default
 
 
+def unload_state_stores(spark: SparkSession) -> None:
+    """Release every loaded state-store provider NOW instead of waiting
+    for the maintenance tick.
+
+    A stopped streaming query only DEACTIVATES its providers; their
+    loaded state maps stay in executor heaps until the maintenance task
+    (``spark.sql.streaming.stateStore.maintenanceInterval``, default
+    60 s) unloads them. Back-to-back runs of corpus-sized-state queries
+    therefore carry TWO full state footprints through the second run —
+    measured at gen100's 99M-session b53: back-to-back 51.4 → 100.4 s
+    in one 48 g JVM (2×), executor heap OOM + retry churn at
+    local-cluster 4×12 g (the r6 CLUSTER_gen100 "run2 anomaly",
+    219.9 s, root-caused round 7 — a 90 s inter-run gap alone restores
+    51-57 s across 3 runs, B53_LC_ANOM.json). ``StateStore.stop()``
+    unloads all providers and stops the maintenance thread; both
+    re-initialize lazily on the next stateful query (verified on Spark
+    4.1.2). Private API, so best-effort."""
+    try:
+        spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()  # noqa: E501
+    except Exception:
+        pass
+
+
 def run_to_df(
     sdf: DataFrame,
     name: str,
@@ -194,6 +217,7 @@ def run_to_df(
                 q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        unload_state_stores(spark)
     if use_files:
         if not os.path.isdir(data_dir):
             # zero emissions (e.g. everything beyond the watermark):

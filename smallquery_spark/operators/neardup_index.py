@@ -52,6 +52,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from smallquery_spark.operators.bucketing import write_bucketed
+
 
 def _bk60(col) -> "F.Column":
     """32-hex md5 band key -> 60-bit bigint (15 hex chars), exact in
@@ -102,6 +104,10 @@ class NearDupIndex:
         self.join_strategy = join_strategy
         self.bands_table = f"ndx_{name}_bands"
         self.hashes_table = f"ndx_{name}_hashes"
+        # bytes at the last compaction (0 = never): maybe_compact's
+        # doubling rule. Per-run state is enough — a restarted run
+        # compacts at its first doubling, which is safe (idempotent).
+        self._compacted_bytes = 0
 
     # -- state ---------------------------------------------------------
 
@@ -157,6 +163,74 @@ class NearDupIndex:
                 self.spark.catalog.refreshTable(tname)
             except Exception:
                 pass
+
+    # -- maintenance ---------------------------------------------------
+
+    def _table_bytes(self, tname: str) -> int:
+        import os
+        from urllib.parse import urlparse
+
+        wh = urlparse(self.spark.conf.get("spark.sql.warehouse.dir")).path
+        total = 0
+        loc = os.path.join(wh, tname)
+        for dirpath, _d, files in os.walk(loc, onerror=lambda e: None):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(dirpath, f))
+                except OSError:
+                    pass
+        return total
+
+    def compact(self) -> None:
+        """Rewrite both tables to ONE file per bucket (tmp table +
+        catalog rename). Each epoch append adds a file per bucket; the
+        sort-merge read path must then SORT the multi-file buckets
+        inside every join, and even the hash path pays per-file open
+        overhead. One file per bucket restores the fully-ordered
+        layout (with spark.sql.legacy.bucketedTableScan.outputOrdering
+        the merge path plans zero index-side sort again)."""
+        import os
+        from urllib.parse import urlparse
+
+        wh = urlparse(self.spark.conf.get("spark.sql.warehouse.dir")).path
+        for tname, key in (
+            (self.bands_table, "__bk"),
+            (self.hashes_table, "o_id"),
+        ):
+            if not self.spark.catalog.tableExists(tname):
+                continue
+            tmp = f"{tname}_c"
+            self.spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+            # read the FILES, not the table: reading through the bucket
+            # spec lets Spark's planned-write path elide the aligning
+            # repartition and emit one file per (input split x bucket)
+            # — a "compaction" that doesn't compact (observed: 3-append
+            # table rewrote to 3 files/bucket). The raw scan has no
+            # partitioning to inherit, so write_bucketed's repartition
+            # lands exactly one file per bucket.
+            raw = self.spark.read.parquet(os.path.join(wh, tname))
+            write_bucketed(raw, tmp, key, self.n_buckets)
+            self.spark.sql(f"DROP TABLE {tname}")
+            self.spark.sql(f"ALTER TABLE {tmp} RENAME TO {tname}")
+
+    def maybe_compact(self) -> bool:
+        """Compact when the index has DOUBLED since the last compaction
+        — the classic amortization: each row is rewritten O(log n)
+        times over the index's lifetime, so steady-state ingest pays
+        O(1) extra writes per row while file counts stay bounded.
+        Returns True when a compaction ran."""
+        if not self.exists:
+            return False
+        current = self._table_bytes(self.bands_table) + self._table_bytes(
+            self.hashes_table
+        )
+        if current < 2 * self._compacted_bytes or current == 0:
+            return False
+        self.compact()
+        self._compacted_bytes = self._table_bytes(
+            self.bands_table
+        ) + self._table_bytes(self.hashes_table)
+        return True
 
     # -- read path -----------------------------------------------------
 

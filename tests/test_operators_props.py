@@ -547,6 +547,52 @@ def test_neardup_index_matches_ingest_step(spark):
         ndx.drop()
 
 
+def test_neardup_index_compact_preserves_and_flattens(spark):
+    """compact() rewrites both index tables to one file per bucket
+    without changing a single row, and maybe_compact follows the
+    doubling rule (no-op until the index doubles past the last
+    compaction point)."""
+    import glob
+    import os
+    from urllib.parse import urlparse
+
+    from smallquery_spark.operators.dedup import _banded_sig_df
+    from smallquery_spark.operators.neardup_index import NearDupIndex
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(
+        os.path.join(SF_SMOKE, "documents.parquet")
+    ).select("doc_id", "text")
+    ndx = NearDupIndex(spark, f"cmp_{os.getpid()}", n_buckets=4)
+    ndx.drop()
+    try:
+        sig = _banded_sig_df(docs).localCheckpoint(eager=True)
+        for _ in range(3):  # 3 appends -> 3 files per bucket
+            ndx.append(sig)
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+
+        def nfiles(t):
+            return len(
+                glob.glob(os.path.join(wh, t, "part-*"))
+            )
+
+        before_rows = spark.table(ndx.bands_table).count()
+        before_hash_rows = spark.table(ndx.hashes_table).count()
+        assert nfiles(ndx.bands_table) >= 3 * 4
+        assert ndx.maybe_compact()  # 0 -> doubled, compacts
+        assert nfiles(ndx.bands_table) == 4  # one file per bucket
+        assert nfiles(ndx.hashes_table) == 4
+        assert spark.table(ndx.bands_table).count() == before_rows
+        assert spark.table(ndx.hashes_table).count() == before_hash_rows
+        # doubling rule: immediately re-running is a no-op
+        assert not ndx.maybe_compact()
+        # and the compacted table still answers the ingest join
+        surv = ndx.ingest_epoch(sig, threshold=0.5)
+        assert surv.count() >= 0
+    finally:
+        ndx.drop()
+
+
 def test_ivf_defaults_posture():
     """Pin the corpus-size-derived IVF sizing (IVF_RECALL_gen100
     posture): cells ≈ √n as a power of two in [16, 4096]; probe is the

@@ -547,6 +547,22 @@ def test_neardup_index_matches_ingest_step(spark):
         ndx.drop()
 
 
+def test_diskguard_footprint_and_preflight():
+    """The scale-run preflight reports a sane disk picture and refuses
+    impossible budgets (the r6 5M ingest died mid-run on spill disk;
+    runs must fail BEFORE doing an hour of work)."""
+    import pytest
+
+    from tools.diskguard import footprint, preflight
+
+    fp = footprint()
+    assert fp["free_gb"] > 0 and fp["total_gb"] >= fp["free_gb"]
+    ok = preflight(0.001)
+    assert ok["required_gb"] == 0.001
+    with pytest.raises(RuntimeError, match="diskguard"):
+        preflight(10_000_000)
+
+
 def test_neardup_index_compact_preserves_and_flattens(spark):
     """compact() rewrites both index tables to one file per bucket
     without changing a single row, and maybe_compact follows the

@@ -28,6 +28,8 @@ exhaustion at epoch 4).
 Usage:
     python -m tools.c2_stream_curve [docs_dir] [--epochs K]
         [--threshold T] [--out OUT.json] [--legacy] [--require-gb G]
+        [--bands B] [--rows-per-band R] [--join shuffle_hash|merge]
+        [--compact]
 """
 
 from __future__ import annotations
@@ -81,6 +83,10 @@ def main() -> None:
         i = argv.index("--join")
         join_strategy = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
+    do_compact = False
+    if "--compact" in argv:
+        do_compact = True
+        argv.remove("--compact")
     if "--legacy" in argv:
         legacy = True
         argv.remove("--legacy")
@@ -165,6 +171,11 @@ def main() -> None:
             surv = ndx.ingest_epoch(sig, threshold=threshold)
             if not os.path.exists(os.path.join(epoch_dir, "_SUCCESS")):
                 ndx.append(surv)
+                if do_compact:
+                    # doubling-rule compaction is real ingest work, so
+                    # it stays INSIDE the timed region — the curve then
+                    # honestly shows the occasional compaction epoch
+                    ndx.maybe_compact()
         if not os.path.exists(os.path.join(epoch_dir, "_SUCCESS")):
             surv.write.mode("overwrite").parquet(epoch_dir)
         survivors = sess.read.parquet(epoch_dir).count()
@@ -215,6 +226,7 @@ def main() -> None:
         "n_docs": n_docs,
         "path": "legacy_read_parquet" if legacy else "bucketed_index",
         "join_strategy": None if legacy else join_strategy,
+        "compact": do_compact,
         "bands": bands,
         "rows_per_band": rows_per_band,
         "epochs_requested": k_epochs,

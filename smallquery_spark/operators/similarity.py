@@ -356,3 +356,87 @@ def ivf_search(
         .filter(F.col("rnk") <= k)
         .select(query_id, corpus_id, "cos", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# At-rest IVF index: materialized cell assignment, bucket-pruned probes
+# ---------------------------------------------------------------------------
+
+
+def materialize_ivf(
+    spark,
+    assigned_corpus: DataFrame,
+    name: str,
+) -> str:
+    """Persist an ivf_assign output as a managed table PARTITIONED BY
+    CELL (one directory per inverted list — the FAISS layout) and
+    return the table name.
+
+    `ivf_search` already prunes COMPUTE (it scores only probed cells),
+    but it still SCANS the whole assigned corpus every query batch to
+    find them. Directory-partitioning by ``cell`` moves the pruning
+    into the scan: probed cells arrive as an IN-list of literals, so
+    partition pruning reads only the matching directories — the true
+    IVF promise (read ~n_probe/n_cells of the corpus) as IO, not just
+    skipped arithmetic. (Bucketing by cell does NOT achieve this:
+    Spark's DisableUnnecessaryBucketedScan rule values only shuffle
+    elimination and plans "Bucketed: false" for a pruned scan with no
+    downstream distribution requirement — probed on 4.1.2.) Cell
+    cardinality is bounded by ivf_defaults (≤ 4096 directories);
+    one file per cell via the pre-repartition. Pay ivf_assign + one
+    clustered write once; every query batch reads only its probed
+    cells."""
+    tname = f"ivfx_{name}"
+    spark.sql(f"DROP TABLE IF EXISTS {tname}")
+    (
+        assigned_corpus.repartition(F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .saveAsTable(tname)
+    )
+    return tname
+
+
+def ivf_search_indexed(
+    spark,
+    queries: DataFrame,
+    index_table: str,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int | None = None,
+    query_id: str = "q_id",
+    corpus_id: str = "c_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """ANN over a materialized IVF index (see materialize_ivf).
+
+    The probed cell ids are collected to the driver (bounded:
+    ≤ |queries| × n_probe ints — query batches are small by contract)
+    and pushed into the scan as an IN-list, which partition-prunes the
+    index table's cell directories; only then does the (broadcast)
+    probe join and the vectorized cosine run, over rows from the
+    selected cells alone. `.explain` shows `PartitionFilters: [...
+    cell IN (...)]` (plan-pinned in tests/test_plans.py)."""
+    from pyspark.sql import Window
+
+    if n_probe is None:
+        n_probe = max(4, len(centroids) // 16)
+    probes = ivf_probe_cells(
+        queries, centroids, n_probe, vec_col=vec_col
+    ).withColumnRenamed(vec_col, "__qvec")
+    cells = [
+        r["cell"] for r in probes.select("cell").distinct().collect()
+    ]
+    cand = spark.table(index_table).filter(F.col("cell").isin(cells))
+    pairs = cand.join(F.broadcast(probes), "cell").filter(
+        F.col(query_id) != F.col(corpus_id)
+    )
+    scored = pairs.withColumn("cos", pair_cosine_udf()("__qvec", vec_col))
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cos").desc(), F.col(corpus_id)
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id, corpus_id, "cos", "rnk")
+    )

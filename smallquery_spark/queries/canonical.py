@@ -53,7 +53,8 @@ _ALIASES: dict[str, tuple[str, tuple[str, ...]]] = {
     "a_c01_exact_dedup": ("c1_exact_dedup", ()),
     # a_c02 is a two-leg combo (Spark-ML LSH + native banded MinHash),
     # registered by _register_neardup_contracts below.
-    "a_c03_ann_ivf": ("c3_ann_ivf", ()),
+    # a_c03 is a two-leg combo (compute-pruned IVF + the at-rest
+    # cell-partitioned IVF index), registered by _register_ann_contracts.
     "a_c05_multimodal_schema": ("c5_multimodal_schema", ()),
     "a_c06_embedding_ops": ("c6_embedding_ops", ()),
     "a_c07_rollup_streaming_refresh": ("c7_rollup_streaming_refresh", ()),
@@ -1634,9 +1635,39 @@ def _register_incremental_dedup() -> None:
         return batch.unionByName(streamed)
 
 
+def _register_ann_contracts() -> None:
+    """a_c03: both C3 IVF scale paths under one window row — the
+    in-memory probe (c3_ann_ivf: recall vs brute force + strict-subset
+    pruning) and the AT-REST cell-partitioned index (c3_ann_ivf_indexed:
+    partition-pruned scan value-identical to the unindexed probe, same
+    recall bar)."""
+
+    @query(
+        "a_c03_ann_ivf",
+        oracle=(
+            "SELECT 'indexed' AS leg, TRUE AS ok, TRUE AS ok2 "
+            "UNION ALL SELECT 'ivf', TRUE, TRUE"
+        ),
+        tags=("C3", "C9", "canonical"),
+    )
+    def a_c03_ann_ivf(spark, sf_dir):
+        ivf = _fn("c3_ann_ivf")(spark, sf_dir).select(
+            F.lit("ivf").alias("leg"),
+            F.col("recall_ok").alias("ok"),
+            F.col("pruned").alias("ok2"),
+        )
+        indexed = _fn("c3_ann_ivf_indexed")(spark, sf_dir).select(
+            F.lit("indexed").alias("leg"),
+            (F.col("same_as_unindexed") & F.col("recall_ok")).alias("ok"),
+            F.col("nonempty").alias("ok2"),
+        )
+        return ivf.unionByName(indexed)
+
+
 _register_aliases()
 _register_incremental_dedup()
 _register_neardup_contracts()
+_register_ann_contracts()
 _register_stream_windows()
 _register_stream_misc()
 _register_pandas_udtf()

@@ -10,6 +10,8 @@ answer and emits booleans; the oracle emits TRUE.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from smallquery_spark.functions.vectors import cosine, dot, l2_normalize, norm2
@@ -755,6 +757,71 @@ def c3_ann_ivf(spark, sf_dir):
     return spark.createDataFrame(
         [(recall >= 0.6, pruned)], "recall_ok boolean, pruned boolean"
     )
+
+
+@query(
+    "c3_ann_ivf_indexed",
+    oracle="SELECT TRUE AS same_as_unindexed, TRUE AS recall_ok, TRUE AS nonempty",
+    tags=("C3", "C9"),
+)
+def c3_ann_ivf_indexed(spark, sf_dir):
+    """ANN over the AT-REST IVF index: the cell assignment is
+    materialized as a cell-partitioned table (operators/similarity.py
+    materialize_ivf — one directory per inverted list, the FAISS
+    layout), and each query batch's probed cells reach the scan as an
+    IN-list so Spark partition-prunes the cell directories — the
+    IVF scan fraction realized as IO, not just skipped arithmetic
+    (plan-pinned: PartitionFilters in tests/test_plans.py).
+    Contract: the indexed search returns EXACTLY the unindexed
+    ivf_search's results (same centroids, same probes — the index only
+    changes where bytes are read), and recall vs exact brute force
+    clears the same bar as c3_ann_ivf."""
+    from smallquery_spark.operators.similarity import (
+        ivf_assign,
+        ivf_build_centroids,
+        ivf_defaults,
+        ivf_search,
+        ivf_search_indexed,
+        materialize_ivf,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec")
+    )
+    n_cells, n_probe = ivf_defaults(corpus.count())
+    cents = ivf_build_centroids(corpus, n_cells=n_cells)
+    assigned = ivf_assign(corpus, cents)
+    tname = materialize_ivf(spark, assigned, f"c3q_{os.getpid()}")
+    try:
+        indexed = ivf_search_indexed(
+            spark, queries, tname, cents, k=10, n_probe=n_probe
+        ).select("q_id", "c_id")
+        plain = ivf_search(
+            queries, spark.table(tname), cents, k=10, n_probe=n_probe
+        ).select("q_id", "c_id")
+        same = (
+            indexed.exceptAll(plain).count() == 0
+            and plain.exceptAll(indexed).count() == 0
+        )
+        exact = knn_bruteforce(
+            queries.select("q_id", F.col("vec").alias("q_vec")),
+            corpus.select("c_id", F.col("vec").alias("c_vec")),
+            k=10,
+        ).select("q_id", "c_id")
+        hits = exact.join(indexed, ["q_id", "c_id"], "left_semi").count()
+        total = exact.count()
+        n_found = indexed.count()
+        recall = hits / total if total else 1.0
+        return spark.createDataFrame(
+            [(same, recall >= 0.6, n_found > 0)],
+            "same_as_unindexed boolean, recall_ok boolean, nonempty boolean",
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")
 
 
 @query(

@@ -308,6 +308,42 @@ def test_catalog_bucketed_join_no_exchange(spark):
     assert "Exchange" not in plan
 
 
+def test_ivf_index_scan_partition_pruned(spark):
+    """The at-rest IVF index realizes the scan fraction as IO: probed
+    cells reach the scan as an IN-list and Spark partition-prunes the
+    cell directories (PartitionFilters with the cell IN-list). Without
+    this the 'index' would still read the whole corpus and only skip
+    arithmetic."""
+    import os
+    import re
+
+    from smallquery_spark.operators.similarity import (
+        ivf_assign,
+        ivf_build_centroids,
+        materialize_ivf,
+    )
+
+    emb = spark.read.parquet(
+        os.path.join(SF_SMOKE, "embeddings.parquet")
+    ).select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec"))
+    cents = ivf_build_centroids(emb, n_cells=16)
+    tname = materialize_ivf(
+        spark, ivf_assign(emb, cents), f"plantest_{os.getpid()}"
+    )
+    try:
+        df = spark.table(tname).filter(F.col("cell").isin([0, 3]))
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert pf and "cell" in pf.group(1), plan
+        # and the pruned scan actually reads fewer rows than the table
+        total = spark.table(tname).count()
+        assert 0 < df.count() < total
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")
+
+
 def test_neardup_index_band_join_no_index_exchange(spark):
     """The streaming near-dup ingest's band join must NEVER shuffle the
     at-rest index side (the r6 scale defect: the read-parquet index

@@ -111,9 +111,35 @@ class NearDupIndex:
 
     # -- state ---------------------------------------------------------
 
+    def _recover(self) -> None:
+        """Repair the half-renamed state a crash inside compact() can
+        leave: the live name absent but the renamed-aside original
+        (``_old``) present. Restores the original and drops any
+        leftover compaction temp so no committed rows are ever lost."""
+        cat = self.spark.catalog
+        for tname in (self.bands_table, self.hashes_table):
+            if not cat.tableExists(tname) and cat.tableExists(f"{tname}_old"):
+                self.spark.sql(f"ALTER TABLE {tname}_old RENAME TO {tname}")
+            self.spark.sql(f"DROP TABLE IF EXISTS {tname}_c")
+
     @property
     def exists(self) -> bool:
-        return self.spark.catalog.tableExists(self.bands_table)
+        """Both index tables present (after crash recovery); raises on
+        a half-present index — treating that as "absent" would make the
+        next append mode='overwrite' for BOTH tables and silently
+        discard the accumulated half (the failure the old
+        bands-table-only check admitted)."""
+        self._recover()
+        has_bands = self.spark.catalog.tableExists(self.bands_table)
+        has_hashes = self.spark.catalog.tableExists(self.hashes_table)
+        if has_bands != has_hashes:
+            raise RuntimeError(
+                f"near-dup index {self.bands_table!r}/{self.hashes_table!r}"
+                " is half-present (one table without the other) — refusing"
+                " to guess: drop() and re-ingest, or restore the missing"
+                " table"
+            )
+        return has_bands
 
     def doc_count(self) -> int:
         if not self.exists:
@@ -122,14 +148,40 @@ class NearDupIndex:
 
     def drop(self) -> None:
         for tname in (self.bands_table, self.hashes_table):
-            self.spark.sql(f"DROP TABLE IF EXISTS {tname}")
+            for suffix in ("", "_old", "_c"):
+                self.spark.sql(f"DROP TABLE IF EXISTS {tname}{suffix}")
 
     # -- write path ----------------------------------------------------
 
-    def append(self, sig_df: DataFrame) -> None:
+    def append(self, sig_df: DataFrame, guard_existing: bool = True) -> None:
         """Append accepted signature rows (`_banded_sig_df` schema:
-        id, __keys, __hashes, __sz) to both bucketed tables."""
+        id, __keys, __hashes, __sz) to both bucketed tables.
+
+        ``guard_existing`` (default) anti-joins the batch against the
+        ids already in the hashes table first, so a doc id the index
+        already holds is never appended twice. This is what makes
+        AT-LEAST-ONCE upstream delivery safe: a re-sent id passes
+        ingest_epoch's self-exclusion (it would otherwise match itself
+        out — see that docstring) and would land duplicate index rows,
+        inflating candidate volume forever. The guard is one
+        epoch-sized shuffle TO the id-bucketed hashes table (store side
+        zero-Exchange). Disable only when ids are guaranteed unique
+        across a run AND the caller has its own replay protection (the
+        epoch `_SUCCESS` markers in queries/streaming_queries.py)."""
         idc = self.id_col
+        if guard_existing and self.exists:
+            # resolve through the BATCH's session (same staleness trap
+            # as ingest_epoch: inside foreachBatch the outer session's
+            # relation cache can miss a previous micro-batch's append,
+            # and a stale listing here means missed existing ids →
+            # exactly the duplicates the guard exists to stop)
+            sig_df = sig_df.join(
+                sig_df.sparkSession.table(self.hashes_table).select(
+                    F.col("o_id").alias(idc)
+                ),
+                idc,
+                "left_anti",
+            )
         bands = (
             sig_df.select(
                 F.col(idc).alias("o_id"),
@@ -188,7 +240,16 @@ class NearDupIndex:
         inside every join, and even the hash path pays per-file open
         overhead. One file per bucket restores the fully-ordered
         layout (with spark.sql.legacy.bucketedTableScan.outputOrdering
-        the merge path plans zero index-side sort again)."""
+        the merge path plans zero index-side sort again).
+
+        Crash-safe swap: the committed rows are ALWAYS reachable —
+        rename the live table ASIDE (``_old``), rename the compacted
+        temp in, then drop the aside copy. The old DROP-then-RENAME
+        order had a window where the table was simply gone; a crash
+        there made the next append compute mode='overwrite' and
+        silently discard the other table's accumulated rows. A crash
+        between the two renames now leaves ``_old``, which
+        ``_recover()`` (run by every ``exists`` check) renames back."""
         import os
         from urllib.parse import urlparse
 
@@ -210,8 +271,10 @@ class NearDupIndex:
             # lands exactly one file per bucket.
             raw = self.spark.read.parquet(os.path.join(wh, tname))
             write_bucketed(raw, tmp, key, self.n_buckets)
-            self.spark.sql(f"DROP TABLE {tname}")
+            self.spark.sql(f"DROP TABLE IF EXISTS {tname}_old")
+            self.spark.sql(f"ALTER TABLE {tname} RENAME TO {tname}_old")
             self.spark.sql(f"ALTER TABLE {tmp} RENAME TO {tname}")
+            self.spark.sql(f"DROP TABLE {tname}_old")
 
     def maybe_compact(self) -> bool:
         """Compact when the index has DOUBLED since the last compaction
@@ -245,7 +308,21 @@ class NearDupIndex:
         append survivors themselves — BEFORE their epoch commit marker,
         so a replay never runs against an index missing an already-
         committed epoch (the self-exclusion below makes the
-        append-then-crash replay a fixed point)."""
+        append-then-crash replay a fixed point).
+
+        PRECONDITION for the "identical semantics" claim: a doc id in
+        ``sig_df`` that is already IN the index must be a replay of the
+        same document. The o_id != n_id self-exclusion exists for that
+        replay case; if an upstream legitimately RE-SENDS an id in a
+        later batch (at-least-once delivery), the exact duplicate no
+        longer matches itself and is accepted where
+        ``neardup_ingest_step`` would drop it. ``append``'s default
+        ``guard_existing`` keeps the INDEX duplicate-free under
+        re-sends (no double-append, no candidate inflation), but the
+        re-sent id still appears in this method's survivor output —
+        callers with at-least-once upstreams dedup their accepted
+        OUTPUT on id (a plain exact-dedup pass), or feed this operator
+        exactly-once ids."""
         from smallquery_spark.operators.dedup import _hash_jaccard_udf
 
         # resolve catalog reads through the BATCH's own session: inside

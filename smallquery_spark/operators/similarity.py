@@ -113,14 +113,25 @@ def ivf_defaults(n_corpus: int) -> tuple[int, int]:
     root = math.sqrt(max(n_corpus, 1))
     n_cells = 1 << max(0, round(math.log2(root))) if root >= 1 else 16
     n_cells = max(16, min(4096, n_cells))
-    # probe = cells/16 is the at-scale ratio; the candidate floor keeps
-    # tiny corpora honest (probing must still reach ~256 candidates —
-    # at n=500 the bare ratio probes 4 of 16 ~31-row cells ≈ 125
-    # candidates and recall@10 collapses under 0.6 on near-random
-    # embeddings). Capped at cells/2 so the index always prunes.
-    candidate_floor = math.ceil(n_cells * 256 / max(n_corpus, 1))
-    n_probe = max(4, n_cells // 16, candidate_floor)
-    return n_cells, min(n_probe, max(1, n_cells // 2))
+    return n_cells, _default_probe(n_cells, n_corpus)
+
+
+def _default_probe(n_cells: int, n_corpus: int | None = None) -> int:
+    """The probe half of ivf_defaults, for callers who already HAVE
+    centroids: probe = cells/16 (the at-scale ratio) floored at 4, and
+    — when the corpus size is known — floored again so probing reaches
+    ~256 candidates (tiny corpora under-probe catastrophically at the
+    bare ratio: n=500 probes 4 of 16 ~31-row cells ≈ 125 candidates
+    and recall@10 collapses under 0.6 — see ivf_defaults). Capped at
+    cells/2 so the index always prunes. Without ``n_corpus`` the
+    candidate floor CANNOT apply — that variant is the at-scale ratio
+    only."""
+    import math
+
+    n_probe = max(4, n_cells // 16)
+    if n_corpus:
+        n_probe = max(n_probe, math.ceil(n_cells * 256 / max(n_corpus, 1)))
+    return min(n_probe, max(1, n_cells // 2))
 
 
 def ivf_build_centroids(
@@ -328,12 +339,18 @@ def ivf_search(
     query_id: str = "q_id",
     corpus_id: str = "c_id",
     vec_col: str = "vec",
+    n_corpus: int | None = None,
 ) -> DataFrame:
     """IVF probe: each query scores only the corpus vectors in its
     ``n_probe`` nearest cells (vs. the whole corpus for brute force).
-    ``n_probe=None`` derives cells/16 (floor 4) from the centroid
-    count — the measured ratio from IVF_RECALL_gen100.json (see
-    ivf_defaults).
+    ``n_probe=None`` derives the ivf_defaults probe from the centroid
+    count — the measured ratio from IVF_RECALL_gen100.json — INCLUDING
+    the ~256-candidate floor when ``n_corpus`` is passed. This function
+    cannot see the corpus size itself (counting the frame is an extra
+    job), so without ``n_corpus`` the fallback is the AT-SCALE ratio
+    only: on a small corpus with externally supplied centroids it
+    under-probes (the recall collapse ivf_defaults documents) — pass
+    ``n_corpus`` or an explicit ``n_probe`` there.
 
     The query→cell fan-out is an explode of the vectorized top-cell
     array; the cell join is an equi-join on ``cell`` with the (small)
@@ -342,7 +359,7 @@ def ivf_search(
     12s for 2.5M candidates at gen-sf10; the numpy form 1.3s).
     """
     if n_probe is None:
-        n_probe = max(4, len(centroids) // 16)
+        n_probe = _default_probe(len(centroids), n_corpus)
     probes = ivf_probe_cells(
         queries, centroids, n_probe, vec_col=vec_col
     ).withColumnRenamed(vec_col, "__qvec")
@@ -407,8 +424,11 @@ def ivf_search_indexed(
     query_id: str = "q_id",
     corpus_id: str = "c_id",
     vec_col: str = "vec",
+    n_corpus: int | None = None,
 ) -> DataFrame:
     """ANN over a materialized IVF index (see materialize_ivf).
+    ``n_probe=None`` derives the ivf_defaults probe (pass ``n_corpus``
+    for the small-corpus candidate floor — see ivf_search).
 
     The probed cell ids are collected to the driver (bounded:
     ≤ |queries| × n_probe ints — query batches are small by contract)
@@ -420,7 +440,7 @@ def ivf_search_indexed(
     from pyspark.sql import Window
 
     if n_probe is None:
-        n_probe = max(4, len(centroids) // 16)
+        n_probe = _default_probe(len(centroids), n_corpus)
     probes = ivf_probe_cells(
         queries, centroids, n_probe, vec_col=vec_col
     ).withColumnRenamed(vec_col, "__qvec")

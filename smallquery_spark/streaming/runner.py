@@ -110,7 +110,17 @@ def unload_state_stores(spark: SparkSession) -> None:
     51-57 s across 3 runs, B53_LC_ANOM.json). ``StateStore.stop()``
     unloads all providers and stops the maintenance thread; both
     re-initialize lazily on the next stateful query (verified on Spark
-    4.1.2). Private API, so best-effort."""
+    4.1.2). Private API, so best-effort.
+
+    Scope: the py4j call reaches the DRIVER JVM only, so this releases
+    state held there — i.e. it fixes local[] mode, where driver and
+    executor share one JVM (the measured wins above). On local-cluster
+    or a real cluster the providers live in executor JVMs and are NOT
+    unloaded by this call; there the posture is inter-run scheduling
+    gaps ≥ the maintenance interval (SCALE.md, B53_LC_ANOM.json) — an
+    executor-side broadcast-task variant was considered and rejected:
+    running arbitrary code on executors to poke a private object is
+    fragile, and the maintenance tick already bounds the window."""
     try:
         spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()  # noqa: E501
     except Exception:

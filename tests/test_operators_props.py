@@ -584,7 +584,10 @@ def test_neardup_index_compact_preserves_and_flattens(spark):
     try:
         sig = _banded_sig_df(docs).localCheckpoint(eager=True)
         for _ in range(3):  # 3 appends -> 3 files per bucket
-            ndx.append(sig)
+            # guard off: this test WANTS the same rows appended thrice
+            # (file-count mechanics); the guard's own behavior is
+            # pinned in test_neardup_index_append_guard
+            ndx.append(sig, guard_existing=False)
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
 
         def nfiles(t):
@@ -624,6 +627,122 @@ def test_ivf_defaults_posture():
         cells, probe = ivf_defaults(n)
         assert 16 <= cells <= 4096 and cells & (cells - 1) == 0
         assert 1 <= probe <= cells // 2 or cells == 16 and probe <= 8
+
+
+def test_default_probe_fallback_matches_ivf_defaults():
+    """ivf_search's n_probe=None fallback (`_default_probe`) applies the
+    SAME candidate floor as ivf_defaults when the corpus size is known
+    — the old bare cells/16 fallback under-probed tiny corpora in
+    exactly the way ivf_defaults' comment documents as collapsing
+    recall@10 below 0.6 (n=500: 4 of 16 cells)."""
+    from smallquery_spark.operators.similarity import (
+        _default_probe,
+        ivf_defaults,
+    )
+
+    for n in (500, 2_000, 200_000, 2_000_000):
+        cells, probe = ivf_defaults(n)
+        assert _default_probe(cells, n) == probe
+    # without a corpus count only the at-scale ratio can apply
+    assert _default_probe(1024) == 64
+    assert _default_probe(16) == 4  # floor-4, ratio-only
+    assert _default_probe(16, 500) == 8  # floor reaches the cells/2 cap
+
+
+def test_neardup_index_append_guard(spark):
+    """append()'s default guard_existing makes at-least-once id
+    delivery safe at the INDEX level: re-appending ids the hashes table
+    already holds is a no-op (no duplicate index rows, no candidate
+    inflation), while genuinely new ids in the same batch still land."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from smallquery_spark.operators.dedup import _banded_sig_df
+    from smallquery_spark.operators.neardup_index import NearDupIndex
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(
+        os.path.join(SF_SMOKE, "documents.parquet")
+    ).select("doc_id", "text")
+    first = docs.filter(F.col("doc_id") < 40)
+    resend = docs.filter(F.col("doc_id") < 60)  # 40 re-sent + 20 new
+    ndx = NearDupIndex(spark, f"guard_{os.getpid()}", n_buckets=4)
+    ndx.drop()
+    try:
+        sig1 = _banded_sig_df(first).localCheckpoint(eager=True)
+        ndx.append(sig1)
+        n1 = ndx.doc_count()
+        band1 = spark.table(ndx.bands_table).count()
+        ndx.append(sig1)  # pure replay: nothing changes
+        assert ndx.doc_count() == n1
+        assert spark.table(ndx.bands_table).count() == band1
+        sig2 = _banded_sig_df(resend).localCheckpoint(eager=True)
+        ndx.append(sig2)  # mixed: only the 20 new ids land, once
+        assert ndx.doc_count() == resend.count()
+        assert (
+            spark.table(ndx.hashes_table)
+            .groupBy("o_id")
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+            == 0
+        )
+    finally:
+        ndx.drop()
+
+
+def test_neardup_index_compact_crash_recovery(spark):
+    """compact()'s swap is crash-safe: a crash between the two renames
+    leaves the original table renamed aside (`_old`), and the next
+    `exists` check restores it with zero row loss. A genuinely
+    half-present index (one table without the other) raises instead of
+    being treated as absent — the old behavior let the next append
+    overwrite-and-discard the surviving half."""
+    import os
+
+    import pytest
+
+    from smallquery_spark.operators.dedup import _banded_sig_df
+    from smallquery_spark.operators.neardup_index import NearDupIndex
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(
+        os.path.join(SF_SMOKE, "documents.parquet")
+    ).select("doc_id", "text")
+    ndx = NearDupIndex(spark, f"crash_{os.getpid()}", n_buckets=4)
+    ndx.drop()
+    try:
+        sig = _banded_sig_df(docs).localCheckpoint(eager=True)
+        ndx.append(sig)
+        rows = spark.table(ndx.bands_table).count()
+        n_docs = ndx.doc_count()
+        # simulate the crash window: live table renamed aside, temp gone
+        spark.sql(
+            f"ALTER TABLE {ndx.bands_table} RENAME TO {ndx.bands_table}_old"
+        )
+        assert ndx.exists  # _recover() renames it back
+        assert spark.table(ndx.bands_table).count() == rows
+        assert ndx.doc_count() == n_docs
+        # half-present: hashes gone entirely -> refuse, don't guess
+        spark.sql(f"DROP TABLE {ndx.hashes_table}")
+        with pytest.raises(RuntimeError, match="half-present"):
+            _ = ndx.exists
+    finally:
+        ndx.drop()
+
+
+def test_diskguard_owner_alive():
+    """Eviction skips warehouse artifacts whose pid suffix names a LIVE
+    process — content-addressed bkt_* tables are written once (mtime
+    never refreshes) and may be mid-reuse by a >24h measurement."""
+    import os
+
+    from tools.diskguard import _owner_alive
+
+    assert _owner_alive(f"bkt_0123456789ab_{os.getpid()}")
+    assert not _owner_alive("bkt_0123456789ab_999999999")  # no such pid
+    assert not _owner_alive("ndx_curve_abc123")  # no pid suffix
 
 
 def test_rocksdb_state_posture(spark):

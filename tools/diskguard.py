@@ -51,6 +51,26 @@ def _du(path: str) -> int:
     return total
 
 
+def _owner_alive(name: str) -> bool:
+    """True when the artifact's trailing ``_<pid>`` names a LIVE process.
+
+    bkt_* tables are content-addressed and written ONCE (their mtime
+    never refreshes while a long measurement keeps reusing them), so an
+    age test alone could delete a bucketed table out from under a >6h
+    run launched by another preflighted tool. The pid suffix
+    (operators/bucketing.py names tables ``bkt_<digest>_<pid>``) tells
+    us whether the owning session can still be using it.
+    """
+    m = re.search(r"_(\d+)$", name)
+    if not m:
+        return False
+    try:
+        os.kill(int(m.group(1)), 0)
+        return True
+    except (OSError, ValueError):
+        return False
+
+
 def _evict_stale(max_age_hours: float) -> list[str]:
     """Remove stale evictable artifacts; returns what was removed."""
     from smallquery_spark.queries.tmpdirs import prune_stale
@@ -65,6 +85,8 @@ def _evict_stale(max_age_hours: float) -> list[str]:
     for name in entries:
         if not _EVICTABLE_WAREHOUSE.match(name):
             continue
+        if _owner_alive(name):
+            continue  # owning process still running — not stale
         full = os.path.join(wh, name)
         try:
             if os.path.isdir(full) and os.path.getmtime(full) < cutoff:
@@ -101,7 +123,7 @@ def footprint() -> dict:
 
 
 def preflight(
-    required_gb: float, evict: bool = True, max_age_hours: float = 6.0
+    required_gb: float, evict: bool = True, max_age_hours: float = 24.0
 ) -> dict:
     """Refuse to start a run that cannot fit.
 

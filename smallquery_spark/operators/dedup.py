@@ -231,6 +231,60 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
+def banded_config(threshold: float, hash_budget: int = 24) -> tuple[int, int]:
+    """Derive ``(bands, rows_per_band)`` from the caller's Jaccard
+    threshold via the LSH S-curve — the decision rule the round-7 scale
+    runs proved out by hand.
+
+    The collision probability of a pair at similarity s under (b, r)
+    banding is 1 - (1 - s^r)^b, an S-curve whose midpoint sits at
+    ~(1/b)^(1/r). Two forces pull on (b, r):
+
+    - recall at the threshold needs the midpoint AT or BELOW t, i.e.
+      b ≥ (1/t)^r — more bands;
+    - candidate false-positive mass below t shrinks as s^r per band —
+      more rows per band. This is THE scale lever: at 5M short docs
+      with t=0.5, (b=8, r=2) produced 38M false-positive candidate
+      pairs per 620k-doc epoch (cost creep, drift 1.77, and a
+      non-spillable hash-build failure in an 8g heap), while r=3 cut
+      per-band FP from s² to s³ (~1000×) and made the same ingest
+      curve flat (drift 0.95, C2_STREAM_CURVE_5M_bucketed_r3.json) —
+      with identical final pairs, because the exact re-check keeps
+      precision 1.0 at any (b, r).
+
+    So: pick the LARGEST r whose required band count b = ceil((1/t)^r)
+    still fits the signature budget b·r ≤ hash_budget. b ≥ (1/t)^r
+    guarantees collision probability ≥ 1-(1-1/b)^b ≥ 1-1/e ≈ 0.63 at
+    s = t, rising steeply above (near-dups at s ≈ 0.9 under the t=0.5
+    default collide with prob 1-2.7e-5); maximizing r minimizes
+    sub-threshold candidate mass within that guarantee.
+
+    The default budget (24 hashes/doc) reproduces the measured flat
+    posture at t=0.5 — (8, 3) — exactly; budget 64 reproduces the
+    (16, 4) config whose 5M-doc recall was measured at 0.978
+    (LSH_SCALE_5M_t05_cfg.json). Raising the budget buys recall at the
+    margin at linear signature cost.
+    """
+    import math
+
+    if not (0.0 < threshold < 1.0):
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if hash_budget < 2:
+        raise ValueError(f"hash_budget must be >= 2, got {hash_budget}")
+    best: tuple[int, int] | None = None
+    for r in range(1, hash_budget + 1):
+        b = math.ceil((1.0 / threshold) ** r)
+        if b * r <= hash_budget:
+            best = (b, r)
+        elif best is not None:
+            break  # b grows with r: once over budget, always over
+    if best is None:
+        # threshold so low even r=1 can't reach (1/t) bands: use every
+        # hash as its own band (pure OR) — the closest budget allows
+        return (hash_budget, 1)
+    return best
+
+
 def _banded_sig_df(
     df: DataFrame,
     text_col: str = "text",
@@ -359,11 +413,15 @@ def banded_minhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
-    bands: int = 8,
-    rows_per_band: int = 2,
+    bands: int | None = None,
+    rows_per_band: int | None = None,
     threshold: float = 0.5,
 ) -> DataFrame:
     """Near-dup pairs via native banded MinHash with AND-composition.
+
+    ``bands``/``rows_per_band`` default to the threshold-derived
+    S-curve posture (:func:`banded_config` — t=0.5 → (8, 3), the
+    measured flat-ingest config); pass both to pin a shape explicitly.
 
     Spark ML's MinHashLSH is limited to r=1 bands (one minhash per hash
     table), so every shared minhash VALUE buckets two docs — at 1B-doc
@@ -417,6 +475,10 @@ def banded_minhash_pairs(
     shape of production LSH dedup. The returned DataFrame is therefore
     EAGER (already computed), unlike most operators in this package.
     """
+    if bands is None or rows_per_band is None:
+        d_bands, d_rows = banded_config(threshold)
+        bands = d_bands if bands is None else bands
+        rows_per_band = d_rows if rows_per_band is None else rows_per_band
     enr = _banded_sig_df(
         df,
         text_col=text_col,

@@ -62,6 +62,26 @@ def _bk60(col) -> "F.Column":
     return F.conv(F.substring(col, 1, 15), 16, 10).cast("bigint")
 
 
+def _is_hash_build_failure(exc: BaseException) -> bool:
+    """True when an epoch failed because Spark could not BUILD the
+    non-spillable shuffle-hash relation — the one failure mode the
+    shuffle_hash strategy has and sort-merge does not (observed
+    verbatim: "There is not enough memory to build the hash map" /
+    "Can't acquire ... bytes to build hash relation" at 38M
+    false-positive candidate pairs in an 8g heap, SCALE.md round 7).
+    Matched on the message because the JVM raises it as a generic
+    SparkOutOfMemoryError wrapped in Py4JJavaError — the hash-relation
+    wording is what distinguishes it from a genuine heap exhaustion
+    that retrying with a different join would not fix."""
+    msg = str(exc)
+    return (
+        "build hash relation" in msg
+        or "build the hash map" in msg
+        or "build hash map" in msg
+        or ("HashedRelation" in msg and "memory" in msg.lower())
+    )
+
+
 class NearDupIndex:
     """At-rest near-dup signature index backed by two bucketed tables.
 
@@ -76,27 +96,42 @@ class NearDupIndex:
         name: str,
         n_buckets: int = 16,
         id_col: str = "doc_id",
-        join_strategy: str = "shuffle_hash",
+        join_strategy: str = "auto",
     ) -> None:
         """``join_strategy`` picks how epoch keys meet the index:
 
-        - ``"shuffle_hash"`` (default): builds a hash map of the EPOCH
-          keys per partition and STREAMS the index scan — no sort, no
-          exchange on the index side; per-epoch cost is epoch+candidate
+        - ``"auto"`` (default): plan with shuffle_hash; if the epoch
+          fails on the ONE failure mode that strategy has — the
+          non-spillable hash-relation build running out of memory
+          under a candidate explosion (see ``_is_hash_build_failure``)
+          — retry the same epoch with merge, which spills. This
+          encodes the round-7 measurement pair as a decision rule
+          instead of a CLI flag: shuffle_hash's flat curve when the
+          heap fits (drift 0.95, C2_STREAM_CURVE_5M_bucketed_r3.json),
+          merge's completion of the FP-heavy run shuffle_hash died on
+          (SCALE.md round 7). The retry is safe because ingest_epoch
+          is a pure read (the caller appends AFTER it returns) —
+          nothing was half-written when the first attempt failed.
+        - ``"shuffle_hash"``: builds a hash map of the EPOCH keys per
+          partition and STREAMS the index scan — no sort, no exchange
+          on the index side; per-epoch cost is epoch+candidate
           bounded. This is the 100 TB shape (the build side is
           epoch/partitions, controllable); its cost is that Spark's
           hash build cannot spill — under a candidate explosion in an
           undersized heap it fails with "Can't acquire ... bytes to
-          build hash relation" (observed: 38M FP candidate pairs at 8g,
-          SCALE.md round 7).
+          build hash relation" (observed: 38M FP candidate pairs at
+          8g, SCALE.md round 7).
         - ``"merge"``: sort-merge — fully spill-robust, but re-SORTS
           the full index scan inside the join every epoch (Spark does
           not trust bucket sortBy order, and appends make buckets
-          multi-file): an index-sized n·log n per epoch. Right when
-          the corpus' similarity distribution makes candidates explode
-          and the heap is fixed.
+          multi-file): an index-sized n·log n per epoch — kept flat in
+          practice by the doubling-rule compaction (drift 1.07,
+          C2_STREAM_CURVE_5M_merge_compact.json). Right when the
+          corpus' similarity distribution makes candidates explode
+          and the heap is fixed, or to skip auto's failed first
+          attempt when that is known up front.
         """
-        if join_strategy not in ("shuffle_hash", "merge"):
+        if join_strategy not in ("auto", "shuffle_hash", "merge"):
             raise ValueError(f"unknown join_strategy {join_strategy!r}")
         self.spark = spark
         self.id_col = id_col
@@ -323,6 +358,41 @@ class NearDupIndex:
         callers with at-least-once upstreams dedup their accepted
         OUTPUT on id (a plain exact-dedup pass), or feed this operator
         exactly-once ids."""
+        order = {
+            "auto": ("shuffle_hash", "merge"),
+            "shuffle_hash": ("shuffle_hash",),
+            "merge": ("merge",),
+        }[self.join_strategy]
+        for i, strategy in enumerate(order):
+            try:
+                # epoch-sized; materialize once — consumed by the
+                # caller's commit write AND the index append. This is
+                # also where the plan actually RUNS, so the hash-build
+                # failure (if any) surfaces here, inside the try.
+                return self._epoch_plan(
+                    sig_df, threshold, strategy
+                ).localCheckpoint(eager=True)
+            except Exception as exc:
+                if i + 1 < len(order) and _is_hash_build_failure(exc):
+                    import sys
+
+                    print(
+                        f"NearDupIndex.ingest_epoch: {strategy} failed"
+                        f" on the non-spillable hash build"
+                        f" ({type(exc).__name__}); retrying epoch with"
+                        f" {order[i + 1]}",
+                        file=sys.stderr,
+                        flush=True,
+                    )
+                    continue
+                raise
+        raise AssertionError("unreachable: strategy order is non-empty")
+
+    def _epoch_plan(
+        self, sig_df: DataFrame, threshold: float, strategy: str
+    ) -> DataFrame:
+        """The lazy survivor plan for one epoch under a concrete join
+        strategy (see ingest_epoch, which owns retry + materialize)."""
         from smallquery_spark.operators.dedup import _hash_jaccard_udf
 
         # resolve catalog reads through the BATCH's own session: inside
@@ -380,11 +450,7 @@ class NearDupIndex:
             )
             # see __init__: shuffle_hash streams the index with no sort
             # and no exchange; merge is the spill-robust fallback
-            hinted = (
-                new_keys.hint("shuffle_hash")
-                if self.join_strategy == "shuffle_hash"
-                else new_keys.hint("merge")
-            )
+            hinted = new_keys.hint(strategy)
             cand = (
                 hinted.join(sess.table(self.bands_table), "__bk")
                 # self-exclusion makes a replayed epoch (whose survivors
@@ -398,11 +464,7 @@ class NearDupIndex:
             # hash fetch: candidate pairs shuffle TO the id-bucketed
             # store (store side zero-Exchange), then the epoch-local
             # n_h attaches from the batch signatures
-            cand_hinted = (
-                cand.hint("shuffle_hash")
-                if self.join_strategy == "shuffle_hash"
-                else cand.hint("merge")
-            )
+            cand_hinted = cand.hint(strategy)
             idx_checked = (
                 cand_hinted.join(sess.table(self.hashes_table), "o_id")
                 .join(
@@ -417,11 +479,8 @@ class NearDupIndex:
                 .select("n_id")
             )
             dropped = dropped.unionByName(idx_checked)
-        surv = sig_df.join(
+        return sig_df.join(
             dropped.distinct().withColumnRenamed("n_id", idc),
             idc,
             "left_anti",
         )
-        # epoch-sized; materialize once — consumed by the caller's
-        # commit write AND the index append
-        return surv.localCheckpoint(eager=True)

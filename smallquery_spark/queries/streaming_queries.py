@@ -910,9 +910,17 @@ def c2_streaming_neardup(spark, sf_dir):
     layout's value-parity with the reference step. Slice construction
     guarantees duplicate clusters at every sf (same recipe as
     c2_minhash_lsh), so dropped_some is a real assertion, not
-    vacuous."""
+    vacuous.
+
+    Runs at the DEFAULT engine posture: (b, r) derived from the
+    threshold via the S-curve rule (banded_config(0.5) = (8, 3), the
+    measured flat-ingest config) and NearDupIndex's default
+    join_strategy='auto' (shuffle_hash with automatic merge fallback
+    on a hash-build failure) — both sides of the oracle use the same
+    derived (b, r), so the contract pins the defaults end-to-end."""
     from smallquery_spark.operators.dedup import (
         _banded_sig_df,
+        banded_config,
         neardup_ingest_step,
     )
     from smallquery_spark.operators.neardup_index import NearDupIndex
@@ -945,6 +953,7 @@ def c2_streaming_neardup(spark, sf_dir):
         spark, f"sndup_{os.path.basename(root).rsplit('_', 1)[-1]}", n_buckets=8
     )
     ndx.drop()
+    bands, rows_per_band = banded_config(0.5)
 
     def _ingest(batch_df, epoch_id):
         epoch_dir = os.path.join(index_dir, f"epoch_{epoch_id:010d}")
@@ -953,7 +962,9 @@ def c2_streaming_neardup(spark, sf_dir):
         # checkpoint the signatures once (ingest_epoch fans them out to
         # ~5 consumers); unpersist both at epoch end so per-epoch blocks
         # never accumulate across micro-batches
-        sig = _banded_sig_df(batch_df).localCheckpoint(eager=True)
+        sig = _banded_sig_df(
+            batch_df, bands=bands, rows_per_band=rows_per_band
+        ).localCheckpoint(eager=True)
         surv = ndx.ingest_epoch(sig, threshold=0.5)
         # append BEFORE the epoch commit: a crash in the window replays
         # the epoch against an index already holding its survivors,
@@ -984,7 +995,11 @@ def c2_streaming_neardup(spark, sf_dir):
 
         ref_idx = None
         for part in sorted(glob.glob(os.path.join(slices, "part-*.parquet"))):
-            sig = _banded_sig_df(spark.read.parquet(part))
+            sig = _banded_sig_df(
+                spark.read.parquet(part),
+                bands=bands,
+                rows_per_band=rows_per_band,
+            )
             surv = neardup_ingest_step(sig, ref_idx, threshold=0.5)
             surv = surv.localCheckpoint(eager=True)
             ref_idx = surv if ref_idx is None else ref_idx.unionByName(surv)

@@ -732,6 +732,123 @@ def test_neardup_index_compact_crash_recovery(spark):
         ndx.drop()
 
 
+def test_banded_config_threshold_map():
+    """Pin the threshold→(b, r) S-curve rule (the round-7 measurements
+    it encodes: (8,3) is the flat-ingest posture at t=0.5, drift 0.95;
+    (16,4) is the measured 0.978-recall batch config at budget 64)."""
+    import pytest
+
+    from smallquery_spark.operators.dedup import banded_config
+
+    assert banded_config(0.5) == (8, 3)
+    assert banded_config(0.5, hash_budget=64) == (16, 4)
+    assert banded_config(0.7) == (5, 4)
+    assert banded_config(0.9) == (3, 8)
+    assert banded_config(0.3) == (12, 2)
+    # the b >= (1/t)^r midpoint guarantee + budget hold everywhere a
+    # fitting config EXISTS (when even r=1 can't reach ceil(1/t) bands,
+    # the documented fallback returns (budget, 1) — closest it can get)
+    import math
+
+    for t in (0.05, 0.2, 0.35, 0.5, 0.65, 0.8, 0.95):
+        for budget in (12, 24, 64):
+            b, r = banded_config(t, hash_budget=budget)
+            assert b * r <= budget
+            assert b >= 1 and r >= 1
+            if math.ceil(1.0 / t) <= budget:
+                # midpoint (1/b)^(1/r) at or below the threshold
+                assert (1.0 / b) ** (1.0 / r) <= t + 1e-9
+            else:
+                assert (b, r) == (budget, 1)
+    with pytest.raises(ValueError):
+        banded_config(0.0)
+    with pytest.raises(ValueError):
+        banded_config(1.0)
+
+
+def test_neardup_index_auto_merge_fallback(spark, monkeypatch):
+    """join_strategy='auto' (the default) retries an epoch with the
+    spill-robust merge strategy when — and only when — the shuffle_hash
+    attempt dies on the non-spillable hash-relation build (the observed
+    38M-candidate failure, SCALE.md round 7). Unrelated failures
+    propagate untouched."""
+    import os
+
+    import pytest
+
+    from smallquery_spark.operators.dedup import _banded_sig_df
+    from smallquery_spark.operators.neardup_index import (
+        NearDupIndex,
+        _is_hash_build_failure,
+    )
+    from tests.conftest import SF_SMOKE
+
+    # the predicate keys on the JVM's actual wording
+    assert _is_hash_build_failure(
+        Exception(
+            "org.apache.spark.memory.SparkOutOfMemoryError: There is not"
+            " enough memory to build the hash map"
+        )
+    )
+    assert _is_hash_build_failure(
+        Exception("Can't acquire 67108864 bytes to build hash relation")
+    )
+    assert not _is_hash_build_failure(Exception("FileNotFoundException"))
+    assert not _is_hash_build_failure(Exception("java.lang.OutOfMemoryError"))
+
+    docs = spark.read.parquet(
+        os.path.join(SF_SMOKE, "documents.parquet")
+    ).select("doc_id", "text")
+    sig = _banded_sig_df(docs).localCheckpoint(eager=True)
+
+    ndx = NearDupIndex(spark, f"auto_{os.getpid()}", n_buckets=4)
+    assert ndx.join_strategy == "auto"
+    ndx.drop()
+    try:
+        first = ndx.ingest_epoch(sig, threshold=0.5)
+        ndx.append(first)
+        # reference: the same second epoch under pure merge
+        ref = sorted(
+            r.doc_id
+            for r in NearDupIndex(
+                spark, f"auto_{os.getpid()}", n_buckets=4,
+                join_strategy="merge",
+            )
+            .ingest_epoch(sig, threshold=0.5)
+            .select("doc_id")
+            .collect()
+        )
+
+        real_plan = NearDupIndex._epoch_plan
+        attempts: list[str] = []
+
+        def failing_plan(self, sig_df, threshold, strategy):
+            attempts.append(strategy)
+            if strategy == "shuffle_hash":
+                raise Exception(
+                    "org.apache.spark.memory.SparkOutOfMemoryError: There"
+                    " is not enough memory to build the hash map"
+                )
+            return real_plan(self, sig_df, threshold, strategy)
+
+        monkeypatch.setattr(NearDupIndex, "_epoch_plan", failing_plan)
+        surv = ndx.ingest_epoch(sig, threshold=0.5)
+        assert attempts == ["shuffle_hash", "merge"]
+        got = sorted(r.doc_id for r in surv.select("doc_id").collect())
+        assert got == ref
+
+        # a non-hash-build failure must NOT be retried
+        def broken_plan(self, sig_df, threshold, strategy):
+            raise RuntimeError("unrelated failure")
+
+        monkeypatch.setattr(NearDupIndex, "_epoch_plan", broken_plan)
+        with pytest.raises(RuntimeError, match="unrelated"):
+            ndx.ingest_epoch(sig, threshold=0.5)
+    finally:
+        monkeypatch.undo()
+        ndx.drop()
+
+
 def test_diskguard_owner_alive():
     """Eviction skips warehouse artifacts whose pid suffix names a LIVE
     process — content-addressed bkt_* tables are written once (mtime

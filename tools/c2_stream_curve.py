@@ -25,11 +25,18 @@ accumulated index every epoch (+40 s per ~580k index rows at 5M docs).
 refuses runs that cannot fit (the r6 5M run died on spill-disk
 exhaustion at epoch 4).
 
+Round 8: defaults are the ENGINE's defaults — (b, r) derived from the
+threshold via banded_config (t=0.5 → (8, 3)) and join strategy "auto"
+(shuffle_hash with automatic merge retry on a hash-build failure) — so
+an argument-free run measures exactly what a user of the default
+posture gets. Explicit --bands/--rows-per-band/--join still override
+for controlled comparisons.
+
 Usage:
     python -m tools.c2_stream_curve [docs_dir] [--epochs K]
         [--threshold T] [--out OUT.json] [--legacy] [--require-gb G]
-        [--bands B] [--rows-per-band R] [--join shuffle_hash|merge]
-        [--compact]
+        [--bands B] [--rows-per-band R]
+        [--join auto|shuffle_hash|merge] [--compact]
 """
 
 from __future__ import annotations
@@ -54,7 +61,7 @@ def main() -> None:
     argv = sys.argv[1:]
     out_path, k_epochs, threshold = None, 8, 0.5
     legacy, require_gb = False, 20.0
-    bands, rows_per_band, join_strategy = 8, 2, "shuffle_hash"
+    bands, rows_per_band, join_strategy = None, None, "auto"
     if "--out" in argv:
         i = argv.index("--out")
         out_path = argv[i + 1]
@@ -91,6 +98,13 @@ def main() -> None:
         legacy = True
         argv.remove("--legacy")
     docs_dir = argv[0] if argv else ".fixtures/docs1000000"
+
+    from smallquery_spark.operators.dedup import banded_config
+
+    if bands is None or rows_per_band is None:
+        d_bands, d_rows = banded_config(threshold)
+        bands = d_bands if bands is None else bands
+        rows_per_band = d_rows if rows_per_band is None else rows_per_band
 
     from tools.diskguard import preflight
 

@@ -414,6 +414,30 @@ def materialize_ivf(
     return tname
 
 
+def _use_pruned_scan(
+    n_probed_cells: int, n_cells: int, cutoff: float = 0.25
+) -> bool:
+    """The route='auto' decision rule for ivf_search_indexed: push the
+    probed cells as a partition-pruning IN-list only while they cover
+    ≤ ``cutoff`` of the index's cells; past that, scan the whole table
+    (the cell equi-join still prunes COMPUTE either way, so results
+    are identical — this only picks where bytes are read).
+
+    The measured batch-size curve behind the default
+    (IVFX_INDEX_gen100.json, 2M vectors, 1024 cells, probe 64): a
+    1-query probe covers 64 cells (6%) and the pruned scan wins
+    (1.48 s vs 1.56 s, reading 9.4% of rows); at 5 queries coverage is
+    already 26% of cells (39% of rows) and the pruned path LOSES
+    locally (1.85 s vs 1.30 s — IN-list planning + scattered reads
+    against a page-cached table); 50 queries cover 854/1024 cells =
+    99.9% of rows, where pruning is pure overhead. cutoff=0.25 sits at
+    that measured local inversion. On cold object storage, where scan
+    BYTES are the cost, a higher cutoff (→ ~0.9) is right — the knob
+    exists precisely because the crossover is a property of the
+    storage tier, not of the algorithm."""
+    return n_probed_cells <= cutoff * n_cells
+
+
 def ivf_search_indexed(
     spark,
     queries: DataFrame,
@@ -425,20 +449,31 @@ def ivf_search_indexed(
     corpus_id: str = "c_id",
     vec_col: str = "vec",
     n_corpus: int | None = None,
+    route: str = "auto",
+    prune_coverage_cutoff: float = 0.25,
 ) -> DataFrame:
     """ANN over a materialized IVF index (see materialize_ivf).
     ``n_probe=None`` derives the ivf_defaults probe (pass ``n_corpus``
     for the small-corpus candidate floor — see ivf_search).
 
     The probed cell ids are collected to the driver (bounded:
-    ≤ |queries| × n_probe ints — query batches are small by contract)
-    and pushed into the scan as an IN-list, which partition-prunes the
-    index table's cell directories; only then does the (broadcast)
-    probe join and the vectorized cosine run, over rows from the
-    selected cells alone. `.explain` shows `PartitionFilters: [...
-    cell IN (...)]` (plan-pinned in tests/test_plans.py)."""
+    ≤ n_cells ints after distinct) and — when they cover a small
+    fraction of the index — pushed into the scan as an IN-list, which
+    partition-prunes the index table's cell directories; only then
+    does the (broadcast) probe join and the vectorized cosine run,
+    over rows from the selected cells alone. `.explain` shows
+    `PartitionFilters: [... cell IN (...)]` (plan-pinned in
+    tests/test_plans.py).
+
+    ``route``: ``"auto"`` (default) applies the measured batch-size
+    decision rule (see _use_pruned_scan — point/small-batch lookups
+    prune, large batches whose probes blanket the cells scan flat);
+    ``"pruned"`` / ``"full"`` force a side (both value-identical —
+    the cell equi-join restricts candidates either way)."""
     from pyspark.sql import Window
 
+    if route not in ("auto", "pruned", "full"):
+        raise ValueError(f"unknown route {route!r}")
     if n_probe is None:
         n_probe = _default_probe(len(centroids), n_corpus)
     probes = ivf_probe_cells(
@@ -447,7 +482,15 @@ def ivf_search_indexed(
     cells = [
         r["cell"] for r in probes.select("cell").distinct().collect()
     ]
-    cand = spark.table(index_table).filter(F.col("cell").isin(cells))
+    prune = route == "pruned" or (
+        route == "auto"
+        and _use_pruned_scan(
+            len(cells), len(centroids), prune_coverage_cutoff
+        )
+    )
+    cand = spark.table(index_table)
+    if prune:
+        cand = cand.filter(F.col("cell").isin(cells))
     pairs = cand.join(F.broadcast(probes), "cell").filter(
         F.col(query_id) != F.col(corpus_id)
     )
@@ -460,3 +503,172 @@ def ivf_search_indexed(
         .filter(F.col("rnk") <= k)
         .select(query_id, corpus_id, "cos", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# At-rest IVF index: continuous ingest (append / compact / retrain trigger)
+# ---------------------------------------------------------------------------
+
+
+def append_ivf(
+    spark,
+    index_table: str,
+    new_corpus: DataFrame,
+    centroids: list[list[float]],
+    corpus_id: str = "c_id",
+    vec_col: str = "vec",
+) -> None:
+    """Append new vectors to a materialized IVF index WITHOUT the full
+    rewrite ``materialize_ivf`` does: assign each new vector to its
+    nearest EXISTING centroid (the same partition-local vectorized
+    scoring every search probe uses) and append the rows into the
+    matching cell directories.
+
+    Value parity with a rebuild is structural, not approximate: cell
+    assignment is a pure function of (vector, centroids), so the union
+    of appends holds EXACTLY the rows a ``materialize_ivf`` over the
+    unioned corpus would hold, and any probe reads identical candidate
+    sets (oracled end-to-end by the c3_ann_ivf_append registry query).
+    What appends DO degrade, slowly, is the fit between the frozen
+    centroids and the drifting corpus — that is recall drift, watched
+    by :func:`ivf_retrain_trigger`, and file-count growth (one file
+    per touched cell per append), bounded by :func:`compact_ivf_cells`.
+
+    Per-append cost: one narrow assignment projection over the new
+    batch + one batch-sized clustered write. The at-rest index never
+    rewrites — the continuous-ingest shape that keeps a 100 TB
+    embedding store's ingest epoch-bounded (same posture as the
+    near-dup NearDupIndex.append path).
+    """
+    assigned = ivf_assign(
+        new_corpus, centroids, corpus_id=corpus_id, vec_col=vec_col
+    )
+    (
+        assigned.repartition(F.col("cell"))
+        .write.mode("append")
+        .partitionBy("cell")
+        .saveAsTable(index_table)
+    )
+    try:
+        spark.catalog.refreshTable(index_table)
+    except Exception:
+        pass
+
+
+def compact_ivf_cells(spark, index_table: str) -> int:
+    """Rewrite every FRAGMENTED cell (more than one file) back to one
+    file, leaving single-file cells untouched — the per-cell analogue
+    of NearDupIndex's doubling compaction. Returns the number of cells
+    rewritten.
+
+    Appends add one file per touched cell; point probes then pay
+    per-file open overhead inside their pruned directories. Scoping
+    the rewrite to fragmented cells makes compaction cost proportional
+    to data appended SINCE the last compaction (a just-compacted cell
+    has one file and is skipped), so an every-K-epochs schedule gets
+    the same O(log n) amortized rewrites per row as the doubling rule.
+    The rewrite goes through dynamic partition overwrite, so only the
+    selected cell directories are replaced — never the whole table.
+    """
+    import os
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    loc = os.path.join(wh, index_table)
+    fragmented: list[int] = []
+    try:
+        cell_dirs = os.listdir(loc)
+    except OSError:
+        cell_dirs = []
+    for d in cell_dirs:
+        if not d.startswith("cell="):
+            continue
+        full = os.path.join(loc, d)
+        try:
+            n = sum(1 for f in os.listdir(full) if f.startswith("part-"))
+        except OSError:
+            continue
+        if n > 1:
+            fragmented.append(int(d.split("=", 1)[1]))
+    if not fragmented:
+        return 0
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # read the fragmented cell DIRECTORIES as a path scan (basePath
+        # keeps the cell partition column) — reading through the
+        # catalog would trip UNSUPPORTED_OVERWRITE (self-overwrite);
+        # localCheckpoint fully materializes the rows BEFORE the
+        # overwrite job starts, so the rewrite never races the files
+        # it is replacing. Checkpoint size = fragmented cells only.
+        rows = (
+            spark.read.option("basePath", loc)
+            .parquet(*[os.path.join(loc, f"cell={c}") for c in fragmented])
+            .localCheckpoint(eager=True)
+        )
+        # one output file per cell via the repartition. MUST be
+        # insertInto, not saveAsTable: saveAsTable(mode=overwrite)
+        # replaces the WHOLE table regardless of partitionOverwriteMode
+        # (probed: a compact that way silently dropped every
+        # unfragmented cell); insertInto under dynamic mode replaces
+        # exactly the cell= directories present in the write.
+        # insertInto matches columns BY POSITION — align to the table's
+        # schema order explicitly (partition column last).
+        cols = spark.table(index_table).columns
+        (
+            rows.select(*cols)
+            .repartition(F.col("cell"))
+            .write.insertInto(index_table, overwrite=True)
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", old_mode
+        )
+    try:
+        spark.catalog.refreshTable(index_table)
+    except Exception:
+        pass
+    return len(fragmented)
+
+
+def ivf_retrain_trigger(
+    spark,
+    index_table: str,
+    imbalance_bound: float = 8.0,
+) -> tuple[bool, dict]:
+    """Decide whether the frozen coarse quantizer has drifted enough to
+    retrain, from the one statistic the index itself exposes: the cell
+    histogram (≤ n_cells rows — driver-bounded by construction).
+
+    Returns ``(retrain, stats)`` where stats carries n_rows, n_cells,
+    max/mean cell imbalance, and the empty-cell count. The trigger is
+    max/mean > ``imbalance_bound``: a healthy k-means partition keeps
+    the hottest cell within a small factor of the mean (measured at 2M
+    embeddings: max/mean ≈ 2.9 for k-means centroids, IVF_RECALL.json
+    sweeps), while corpus drift funnels new mass into few cells —
+    exactly the regime where probe cost concentrates and recall decays
+    (search scans probe-selected cells, so a cell at 8× mean makes
+    every probe touching it pay 8× the candidate budget). On trigger,
+    the caller retrains (ivf_build_centroids over the current corpus)
+    and rebuilds via materialize_ivf; appends resume against the new
+    centroids."""
+    hist = (
+        spark.table(index_table)
+        .groupBy("cell")
+        .count()
+        .collect()
+    )
+    counts = [r["count"] for r in hist]
+    n_rows = sum(counts)
+    n_cells = len(counts)
+    mean = n_rows / n_cells if n_cells else 0.0
+    mx = max(counts) if counts else 0
+    imbalance = (mx / mean) if mean else 0.0
+    stats = {
+        "n_rows": n_rows,
+        "n_nonempty_cells": n_cells,
+        "max_cell": mx,
+        "mean_cell": round(mean, 1),
+        "imbalance": round(imbalance, 3),
+    }
+    return imbalance > imbalance_bound, stats

@@ -825,6 +825,94 @@ def c3_ann_ivf_indexed(spark, sf_dir):
 
 
 @query(
+    "c3_ann_ivf_append",
+    oracle=(
+        "SELECT TRUE AS same_as_rebuild, TRUE AS same_after_compact,"
+        " TRUE AS compacted_some, TRUE AS nonempty"
+    ),
+    tags=("C3", "C9"),
+)
+def c3_ann_ivf_append(spark, sf_dir):
+    """Continuous-ingest path of the at-rest IVF index: build the index
+    on HALF the corpus, `append_ivf` the other half against the frozen
+    centroids (assign-to-existing-cells + append into cell partitions —
+    no index rewrite), and verify the appended index answers probes
+    EXACTLY like a full `materialize_ivf` rebuild over the union (cell
+    assignment is a pure function of (vector, centroids), so parity is
+    structural). Then `compact_ivf_cells` rewrites the fragmented cells
+    (each append leaves one extra file per touched cell) and the same
+    probe must still return the identical rows — compaction moves
+    bytes, never values. This is the ingest posture that keeps a
+    100 TB embedding store epoch-bounded: per-append cost is one
+    narrow assignment pass + a batch-sized clustered write, with
+    drift watched by ivf_retrain_trigger (cell-histogram imbalance)."""
+    from smallquery_spark.operators.similarity import (
+        append_ivf,
+        compact_ivf_cells,
+        ivf_assign,
+        ivf_build_centroids,
+        ivf_defaults,
+        ivf_search_indexed,
+        materialize_ivf,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec")
+    )
+    base = corpus.filter(F.col("c_id") % 2 == 0)
+    arriving = corpus.filter(F.col("c_id") % 2 == 1)
+    # production shape: the quantizer is trained on the corpus as of
+    # index build time and FROZEN; later appends assign to it
+    n_cells, n_probe = ivf_defaults(base.count())
+    cents = ivf_build_centroids(base, n_cells=n_cells)
+    tname = f"ivfx_c3app_{os.getpid()}"
+    tname_rb = f"ivfx_c3app_rb_{os.getpid()}"
+    try:
+        materialize_ivf(spark, ivf_assign(base, cents), f"c3app_{os.getpid()}")
+        append_ivf(spark, tname, arriving, cents)
+        materialize_ivf(
+            spark, ivf_assign(corpus, cents), f"c3app_rb_{os.getpid()}"
+        )
+
+        def probe(table):
+            return ivf_search_indexed(
+                spark, queries, table, cents, k=10, n_probe=n_probe
+            ).select("q_id", "c_id")
+
+        appended = probe(tname).localCheckpoint(eager=True)
+        rebuilt = probe(tname_rb)
+        same_append = (
+            appended.exceptAll(rebuilt).count() == 0
+            and rebuilt.exceptAll(appended).count() == 0
+        )
+        n_compacted = compact_ivf_cells(spark, tname)
+        after = probe(tname)
+        same_compact = (
+            appended.exceptAll(after).count() == 0
+            and after.exceptAll(appended).count() == 0
+        )
+        return spark.createDataFrame(
+            [
+                (
+                    same_append,
+                    same_compact,
+                    n_compacted > 0,
+                    appended.count() > 0,
+                )
+            ],
+            "same_as_rebuild boolean, same_after_compact boolean,"
+            " compacted_some boolean, nonempty boolean",
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")
+        spark.sql(f"DROP TABLE IF EXISTS {tname_rb}")
+
+
+@query(
     "c5_image_resize",
     oracle="""
     SELECT doc_id,

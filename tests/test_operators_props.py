@@ -862,6 +862,72 @@ def test_diskguard_owner_alive():
     assert not _owner_alive("ndx_curve_abc123")  # no pid suffix
 
 
+def test_ivf_compact_cells_preserves_untouched_cells(spark):
+    """compact_ivf_cells rewrites ONLY fragmented cells (file count
+    back to 1, rows identical) and must never touch — let alone drop —
+    single-file cells. Pins the insertInto/dynamic-overwrite choice:
+    saveAsTable(mode=overwrite) replaces the whole table regardless of
+    partitionOverwriteMode and silently dropped every unfragmented
+    cell when probed."""
+    import glob
+    import os
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F
+
+    from smallquery_spark.operators.similarity import compact_ivf_cells
+
+    t = f"ivfx_cmptest_{os.getpid()}"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        base = spark.createDataFrame(
+            [(i, [float(i)], i % 2) for i in range(10)],
+            "c_id long, vec array<double>, cell int",
+        )
+        base.repartition(F.col("cell")).write.partitionBy(
+            "cell"
+        ).saveAsTable(t)
+        extra = spark.createDataFrame(
+            [(100, [1.0], 0)], "c_id long, vec array<double>, cell int"
+        )
+        extra.repartition(F.col("cell")).write.mode("append").partitionBy(
+            "cell"
+        ).saveAsTable(t)
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+
+        def nfiles(c):
+            return len(
+                glob.glob(os.path.join(wh, t, f"cell={c}", "part-*"))
+            )
+
+        assert nfiles(0) == 2 and nfiles(1) == 1
+        before = sorted(r.c_id for r in spark.table(t).collect())
+        assert compact_ivf_cells(spark, t) == 1  # only cell 0
+        assert nfiles(0) == 1 and nfiles(1) == 1
+        assert sorted(r.c_id for r in spark.table(t).collect()) == before
+        assert spark.table(t).filter("cell=1").count() == 5  # untouched
+        assert compact_ivf_cells(spark, t) == 0  # idempotent
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ivf_route_switch_point():
+    """Pin ivf_search_indexed's route='auto' decision rule to the
+    measured crossover (IVFX_INDEX_gen100.json): a point query probing
+    64/1024 cells prunes; a 50-query batch blanketing 854/1024 cells
+    scans flat; the measured local inversion (~26% coverage at 5
+    queries) sits just above the default cutoff."""
+    from smallquery_spark.operators.similarity import _use_pruned_scan
+
+    assert _use_pruned_scan(64, 1024)  # q1: 6% coverage -> prune
+    assert not _use_pruned_scan(271, 1024)  # q5: 26% -> full scan
+    assert not _use_pruned_scan(854, 1024)  # q50: 83% -> full scan
+    assert _use_pruned_scan(256, 1024)  # boundary: == cutoff prunes
+    assert not _use_pruned_scan(257, 1024)
+    # cold-storage posture: raising the cutoff flips the mid case
+    assert _use_pruned_scan(854, 1024, cutoff=0.9)
+
+
 def test_rocksdb_state_posture(spark):
     """The rocksdb_state helper applies the measured production posture
     as ONE unit — RocksDB provider + join stateFormatVersion=3

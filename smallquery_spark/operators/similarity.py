@@ -143,6 +143,8 @@ def ivf_build_centroids(
     sample_size: int = 4096,
     iters: int = 4,
     seed: int = 42,
+    rounds: int = 4,
+    oversample: int | None = None,
 ) -> list[list[float]]:
     """Coarse quantizer training. The centroid table is index METADATA:
     tiny (cells × dim), lives on the driver and ships to executors as
@@ -160,12 +162,38 @@ def ivf_build_centroids(
     by id) for the measured recall/balance comparison in
     tools/ivf_recall.py — on clustered real-world distributions it
     degrades cell balance, which is why it is no longer the default.
+
+    ``method="kmeans_parallel"`` is k-means|| (Bahmani et al., VLDB'12
+    — the seeding MLlib also uses): ``rounds`` distributed passes each
+    oversample ~``oversample`` (default 2·k) candidates with
+    probability ∝ their squared distance to the current candidate set,
+    candidates are weighted by the corpus mass they attract, and a
+    driver-side WEIGHTED k-means++ + Lloyd over the ≤ rounds·oversample
+    candidates yields the k centroids. Unlike ``"kmeans"`` it sees the
+    WHOLE corpus (every pass is distributed and Arrow-vectorized;
+    driver collects are candidate-bounded), so seed quality cannot be
+    capped by what fits in one sample — the 100 TB posture, where a
+    4096-row sample of a multi-modal corpus can miss entire modes and
+    hand ivf_assign a degenerate cell histogram. Deterministic by
+    construction: md5-thresholded sampling keyed on (id, round, seed),
+    candidates sorted by id before collection, seeded driver RNG.
     """
     if method == "first_n":
         rows = (
             corpus.orderBy(corpus_id).limit(n_cells).select(vec_col).collect()
         )
         return [[float(x) for x in r[0]] for r in rows]
+    if method == "kmeans_parallel":
+        return _kmeans_parallel_centroids(
+            corpus,
+            n_cells,
+            corpus_id=corpus_id,
+            vec_col=vec_col,
+            iters=iters,
+            seed=seed,
+            rounds=rounds,
+            oversample=oversample,
+        )
     if method != "kmeans":
         raise ValueError(f"unknown centroid method {method!r}")
 
@@ -241,6 +269,193 @@ def ivf_build_centroids(
                 C[j] = m / (norm if norm > 0 else 1.0)
             else:  # dead cell → reseed to the next-farthest point
                 C[j] = X[int(far_order[far_i])]
+                far_i += 1
+    return [[float(x) for x in c] for c in C]
+
+
+def _min_d2_udf(centers: list[list[float]]):
+    """Arrow-vectorized min squared distance from a UNIT-NORM vector
+    column to a (small, closure-shipped) center set, on the sphere:
+    min_c |x-c|² = 2 - 2·max_c x·ĉ. One numpy matmul per Arrow batch —
+    the same kernel shape as _top_cells_udf, returning the distance
+    VALUE instead of the argmin."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.array(centers, dtype=np.float64)
+    norms = np.linalg.norm(C, axis=1)
+    Cn = (C / np.where(norms == 0, 1.0, norms)[:, None]).T  # (dim, m)
+
+    def mind2(v):
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        sims = X @ Cn
+        return pd.Series(np.maximum(2.0 - 2.0 * sims.max(axis=1), 0.0))
+
+    mind2.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return F.pandas_udf(mind2, "double")
+
+
+def _kmeans_parallel_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    corpus_id: str,
+    vec_col: str,
+    iters: int,
+    seed: int,
+    rounds: int,
+    oversample: int | None,
+) -> list[list[float]]:
+    """k-means|| implementation behind ivf_build_centroids(
+    method="kmeans_parallel") — see that docstring for the contract.
+
+    Scale shape: per round, ONE distributed pass scores the corpus
+    against only the round's NEW candidates (the running min-d² rides
+    along as a column, the classic incremental trick — cost per round
+    is |corpus| × oversample × dim, not |corpus| × total-candidates),
+    plus one scalar agg for the sampling normalizer. The final
+    weighting is one more pass (nearest candidate via the existing
+    top-cells kernel). Driver memory holds only candidates
+    (≤ rounds·oversample vectors) — never corpus rows.
+    """
+    import numpy as np
+
+    k = n_cells
+    ell = oversample if oversample is not None else 2 * k
+
+    def _norm_rows(rows):
+        out = []
+        for r in rows:
+            v = np.array(r, dtype=np.float64)
+            n = np.linalg.norm(v)
+            out.append((v / n if n > 0 else v).tolist())
+        return out
+
+    # one normalized-vector projection, reused by every pass
+    import pandas as pd
+
+    def normalize(v):
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        n = np.linalg.norm(X, axis=1, keepdims=True)
+        return pd.Series(list(X / np.where(n == 0, 1.0, n)))
+
+    normalize.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    norm_udf = F.pandas_udf(normalize, "array<double>")
+
+    base = corpus.select(
+        F.col(corpus_id).alias("__id"), norm_udf(F.col(vec_col)).alias("__nv")
+    ).persist()
+    try:
+        first = base.orderBy("__id").limit(1).collect()
+        if not first:
+            raise ValueError("cannot train centroids on an empty corpus")
+        centers: list[list[float]] = [list(first[0]["__nv"])]
+        cur = base.withColumn(
+            "__d2", _min_d2_udf(centers)(F.col("__nv"))
+        ).localCheckpoint(eager=True)
+        for rnd in range(rounds):
+            tot = cur.agg(F.sum("__d2")).collect()[0][0] or 0.0
+            if tot <= 1e-12:
+                break  # every vector coincides with a candidate
+            # deterministic Bernoulli(min(1, ell·d²/Σd²)) via an
+            # md5-derived uniform keyed on (id, round, seed) — a pure
+            # per-row function, so the sample is independent of
+            # partitioning/file layout (same reasoning as the sampled
+            # trainer's order-free cap above)
+            u = (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.col("__id").cast("string"),
+                                F.lit(rnd),
+                                F.lit(seed),
+                            )
+                        ),
+                        1,
+                        6,
+                    ),
+                    16,
+                    10,
+                ).cast("double")
+                / F.lit(float(1 << 24))
+            )
+            p = F.least(F.lit(1.0), F.lit(float(ell)) * F.col("__d2") / F.lit(tot))
+            picked = (
+                cur.filter(u < p).select("__id", "__nv").orderBy("__id").collect()
+            )
+            if not picked:
+                continue
+            new_centers = _norm_rows([list(r["__nv"]) for r in picked])
+            centers.extend(new_centers)
+            if rnd + 1 < rounds:
+                nxt = cur.select(
+                    "__id",
+                    "__nv",
+                    F.least(
+                        F.col("__d2"),
+                        _min_d2_udf(new_centers)(F.col("__nv")),
+                    ).alias("__d2"),
+                ).localCheckpoint(eager=True)
+                cur.unpersist()
+                cur = nxt
+        cur.unpersist()
+        # weight candidates by the corpus mass they attract (one pass,
+        # k-bounded result) — the k-means|| reduction step
+        wrows = (
+            base.select(
+                F.element_at(
+                    _top_cells_udf(centers, 1)(F.col("__nv")), 1
+                ).alias("__c")
+            )
+            .groupBy("__c")
+            .count()
+            .collect()
+        )
+    finally:
+        base.unpersist()
+    w = np.zeros(len(centers), dtype=np.float64)
+    for r in wrows:
+        w[int(r["__c"])] = float(r["count"])
+    Xc = np.array(centers, dtype=np.float64)
+    k_eff = min(k, len(Xc))
+
+    # weighted k-means++ over the candidates (deterministic: heaviest
+    # candidate first, seeded RNG for the D²-weighted picks)
+    rng = np.random.RandomState(seed)
+    sel = [int(np.argmax(w))]
+    best_d2 = ((Xc - Xc[sel[0]]) ** 2).sum(axis=1)
+    for _ in range(1, k_eff):
+        pr = w * best_d2
+        tot = pr.sum()
+        if tot <= 0:
+            idx = int(np.argmax(best_d2))
+        else:
+            idx = int(rng.choice(len(Xc), p=pr / tot))
+        sel.append(idx)
+        best_d2 = np.minimum(best_d2, ((Xc - Xc[idx]) ** 2).sum(axis=1))
+    C = Xc[sel].copy()
+
+    # weighted spherical Lloyd over the candidate set (same geometry
+    # notes as the sampled trainer: renormalized weighted means)
+    for _ in range(iters):
+        d2 = (
+            (Xc * Xc).sum(1, keepdims=True)
+            - 2 * (Xc @ C.T)
+            + (C * C).sum(1)[None, :]
+        )
+        assign = d2.argmin(axis=1)
+        far_order = np.argsort(-(d2.min(axis=1) * w))
+        far_i = 0
+        for j in range(k_eff):
+            mask = assign == j
+            wj = w[mask]
+            if wj.sum() > 0:
+                m = (Xc[mask] * wj[:, None]).sum(axis=0) / wj.sum()
+                norm = np.linalg.norm(m)
+                C[j] = m / (norm if norm > 0 else 1.0)
+            else:
+                C[j] = Xc[int(far_order[far_i])]
                 far_i += 1
     return [[float(x) for x in c] for c in C]
 

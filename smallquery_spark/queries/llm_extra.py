@@ -1404,3 +1404,82 @@ def c37_kmeans_embeddings(spark, sf_dir):
     rows = out.collect()
     vecs.unpersist()
     return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "c37_kmeans_parallel_seed",
+    oracle=(
+        "SELECT TRUE AS k_centroids, TRUE AS deterministic,"
+        " TRUE AS recall_ok, TRUE AS balance_ok"
+    ),
+    tags=("C37", "C3", "C6"),
+)
+def c37_kmeans_parallel_seed(spark, sf_dir):
+    """k-means|| seeding for the IVF coarse quantizer
+    (operators/similarity.ivf_build_centroids method="kmeans_parallel"
+    — Bahmani et al.'s distributed oversampling + weighted driver
+    reduction, the seeding MLlib uses). Unlike the default sampled
+    trainer it sees the WHOLE corpus through distributed passes, so at
+    100 TB seed quality is not capped by a 4096-row sample that can
+    miss entire modes of a multi-modal embedding distribution.
+
+    Contract (the properties that make seeds production-usable):
+    exactly n_cells centroids come back; training is DETERMINISTIC
+    (bit-identical on a re-run — md5-keyed sampling, id-sorted
+    candidate collection, seeded driver RNG: a layout-dependent seed
+    would make the index unreproducible); IVF search over the seeded
+    index clears the same recall bar as c3_ann_ivf; and the cell
+    histogram stays below the ivf_retrain_trigger imbalance bound —
+    seed quality IS cell balance."""
+    from smallquery_spark.operators.similarity import (
+        ivf_assign,
+        ivf_build_centroids,
+        ivf_defaults,
+        ivf_search,
+        knn_bruteforce,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec")
+    )
+    n_cells, n_probe = ivf_defaults(corpus.count())
+    cents = ivf_build_centroids(
+        corpus, n_cells=n_cells, method="kmeans_parallel"
+    )
+    again = ivf_build_centroids(
+        corpus, n_cells=n_cells, method="kmeans_parallel"
+    )
+    assigned = ivf_assign(corpus, cents).cache()
+    approx = ivf_search(
+        queries, assigned, cents, k=10, n_probe=n_probe
+    ).select("q_id", "c_id")
+    exact = knn_bruteforce(
+        queries.select("q_id", F.col("vec").alias("q_vec")),
+        corpus.select("c_id", F.col("vec").alias("c_vec")),
+        k=10,
+    ).select("q_id", "c_id").cache()
+    hits = exact.join(approx, ["q_id", "c_id"], "left_semi").count()
+    recall = hits / exact.count()
+    sizes = [
+        r["n"]
+        for r in assigned.groupBy("cell").agg(F.count("*").alias("n")).collect()
+    ]
+    balance = max(sizes) / (sum(sizes) / len(sizes)) if sizes else 0.0
+    assigned.unpersist()
+    exact.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                len(cents) == n_cells,
+                cents == again,
+                recall >= 0.6,
+                balance <= 8.0,
+            )
+        ],
+        "k_centroids boolean, deterministic boolean,"
+        " recall_ok boolean, balance_ok boolean",
+    )

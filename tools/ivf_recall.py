@@ -92,7 +92,7 @@ def run(
         "bruteforce_sec": brute_sec,
         "methods": {},
     }
-    for method in ("first_n", "kmeans"):
+    for method in ("first_n", "kmeans", "kmeans_parallel"):
         t0 = time.time()
         cents = ivf_build_centroids(corpus, n_cells=n_cells, method=method)
         build_sec = round(time.time() - t0, 3)

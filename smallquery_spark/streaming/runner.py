@@ -155,6 +155,13 @@ def run_to_df(
       ``state_partitions_for``), memory at fixture scale. Both sinks
       receive identical rows (pinned by test_streaming_sinks_agree).
 
+    Repeated corpus-sized drains in one process should DELETE each
+    run's sink root (the ``smallquery_runsink_*`` tmpdir) once the
+    returned DataFrame is consumed: retained sink bytes displace page
+    cache and cost ~15% per warm rerun at gen100 (measured, n=4 per
+    variant, B53_RESIDUAL_gen100.json — sink rotation is the flat
+    posture; forced GC nudges between runs measured strictly worse).
+
     ``state_partitions`` sizes the stateful operators: streaming state
     partitioning is FIXED at checkpoint creation from
     ``spark.sql.shuffle.partitions``, so production jobs size it to key

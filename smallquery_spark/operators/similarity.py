@@ -862,22 +862,34 @@ def ivf_retrain_trigger(
     spark,
     index_table: str,
     imbalance_bound: float = 8.0,
+    baseline_imbalance: float | None = None,
 ) -> tuple[bool, dict]:
     """Decide whether the frozen coarse quantizer has drifted enough to
     retrain, from the one statistic the index itself exposes: the cell
     histogram (≤ n_cells rows — driver-bounded by construction).
 
     Returns ``(retrain, stats)`` where stats carries n_rows, n_cells,
-    max/mean cell imbalance, and the empty-cell count. The trigger is
-    max/mean > ``imbalance_bound``: a healthy k-means partition keeps
-    the hottest cell within a small factor of the mean (measured at 2M
-    embeddings: max/mean ≈ 2.9 for k-means centroids, IVF_RECALL.json
-    sweeps), while corpus drift funnels new mass into few cells —
-    exactly the regime where probe cost concentrates and recall decays
-    (search scans probe-selected cells, so a cell at 8× mean makes
-    every probe touching it pay 8× the candidate budget). On trigger,
-    the caller retrains (ivf_build_centroids over the current corpus)
-    and rebuilds via materialize_ivf; appends resume against the new
+    max/mean cell imbalance, and the empty-cell count. Two modes:
+
+    - With ``baseline_imbalance`` (the recommended shape: pass the
+      imbalance recorded right after materialize_ivf), the trigger is
+      RELATIVE — imbalance > 2× baseline. Drift means the corpus moved
+      away from the quantizer that was fit to it; a quantizer that was
+      always coarse (e.g. cells ≫ natural modes puts max/mean high
+      from day one — measured 16.0 at 2M/1024 cells on a 10-mode
+      fixture) should not page the operator on every append
+      (IVF_APPEND_CURVE_gen100.json: flat 16.03→16.10 across 7
+      appends of in-distribution data = no drift, correctly quiet).
+    - Without it, the trigger is the absolute max/mean >
+      ``imbalance_bound``: the right check when no baseline exists,
+      sized for indexes near their natural cell count (max/mean ≈ 3-5
+      for k-means centroids at cells ≈ √n, IVF_RECALL sweeps).
+
+    Either way, the hot-cell regime is what's being watched: probe
+    cost concentrates (a cell at k× mean makes every probe touching it
+    pay k× the candidate budget) and recall decays. On trigger, the
+    caller retrains (ivf_build_centroids over the current corpus) and
+    rebuilds via materialize_ivf; appends resume against the new
     centroids."""
     hist = (
         spark.table(index_table)
@@ -898,4 +910,6 @@ def ivf_retrain_trigger(
         "mean_cell": round(mean, 1),
         "imbalance": round(imbalance, 3),
     }
+    if baseline_imbalance is not None:
+        return imbalance > 2.0 * baseline_imbalance, stats
     return imbalance > imbalance_bound, stats

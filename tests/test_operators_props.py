@@ -911,6 +911,44 @@ def test_ivf_compact_cells_preserves_untouched_cells(spark):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_ivf_retrain_trigger_modes(spark):
+    """ivf_retrain_trigger: absolute mode pages on max/mean past the
+    bound; baseline-relative mode (the recommended shape) pages only
+    when imbalance DOUBLES past the build-time baseline — a quantizer
+    that was always coarse must not page on every append
+    (IVF_APPEND_CURVE_gen100: flat 16.0→16.1 = correctly quiet)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from smallquery_spark.operators.similarity import ivf_retrain_trigger
+
+    t = f"ivfx_trigtest_{os.getpid()}"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        # 3 cells: 90/9/1 rows -> mean 33.3, max/mean 2.7
+        rows = (
+            [(i, [0.0], 0) for i in range(90)]
+            + [(100 + i, [0.0], 1) for i in range(9)]
+            + [(200, [0.0], 2)]
+        )
+        df = spark.createDataFrame(
+            rows, "c_id long, vec array<double>, cell int"
+        )
+        df.repartition(F.col("cell")).write.partitionBy("cell").saveAsTable(t)
+        fired, stats = ivf_retrain_trigger(spark, t, imbalance_bound=2.0)
+        assert fired and abs(stats["imbalance"] - 2.7) < 0.01
+        fired, _ = ivf_retrain_trigger(spark, t, imbalance_bound=8.0)
+        assert not fired
+        # relative: 2.7 vs baseline 2.0 -> under 2x, quiet; vs 1.2 -> pages
+        fired, _ = ivf_retrain_trigger(spark, t, baseline_imbalance=2.0)
+        assert not fired
+        fired, _ = ivf_retrain_trigger(spark, t, baseline_imbalance=1.2)
+        assert fired
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_ivf_route_switch_point():
     """Pin ivf_search_indexed's route='auto' decision rule to the
     measured crossover (IVFX_INDEX_gen100.json): a point query probing

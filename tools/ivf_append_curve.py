@@ -109,7 +109,12 @@ def main() -> None:
         t0 = time.time()
         materialize_ivf(spark, ivf_assign(batches[0], cents), name)
         out["initial_materialize_sec"] = round(time.time() - t0, 3)
-        index_rows = spark.table(tname).count()
+        # drift baseline: the quantizer's own imbalance at build time —
+        # the relative trigger asks "did the corpus MOVE", not "was the
+        # quantizer coarse" (it is: 1024 cells over a 10-mode fixture)
+        _, base_stats = ivf_retrain_trigger(spark, tname)
+        out["baseline_imbalance"] = base_stats["imbalance"]
+        index_rows = base_stats["n_rows"]
         for i, batch in enumerate(batches[1:], start=1):
             n_batch = batch.count()
             t0 = time.time()
@@ -120,7 +125,9 @@ def main() -> None:
                 t0 = time.time()
                 n_compacted = compact_ivf_cells(spark, tname)
                 compact_sec = round(time.time() - t0, 3)
-            retrain, stats = ivf_retrain_trigger(spark, tname)
+            retrain, stats = ivf_retrain_trigger(
+                spark, tname, baseline_imbalance=out["baseline_imbalance"]
+            )
             out["per_append"].append(
                 {
                     "append": i,

@@ -949,6 +949,50 @@ def test_ivf_retrain_trigger_modes(spark):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_ivf_search_indexed_routes_value_identical(spark):
+    """route='pruned' / 'full' / 'auto' return the SAME rows — routing
+    only picks where bytes are read (the cell equi-join restricts
+    candidates either way). Guards the auto router against ever
+    changing results when it flips to the full scan on blanket
+    coverage."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from smallquery_spark.operators.similarity import (
+        ivf_assign,
+        ivf_build_centroids,
+        ivf_search_indexed,
+        materialize_ivf,
+    )
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(
+        os.path.join(SF_SMOKE, "embeddings.parquet")
+    ).select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec"))
+    queries = emb.filter(F.col("c_id") < 5).select(
+        F.col("c_id").alias("q_id"), "vec"
+    )
+    cents = ivf_build_centroids(emb, n_cells=16)
+    tname = materialize_ivf(
+        spark, ivf_assign(emb, cents), f"routetest_{os.getpid()}"
+    )
+    try:
+        results = {}
+        for route in ("pruned", "full", "auto"):
+            results[route] = sorted(
+                (r.q_id, r.c_id, r.rnk)
+                for r in ivf_search_indexed(
+                    spark, queries, tname, cents, k=5, n_probe=4,
+                    route=route,
+                ).collect()
+            )
+        assert results["pruned"] == results["full"] == results["auto"]
+        assert len(results["pruned"]) > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")
+
+
 def test_ivf_route_switch_point():
     """Pin ivf_search_indexed's route='auto' decision rule to the
     measured crossover (IVFX_INDEX_gen100.json): a point query probing

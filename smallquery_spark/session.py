@@ -120,7 +120,62 @@ def get_session(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship the smallquery_spark package to executor Python workers.
+
+    Under plain ``local[N]`` the workers fork from the driver and
+    inherit its sys.path, so imports just work — but under
+    ``local-cluster[...]`` (and any real cluster) executors spawn
+    their own Python workers from the Spark dist, and a UDF closure
+    that references a module-level helper (e.g. the banded-MinHash
+    signature UDF calling ``py_word_shingles``) deserializes with
+    ``ModuleNotFoundError: smallquery_spark`` — executors relaunch in
+    a loop and the job dies (observed on the round-8 local-cluster
+    matrix). ``addPyFile`` of a package zip is the standard production
+    fix: the zip lands on every executor's sys.path, current AND
+    late-joining. Zip is content-addressed by package mtime so repeat
+    sessions in one process reuse it; plain local masters skip the
+    (cheap) work entirely."""
+    master = spark.sparkContext.master
+    if master.startswith("local[") or master == "local":
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    stamp = 0
+    for dirpath, _d, files in os.walk(pkg_dir):
+        for f in files:
+            if f.endswith(".py"):
+                try:
+                    stamp = max(
+                        stamp, int(os.path.getmtime(os.path.join(dirpath, f)))
+                    )
+                except OSError:
+                    pass
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"smallquery_spark_ship_{stamp}.zip"
+    )
+    if not os.path.exists(zpath):
+        tmp = zpath + f".{os.getpid()}.tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for dirpath, _d, files in os.walk(pkg_dir):
+                for f in sorted(files):
+                    if f.endswith(".py"):
+                        full = os.path.join(dirpath, f)
+                        z.write(full, os.path.relpath(full, root))
+        os.replace(tmp, zpath)  # atomic: concurrent sessions race safely
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        # addPyFile of the SAME path twice in one context raises on
+        # some versions; the file is already shipped then — fine.
+        pass
 
 
 ROCKSDB_PROVIDER = (

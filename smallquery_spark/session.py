@@ -143,6 +143,19 @@ def _ship_package(spark: SparkSession) -> None:
     master = spark.sparkContext.master
     if master.startswith("local[") or master == "local":
         return
+    try:
+        spark.sparkContext.addPyFile(_build_ship_zip())
+    except Exception:
+        # addPyFile of the SAME path twice in one context raises on
+        # some versions; the file is already shipped then — fine.
+        pass
+
+
+def _build_ship_zip() -> str:
+    """Build (or reuse) the executor-shippable package zip; returns its
+    path. Content-stamped by the newest .py mtime so edits produce a
+    fresh zip while repeat sessions reuse one; written to a temp name
+    and os.replace()d so concurrent sessions race safely."""
     import tempfile
     import zipfile
 
@@ -169,13 +182,8 @@ def _ship_package(spark: SparkSession) -> None:
                     if f.endswith(".py"):
                         full = os.path.join(dirpath, f)
                         z.write(full, os.path.relpath(full, root))
-        os.replace(tmp, zpath)  # atomic: concurrent sessions race safely
-    try:
-        spark.sparkContext.addPyFile(zpath)
-    except Exception:
-        # addPyFile of the SAME path twice in one context raises on
-        # some versions; the file is already shipped then — fine.
-        pass
+        os.replace(tmp, zpath)
+    return zpath
 
 
 ROCKSDB_PROVIDER = (

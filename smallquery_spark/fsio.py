@@ -1,0 +1,155 @@
+"""Scheme-aware filesystem operations for the maintenance control plane.
+
+The maintenance ops (small-file compaction, index compact/swap,
+fragmentation scans, atomic table overwrite) must run wherever the
+warehouse actually lives. On this sandbox that is a local ``file://``
+directory, but a 100 TB index lives on HDFS or an object store — and
+``os.listdir`` / ``os.rename`` / ``shutil`` cannot even LIST those.
+Every table-path operation therefore goes through the Hadoop
+FileSystem API (reached over py4j via the driver JVM), resolved
+per-URI from the session's ``hadoopConfiguration`` — so ``file://``,
+``hdfs://`` and ``s3a://`` all take the same code path, and a bare
+``/path`` resolves through ``fs.defaultFS`` exactly as Spark's own
+readers do.
+
+Rename semantics by scheme (the atomic-swap contract): on HDFS and
+``file://`` a directory rename is one atomic metadata op — the swap
+patterns (write aside, rename in, drop aside) are crash-safe there. On
+S3A rename is a copy+delete, so the swap window is seconds, not
+atomic; the crash-recovery halves of the swap protocols (restore the
+``_old``/aside copy) still make the data safe, only the invisibility
+of the transition is lost. All helpers RAISE when the JVM reports a
+failed rename/delete instead of returning the JVM's boolean — a
+silently failed rename mid-swap is how tables get lost.
+
+Driver-side metadata only: no helper here ever reads data bytes; the
+heaviest call is one recursive ``listFiles`` per maintenance decision,
+bounded by the table's file count (which compaction itself keeps
+bounded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def join_uri(base: str, *parts: str) -> str:
+    """Join path components onto a base path OR URI (string-level: both
+    Hadoop Path and every Spark reader accept the result)."""
+    out = base.rstrip("/")
+    for p in parts:
+        out += "/" + p.strip("/")
+    return out
+
+
+def table_location(spark: SparkSession, table: str) -> str:
+    """The storage location URI of a catalog table (managed or
+    external), via DESCRIBE FORMATTED — catalog-implementation-neutral
+    and always scheme-qualified, unlike string-joining onto
+    ``spark.sql.warehouse.dir`` (which breaks the moment a table was
+    created with an explicit LOCATION)."""
+    for row in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+        if (row["col_name"] or "").strip() == "Location":
+            return row["data_type"].strip()
+    raise ValueError(f"table {table!r} has no Location in DESCRIBE FORMATTED")
+
+
+class HadoopFS:
+    """Thin wrapper over ``org.apache.hadoop.fs.FileSystem`` for one
+    scheme+authority, resolved from a representative URI. Methods take
+    plain string paths/URIs of the SAME filesystem."""
+
+    def __init__(self, spark: SparkSession, uri: str) -> None:
+        jvm = spark._jvm
+        self._Path = jvm.org.apache.hadoop.fs.Path
+        self._fs = self._Path(uri).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+
+    # -- predicates ------------------------------------------------------
+
+    def exists(self, uri: str) -> bool:
+        return bool(self._fs.exists(self._Path(uri)))
+
+    def is_dir(self, uri: str) -> bool:
+        p = self._Path(uri)
+        return bool(self._fs.exists(p)) and bool(
+            self._fs.getFileStatus(p).isDirectory()
+        )
+
+    # -- listing ---------------------------------------------------------
+
+    def list_status(self, uri: str) -> list[dict]:
+        """Immediate children as dicts: name, is_dir, size, mtime (epoch
+        seconds). Empty list when the path does not exist (the common
+        'nothing to maintain yet' case)."""
+        p = self._Path(uri)
+        if not self._fs.exists(p):
+            return []
+        out = []
+        for st in self._fs.listStatus(p):
+            out.append(
+                {
+                    "name": st.getPath().getName(),
+                    "is_dir": bool(st.isDirectory()),
+                    "size": int(st.getLen()),
+                    "mtime": st.getModificationTime() / 1000.0,
+                }
+            )
+        return out
+
+    def list_names(self, uri: str) -> list[str]:
+        return [st["name"] for st in self.list_status(uri)]
+
+    def list_files_recursive(self, uri: str) -> list[tuple[str, int]]:
+        """All files under ``uri`` as (full path string, size bytes).
+        One Hadoop ``listFiles(recursive)`` call — on object stores this
+        is a flat LIST, not a directory walk."""
+        p = self._Path(uri)
+        if not self._fs.exists(p):
+            return []
+        out = []
+        it = self._fs.listFiles(p, True)
+        while it.hasNext():
+            st = it.next()
+            out.append((st.getPath().toString(), int(st.getLen())))
+        return out
+
+    def parquet_stats(self, uri: str) -> tuple[int, int]:
+        """(n_parquet_files, total_parquet_bytes) under ``uri``,
+        recursive — the sizing input for compaction decisions."""
+        n = total = 0
+        for path, size in self.list_files_recursive(uri):
+            if path.endswith(".parquet"):
+                n += 1
+                total += size
+        return n, total
+
+    # -- mutation --------------------------------------------------------
+
+    def rename(self, src: str, dst: str) -> None:
+        """Rename ``src`` to ``dst`` (dst must not exist — Hadoop's
+        rename-into-existing-directory behavior differs by scheme, so
+        the swap protocols always clear dst first). Raises on failure:
+        the JVM reports some failures as a False return, and a silent
+        False mid-swap loses tables."""
+        if not self._fs.rename(self._Path(src), self._Path(dst)):
+            raise IOError(f"hadoop fs rename failed: {src} -> {dst}")
+
+    def delete(self, uri: str, recursive: bool = True) -> None:
+        """Delete if present. Raises when the FS reports a failed
+        delete of an EXISTING path; absent paths are a no-op."""
+        p = self._Path(uri)
+        if not self._fs.exists(p):
+            return
+        if not self._fs.delete(p, recursive):
+            raise IOError(f"hadoop fs delete failed: {uri}")
+
+    def mkdirs(self, uri: str) -> None:
+        if not self._fs.mkdirs(self._Path(uri)):
+            raise IOError(f"hadoop fs mkdirs failed: {uri}")
+
+
+def fs_for(spark: SparkSession, uri: str) -> HadoopFS:
+    """FileSystem handle for the scheme+authority of ``uri``."""
+    return HadoopFS(spark, uri)

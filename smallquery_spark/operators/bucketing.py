@@ -24,11 +24,12 @@ from __future__ import annotations
 import hashlib
 import os
 import re
-import shutil
 import time
 from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
+
+from smallquery_spark.fsio import HadoopFS, fs_for, join_uri
 
 
 def write_bucketed(
@@ -91,31 +92,35 @@ def materialize_bucketed(
     tname = f"bkt_{digest}_{os.getpid()}"
     if spark.catalog.tableExists(tname):
         return tname
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    # warehouse ops through the Hadoop FileSystem API (fsio): the same
+    # code maintains a file://, hdfs:// or s3a:// warehouse
+    wh_uri = spark.conf.get("spark.sql.warehouse.dir")
+    fs = fs_for(spark, wh_uri)
     # a killed previous session may have left the managed location on
     # disk without a catalog entry — clear it or saveAsTable fails with
     # LOCATION_ALREADY_EXISTS
-    shutil.rmtree(os.path.join(wh, tname), ignore_errors=True)
+    fs.delete(join_uri(wh_uri, tname))
     write_bucketed(df, tname, key, n_buckets)
-    register_cleanup(os.path.join(wh, tname))
-    _prune_stale_bucketed(wh)
+    # exit-time cleanup is a local-process affordance; only meaningful
+    # (and only expressible as a path) when the warehouse is local
+    parsed = urlparse(wh_uri)
+    if parsed.scheme in ("", "file"):
+        register_cleanup(os.path.join(parsed.path, tname))
+    _prune_stale_bucketed(fs, wh_uri)
     return tname
 
 
-def _prune_stale_bucketed(wh: str, max_age_hours: float = 24.0) -> None:
+def _prune_stale_bucketed(
+    fs: HadoopFS, wh_uri: str, max_age_hours: float = 24.0
+) -> None:
     """Scavenge digest-named bucketed-table dirs left by killed runs."""
     cutoff = time.time() - max_age_hours * 3600.0
-    try:
-        entries = os.listdir(wh)
-    except OSError:
-        return
-    for name in entries:
-        if not re.match(r"bkt_[0-9a-f]{12}_\d+$", name):
+    for st in fs.list_status(wh_uri):
+        if not re.match(r"bkt_[0-9a-f]{12}_\d+$", st["name"]):
             continue
-        full = os.path.join(wh, name)
         try:
-            if os.path.isdir(full) and os.path.getmtime(full) < cutoff:
-                shutil.rmtree(full, ignore_errors=True)
+            if st["is_dir"] and st["mtime"] < cutoff:
+                fs.delete(join_uri(wh_uri, st["name"]))
         except OSError:
             continue
 

@@ -19,23 +19,28 @@ rewrite keeps the semantics identical and the tests oracle-able.
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from smallquery_spark.fsio import fs_for
+
 
 def _atomic_overwrite(spark: SparkSession, df: DataFrame, path: str) -> None:
+    # swap through the Hadoop FileSystem API so MERGE targets on
+    # hdfs://-s3a:// warehouses work identically to file:// (fsio); a
+    # crash between the renames leaves the aside copy, restored here
+    fs = fs_for(spark, path)
     tmp = path.rstrip("/") + ".merge.tmp"
     old = path.rstrip("/") + ".merge.old"
-    shutil.rmtree(tmp, ignore_errors=True)
+    if not fs.exists(path) and fs.exists(old):
+        fs.rename(old, path)
+    fs.delete(tmp)
     df.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(old, ignore_errors=True)
-    if os.path.exists(path):
-        os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
+    fs.delete(old)
+    if fs.exists(path):
+        fs.rename(path, old)
+    fs.rename(tmp, path)
+    fs.delete(old)
 
 
 def merge_upsert(

@@ -254,19 +254,16 @@ class NearDupIndex:
     # -- maintenance ---------------------------------------------------
 
     def _table_bytes(self, tname: str) -> int:
-        import os
-        from urllib.parse import urlparse
+        # scheme-aware (fsio): the doubling-rule sizing must work when
+        # the warehouse is HDFS/S3, not just a local directory
+        from smallquery_spark.fsio import fs_for, table_location
 
-        wh = urlparse(self.spark.conf.get("spark.sql.warehouse.dir")).path
-        total = 0
-        loc = os.path.join(wh, tname)
-        for dirpath, _d, files in os.walk(loc, onerror=lambda e: None):
-            for f in files:
-                try:
-                    total += os.path.getsize(os.path.join(dirpath, f))
-                except OSError:
-                    pass
-        return total
+        if not self.spark.catalog.tableExists(tname):
+            return 0
+        loc = table_location(self.spark, tname)
+        return sum(
+            size for _p, size in fs_for(self.spark, loc).list_files_recursive(loc)
+        )
 
     def compact(self) -> None:
         """Rewrite both tables to ONE file per bucket (tmp table +
@@ -285,10 +282,8 @@ class NearDupIndex:
         silently discard the other table's accumulated rows. A crash
         between the two renames now leaves ``_old``, which
         ``_recover()`` (run by every ``exists`` check) renames back."""
-        import os
-        from urllib.parse import urlparse
+        from smallquery_spark.fsio import table_location
 
-        wh = urlparse(self.spark.conf.get("spark.sql.warehouse.dir")).path
         for tname, key in (
             (self.bands_table, "__bk"),
             (self.hashes_table, "o_id"),
@@ -303,8 +298,10 @@ class NearDupIndex:
             # — a "compaction" that doesn't compact (observed: 3-append
             # table rewrote to 3 files/bucket). The raw scan has no
             # partitioning to inherit, so write_bucketed's repartition
-            # lands exactly one file per bucket.
-            raw = self.spark.read.parquet(os.path.join(wh, tname))
+            # lands exactly one file per bucket. The location comes from
+            # the catalog (scheme-qualified URI), so the raw read works
+            # against any warehouse FS, not just file:// (fsio).
+            raw = self.spark.read.parquet(table_location(self.spark, tname))
             write_bucketed(raw, tmp, key, self.n_buckets)
             self.spark.sql(f"DROP TABLE IF EXISTS {tname}_old")
             self.spark.sql(f"ALTER TABLE {tname} RENAME TO {tname}_old")

@@ -794,63 +794,73 @@ def compact_ivf_cells(spark, index_table: str) -> int:
     to data appended SINCE the last compaction (a just-compacted cell
     has one file and is skipped), so an every-K-epochs schedule gets
     the same O(log n) amortized rewrites per row as the doubling rule.
-    The rewrite goes through dynamic partition overwrite, so only the
-    selected cell directories are replaced — never the whole table.
-    """
-    import os
-    from urllib.parse import urlparse
 
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    loc = os.path.join(wh, index_table)
-    fragmented: list[int] = []
-    try:
-        cell_dirs = os.listdir(loc)
-    except OSError:
-        cell_dirs = []
-    for d in cell_dirs:
-        if not d.startswith("cell="):
-            continue
-        full = os.path.join(loc, d)
-        try:
-            n = sum(1 for f in os.listdir(full) if f.startswith("part-"))
-        except OSError:
-            continue
-        if n > 1:
-            fragmented.append(int(d.split("=", 1)[1]))
+    Mechanics are scheme-aware (fsio: the fragmentation decision comes
+    from the table's own file index, renames/deletes go through the
+    Hadoop FileSystem API) and crash-safe: compacted cells are STAGED
+    to a durable sibling tree first, then each live ``cell=`` directory
+    is renamed aside and the staged one renamed in — a crash at any
+    point leaves every committed row reachable, and the recovery branch
+    at the top of the next call restores any cell caught between the
+    two renames. (The previous dynamic-partition-overwrite form kept
+    the rewritten rows only in an ephemeral localCheckpoint while
+    Spark's commit deleted the old directories — a driver crash in
+    that window lost the fragmented cells for good.)
+    """
+    import re
+
+    from smallquery_spark.fsio import fs_for, join_uri, table_location
+
+    loc = table_location(spark, index_table)
+    fs = fs_for(spark, loc)
+    staging = loc.rstrip("/") + ".compact_tmp"
+    aside = loc.rstrip("/") + ".compact_old"
+    # recovery: a compact that died mid-swap leaves cell dirs in the
+    # aside tree; any whose live dir is MISSING were caught between the
+    # two renames — restore them, then clear both work trees.
+    recovered = False
+    for name in fs.list_names(aside):
+        if name.startswith("cell=") and not fs.exists(join_uri(loc, name)):
+            fs.rename(join_uri(aside, name), join_uri(loc, name))
+            recovered = True
+    fs.delete(aside)
+    fs.delete(staging)
+    if recovered:
+        spark.catalog.refreshTable(index_table)
+
+    # fragmentation scan from the table's file index — scheme-aware and
+    # one catalog listing, no per-directory walk (4096 cells on an
+    # object store would be 4096 LIST calls the other way)
+    counts: dict[int, int] = {}
+    for f in spark.table(index_table).inputFiles():
+        m = re.search(r"/cell=(\d+)/", f)
+        if m:
+            counts[int(m.group(1))] = counts.get(int(m.group(1)), 0) + 1
+    fragmented = sorted(c for c, n in counts.items() if n > 1)
     if not fragmented:
         return 0
-    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        # read the fragmented cell DIRECTORIES as a path scan (basePath
-        # keeps the cell partition column) — reading through the
-        # catalog would trip UNSUPPORTED_OVERWRITE (self-overwrite);
-        # localCheckpoint fully materializes the rows BEFORE the
-        # overwrite job starts, so the rewrite never races the files
-        # it is replacing. Checkpoint size = fragmented cells only.
-        rows = (
-            spark.read.option("basePath", loc)
-            .parquet(*[os.path.join(loc, f"cell={c}") for c in fragmented])
-            .localCheckpoint(eager=True)
-        )
-        # one output file per cell via the repartition. MUST be
-        # insertInto, not saveAsTable: saveAsTable(mode=overwrite)
-        # replaces the WHOLE table regardless of partitionOverwriteMode
-        # (probed: a compact that way silently dropped every
-        # unfragmented cell); insertInto under dynamic mode replaces
-        # exactly the cell= directories present in the write.
-        # insertInto matches columns BY POSITION — align to the table's
-        # schema order explicitly (partition column last).
-        cols = spark.table(index_table).columns
-        (
-            rows.select(*cols)
-            .repartition(F.col("cell"))
-            .write.insertInto(index_table, overwrite=True)
-        )
-    finally:
-        spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", old_mode
-        )
+    # stage: read ONLY the fragmented cell directories (basePath keeps
+    # the cell partition column), one output file per cell via the
+    # repartition, written DURABLY before any live directory moves
+    rows = spark.read.option("basePath", loc).parquet(
+        *[join_uri(loc, f"cell={c}") for c in fragmented]
+    )
+    cols = spark.table(index_table).columns
+    (
+        rows.select(*cols)
+        .repartition(F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(staging)
+    )
+    # swap per cell: aside <- live, live <- staged (see recovery above)
+    fs.mkdirs(aside)
+    for c in fragmented:
+        cell = f"cell={c}"
+        fs.rename(join_uri(loc, cell), join_uri(aside, cell))
+        fs.rename(join_uri(staging, cell), join_uri(loc, cell))
+    fs.delete(aside)
+    fs.delete(staging)
     try:
         spark.catalog.refreshTable(index_table)
     except Exception:

@@ -566,7 +566,7 @@ def c12_compaction(spark, sf_dir):
     # measured bytes keeps the query meaningful at every fixture sf.
     from smallquery_spark.operators.compaction import dir_stats as _ds
 
-    _, frag_bytes = _ds(base)
+    _, frag_bytes = _ds(spark, base)
     before, after = compact_parquet_dir(
         spark,
         base,

@@ -865,10 +865,9 @@ def test_diskguard_owner_alive():
 def test_ivf_compact_cells_preserves_untouched_cells(spark):
     """compact_ivf_cells rewrites ONLY fragmented cells (file count
     back to 1, rows identical) and must never touch — let alone drop —
-    single-file cells. Pins the insertInto/dynamic-overwrite choice:
-    saveAsTable(mode=overwrite) replaces the whole table regardless of
-    partitionOverwriteMode and silently dropped every unfragmented
-    cell when probed."""
+    single-file cells. (Originally pinned the insertInto/dynamic-
+    overwrite choice; now pins the staged-swap rewrite, which must keep
+    the same only-fragmented-cells contract.)"""
     import glob
     import os
     from urllib.parse import urlparse
@@ -1164,3 +1163,117 @@ def test_incremental_sessionize_exact_under_any_split(spark):
             gap_us=gap,
         )
         assert got(merge_session_spans(spans, gap_us=gap)) == want
+
+
+def test_fsio_explicit_file_scheme(spark, tmp_path):
+    """The maintenance control plane resolves paths through the Hadoop
+    FileSystem API, not os.* — proven by driving the helper AND
+    compact_parquet_dir end-to-end through an explicit ``file://``
+    scheme URI (path-string luck would fail scheme resolution)."""
+    from smallquery_spark.fsio import fs_for, join_uri
+    from smallquery_spark.operators.compaction import (
+        compact_parquet_dir,
+        dir_stats,
+    )
+
+    uri = "file://" + str(tmp_path) + "/t"
+    spark.range(100).write.parquet(uri)
+    fs = fs_for(spark, uri)
+    assert fs.exists(uri) and fs.is_dir(uri)
+    n, total = fs.parquet_stats(uri)
+    assert n >= 1 and total > 0
+    assert any(
+        name.endswith(".parquet") for name in fs.list_names(uri)
+    )
+    # rename + delete through the scheme
+    dst = "file://" + str(tmp_path) + "/t2"
+    fs.rename(uri, dst)
+    assert not fs.exists(uri) and fs.exists(dst)
+    files = fs.list_files_recursive(dst)
+    assert files and all(p.startswith("file:") for p, _s in files)
+    # a data-file path joined back onto the URI still resolves
+    first_parquet = next(
+        name for name in fs.list_names(dst) if name.endswith(".parquet")
+    )
+    assert fs.exists(join_uri(dst, first_parquet))
+    # full maintenance op through the explicit scheme
+    spark.range(1000).repartition(10).write.mode("overwrite").parquet(dst)
+    before, after = compact_parquet_dir(
+        spark, dst, target_file_bytes=1 << 30, min_files=2
+    )
+    assert before == 10 and after == 1
+    assert dir_stats(spark, dst) == (1, dir_stats(spark, dst)[1])
+    assert spark.read.parquet(dst).count() == 1000
+    fs.delete(dst)
+    assert not fs.exists(dst)
+
+
+def test_compact_parquet_dir_crash_recovery(spark, tmp_path):
+    """A compact_parquet_dir crash between the two swap renames leaves
+    the live dir missing and the aside copy present; the next call must
+    restore it before deciding anything — no committed row is ever
+    unreachable for longer than the crash window."""
+    from smallquery_spark.fsio import fs_for
+    from smallquery_spark.operators.compaction import compact_parquet_dir
+
+    path = str(tmp_path / "orders_frag")
+    spark.range(500).repartition(6).write.parquet(path)
+    fs = fs_for(spark, path)
+    # simulate the crash window: live renamed aside, tmp half-written
+    fs.rename(path, path + ".compact.old")
+    fs.mkdirs(path + ".compact.tmp")
+    before, after = compact_parquet_dir(
+        spark, path, target_file_bytes=1 << 30, min_files=2
+    )
+    assert (before, after) == (6, 1)
+    assert spark.read.parquet(path).count() == 500
+    assert not fs.exists(path + ".compact.old")
+    assert not fs.exists(path + ".compact.tmp")
+
+
+def test_ivf_compact_cells_crash_recovery(spark):
+    """compact_ivf_cells stages compacted cells durably and swaps via
+    rename-aside (ADVICE r8: the dynamic-overwrite form could lose the
+    fragmented cells' rows on a driver crash mid-commit). Simulate the
+    mid-swap crash — a live cell= dir renamed aside, staging leftover —
+    and assert the next call restores every row, then compacts."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from smallquery_spark.fsio import fs_for, join_uri, table_location
+    from smallquery_spark.operators.similarity import compact_ivf_cells
+
+    t = f"ivfx_crashtest_{os.getpid()}"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        base = spark.createDataFrame(
+            [(i, [float(i)], i % 2) for i in range(10)],
+            "c_id long, vec array<double>, cell int",
+        )
+        base.repartition(F.col("cell")).write.partitionBy(
+            "cell"
+        ).saveAsTable(t)
+        extra = spark.createDataFrame(
+            [(100, [1.0], 0)], "c_id long, vec array<double>, cell int"
+        )
+        extra.repartition(F.col("cell")).write.mode("append").partitionBy(
+            "cell"
+        ).saveAsTable(t)
+        want = sorted(r.c_id for r in spark.table(t).collect())
+        loc = table_location(spark, t)
+        fs = fs_for(spark, loc)
+        # crash window: cell=0 renamed aside, staging tree half-built
+        aside = loc.rstrip("/") + ".compact_old"
+        fs.mkdirs(aside)
+        fs.rename(join_uri(loc, "cell=0"), join_uri(aside, "cell=0"))
+        fs.mkdirs(loc.rstrip("/") + ".compact_tmp")
+        spark.catalog.refreshTable(t)
+        # next maintenance call: restores cell=0, then compacts it
+        assert compact_ivf_cells(spark, t) == 1
+        assert sorted(r.c_id for r in spark.table(t).collect()) == want
+        assert not fs.exists(aside)
+        assert not fs.exists(loc.rstrip("/") + ".compact_tmp")
+        assert compact_ivf_cells(spark, t) == 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -177,6 +177,9 @@ def ivf_build_centroids(
     hand ivf_assign a degenerate cell histogram. Deterministic by
     construction: md5-thresholded sampling keyed on (id, round, seed),
     candidates sorted by id before collection, seeded driver RNG.
+    Raises ValueError when the candidate pool cannot reach ``n_cells``
+    (exactly-n_cells is the contract; a silently thinner quantizer is
+    not).
     """
     if method == "first_n":
         rows = (
@@ -310,12 +313,26 @@ def _kmeans_parallel_centroids(
 
     Scale shape: per round, ONE distributed pass scores the corpus
     against only the round's NEW candidates (the running min-d² rides
-    along as a column, the classic incremental trick — cost per round
-    is |corpus| × oversample × dim, not |corpus| × total-candidates),
-    plus one scalar agg for the sampling normalizer. The final
+    along as a NARROW (id, d²) frame, the classic incremental trick —
+    cost per round is |corpus| × oversample × dim, not |corpus| ×
+    total-candidates), plus one scalar agg over that narrow frame for
+    the sampling normalizer. Per-round durability is the narrow frame
+    ONLY: localCheckpointing (id, d²) writes ~16 bytes/row instead of
+    the corpus-sized (id, vec, d²) the first cut persisted every round
+    (dim×8 more per row — at real scale that was `rounds` full-corpus
+    writes to executor-local disk; VERDICT r8 efficiency note). The
+    vectors never leave the once-persisted, id-partitioned base, which
+    each round re-joins by id — the base side re-uses its persisted
+    hash partitioning, so only the 16-byte rows move. The final
     weighting is one more pass (nearest candidate via the existing
     top-cells kernel). Driver memory holds only candidates
     (≤ rounds·oversample vectors) — never corpus rows.
+
+    Contract (pinned by c37_kmeans_parallel_seed): returns EXACTLY
+    ``n_cells`` centroids or raises ValueError — a corpus whose
+    candidate pool cannot reach n_cells distinct-enough vectors
+    (candidates < k after all rounds) fails loudly instead of silently
+    returning a thinner quantizer (ADVICE r8).
     """
     import numpy as np
 
@@ -346,19 +363,29 @@ def _kmeans_parallel_centroids(
     normalize.__annotations__ = {"v": pd.Series, "return": pd.Series}
     norm_udf = F.pandas_udf(normalize, "array<double>")
 
-    base = corpus.select(
-        F.col(corpus_id).alias("__id"), norm_udf(F.col(vec_col)).alias("__nv")
-    ).persist()
+    # id-partitioned so every per-round join re-uses this partitioning
+    # (no base-side exchange; only the narrow d² rows shuffle)
+    base = (
+        corpus.select(
+            F.col(corpus_id).alias("__id"),
+            norm_udf(F.col(vec_col)).alias("__nv"),
+        )
+        .repartition(F.col("__id"))
+        .persist()
+    )
+    d2 = None
     try:
         first = base.orderBy("__id").limit(1).collect()
         if not first:
             raise ValueError("cannot train centroids on an empty corpus")
         centers: list[list[float]] = [list(first[0]["__nv"])]
-        cur = base.withColumn(
-            "__d2", _min_d2_udf(centers)(F.col("__nv"))
+        d2 = base.select(
+            "__id", _min_d2_udf(centers)(F.col("__nv")).alias("__d2")
         ).localCheckpoint(eager=True)
         for rnd in range(rounds):
-            tot = cur.agg(F.sum("__d2")).collect()[0][0] or 0.0
+            # the normalizer agg runs over the 16-byte checkpointed
+            # frame, not the vectors
+            tot = d2.agg(F.sum("__d2")).collect()[0][0] or 0.0
             if tot <= 1e-12:
                 break  # every vector coincides with a candidate
             # deterministic Bernoulli(min(1, ell·d²/Σd²)) via an
@@ -387,24 +414,29 @@ def _kmeans_parallel_centroids(
             )
             p = F.least(F.lit(1.0), F.lit(float(ell)) * F.col("__d2") / F.lit(tot))
             picked = (
-                cur.filter(u < p).select("__id", "__nv").orderBy("__id").collect()
+                base.join(d2.filter(u < p).select("__id"), "__id")
+                .select("__id", "__nv")
+                .orderBy("__id")
+                .collect()
             )
             if not picked:
                 continue
             new_centers = _norm_rows([list(r["__nv"]) for r in picked])
             centers.extend(new_centers)
             if rnd + 1 < rounds:
-                nxt = cur.select(
-                    "__id",
-                    "__nv",
-                    F.least(
-                        F.col("__d2"),
-                        _min_d2_udf(new_centers)(F.col("__nv")),
-                    ).alias("__d2"),
-                ).localCheckpoint(eager=True)
-                cur.unpersist()
-                cur = nxt
-        cur.unpersist()
+                nxt = (
+                    base.join(d2, "__id")
+                    .select(
+                        "__id",
+                        F.least(
+                            F.col("__d2"),
+                            _min_d2_udf(new_centers)(F.col("__nv")),
+                        ).alias("__d2"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                d2.unpersist()
+                d2 = nxt
         # weight candidates by the corpus mass they attract (one pass,
         # k-bounded result) — the k-means|| reduction step
         wrows = (
@@ -418,26 +450,41 @@ def _kmeans_parallel_centroids(
             .collect()
         )
     finally:
+        if d2 is not None:
+            d2.unpersist()
         base.unpersist()
     w = np.zeros(len(centers), dtype=np.float64)
     for r in wrows:
         w[int(r["__c"])] = float(r["count"])
     Xc = np.array(centers, dtype=np.float64)
-    k_eff = min(k, len(Xc))
+    if len(Xc) < k:
+        raise ValueError(
+            f"k-means|| collected only {len(Xc)} candidates for"
+            f" n_cells={k} (rounds={rounds}, oversample={ell}) — the"
+            f" corpus has too few distinct vectors for this cell count;"
+            f" lower n_cells or raise rounds/oversample"
+        )
 
     # weighted k-means++ over the candidates (deterministic: heaviest
-    # candidate first, seeded RNG for the D²-weighted picks)
+    # candidate first, seeded RNG for the D²-weighted picks). Selected
+    # candidates have best_d2 == 0, so the weighted draw never repeats
+    # one; the tot<=0 degenerate fallback masks them out explicitly —
+    # re-picking a selected index would return duplicate centroids
+    # (ADVICE r8).
     rng = np.random.RandomState(seed)
     sel = [int(np.argmax(w))]
+    selected = np.zeros(len(Xc), dtype=bool)
+    selected[sel[0]] = True
     best_d2 = ((Xc - Xc[sel[0]]) ** 2).sum(axis=1)
-    for _ in range(1, k_eff):
+    for _ in range(1, k):
         pr = w * best_d2
         tot = pr.sum()
         if tot <= 0:
-            idx = int(np.argmax(best_d2))
+            idx = int(np.argmax(np.where(selected, -1.0, best_d2)))
         else:
             idx = int(rng.choice(len(Xc), p=pr / tot))
         sel.append(idx)
+        selected[idx] = True
         best_d2 = np.minimum(best_d2, ((Xc - Xc[idx]) ** 2).sum(axis=1))
     C = Xc[sel].copy()
 
@@ -459,7 +506,7 @@ def _kmeans_parallel_centroids(
         assign = d2.argmin(axis=1)
         far_order = np.argsort(-(d2.min(axis=1) * w))
         far_i = 0
-        for j in range(k_eff):
+        for j in range(k):
             mask = assign == j
             wj = w[mask]
             if wj.sum() > 0:
@@ -873,13 +920,23 @@ def ivf_retrain_trigger(
     index_table: str,
     imbalance_bound: float = 8.0,
     baseline_imbalance: float | None = None,
+    n_cells: int | None = None,
 ) -> tuple[bool, dict]:
     """Decide whether the frozen coarse quantizer has drifted enough to
     retrain, from the one statistic the index itself exposes: the cell
     histogram (≤ n_cells rows — driver-bounded by construction).
 
-    Returns ``(retrain, stats)`` where stats carries n_rows, n_cells,
-    max/mean cell imbalance, and the empty-cell count. Two modes:
+    Pass ``n_cells`` (the trained centroid count) when you have it: the
+    groupBy can only see NON-empty cells, so drift that EMPTIES cells
+    would otherwise raise the mean and understate imbalance — exactly
+    the drift signature that should fire (ADVICE r8). With ``n_cells``
+    the mean uses the true cell count and ``stats["empty_cells"]`` is
+    exact; without it the stats fall back to non-empty-only (and
+    ``empty_cells`` is None, honestly unknown).
+
+    Returns ``(retrain, stats)`` where stats carries n_rows, cell
+    counts, max/mean cell imbalance, and the empty-cell count. Two
+    modes:
 
     - With ``baseline_imbalance`` (the recommended shape: pass the
       imbalance recorded right after materialize_ivf), the trigger is
@@ -909,13 +966,15 @@ def ivf_retrain_trigger(
     )
     counts = [r["count"] for r in hist]
     n_rows = sum(counts)
-    n_cells = len(counts)
-    mean = n_rows / n_cells if n_cells else 0.0
+    n_nonempty = len(counts)
+    denom = n_cells if n_cells else n_nonempty
+    mean = n_rows / denom if denom else 0.0
     mx = max(counts) if counts else 0
     imbalance = (mx / mean) if mean else 0.0
     stats = {
         "n_rows": n_rows,
-        "n_nonempty_cells": n_cells,
+        "n_nonempty_cells": n_nonempty,
+        "empty_cells": (n_cells - n_nonempty) if n_cells else None,
         "max_cell": mx,
         "mean_cell": round(mean, 1),
         "imbalance": round(imbalance, 3),

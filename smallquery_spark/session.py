@@ -143,12 +143,23 @@ def _ship_package(spark: SparkSession) -> None:
     master = spark.sparkContext.master
     if master.startswith("local[") or master == "local":
         return
+    # build OUTSIDE any except: a zip build failure (disk full,
+    # unwritable tempdir) must surface NOW, at session creation, not
+    # later as an opaque executor ModuleNotFoundError relaunch loop —
+    # the exact symptom this shipping exists to remove
+    zpath = _build_ship_zip()
     try:
-        spark.sparkContext.addPyFile(_build_ship_zip())
-    except Exception:
-        # addPyFile of the SAME path twice in one context raises on
-        # some versions; the file is already shipped then — fine.
-        pass
+        spark.sparkContext.addPyFile(zpath)
+    except Exception as exc:
+        # the ONE benign case: addPyFile of the SAME path twice in one
+        # context raises on some versions — already shipped then. Any
+        # other failure is loud: the job would die on executors anyway.
+        if zpath not in str(exc):
+            print(
+                f"smallquery_spark: addPyFile({zpath}) failed: {exc} — "
+                f"executors may not be able to import the package",
+                file=sys.stderr,
+            )
 
 
 def _build_ship_zip() -> str:

@@ -862,6 +862,24 @@ def test_diskguard_owner_alive():
     assert not _owner_alive("ndx_curve_abc123")  # no pid suffix
 
 
+def test_diskguard_owner_alive_eperm(monkeypatch):
+    """EPERM from kill(pid, 0) means the pid EXISTS under another user
+    (the multi-user shared-box case the guard was added for) — that is
+    ALIVE, not dead (ADVICE r8). ESRCH stays dead."""
+    import os
+
+    from tools.diskguard import _owner_alive
+
+    def _kill(pid, sig):
+        if pid == 4242:
+            raise PermissionError("[Errno 1] Operation not permitted")
+        raise ProcessLookupError("[Errno 3] No such process")
+
+    monkeypatch.setattr(os, "kill", _kill)
+    assert _owner_alive("bkt_0123456789ab_4242")  # EPERM -> alive
+    assert not _owner_alive("bkt_0123456789ab_4243")  # ESRCH -> dead
+
+
 def test_ivf_compact_cells_preserves_untouched_cells(spark):
     """compact_ivf_cells rewrites ONLY fragmented cells (file count
     back to 1, rows identical) and must never touch — let alone drop —
@@ -1275,5 +1293,66 @@ def test_ivf_compact_cells_crash_recovery(spark):
         assert not fs.exists(aside)
         assert not fs.exists(loc.rstrip("/") + ".compact_tmp")
         assert compact_ivf_cells(spark, t) == 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_kmeans_parallel_contract_and_narrow_rounds(spark):
+    """k-means|| returns EXACTLY n_cells centroids, deterministically,
+    and raises ValueError (not a silently thinner quantizer) when the
+    candidate pool cannot reach n_cells (ADVICE r8)."""
+    import pytest as _pytest
+
+    from smallquery_spark.operators.similarity import ivf_build_centroids
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 13) - 6.0 for j in range(8)])
+        for i in range(400)
+    ]
+    corpus = spark.createDataFrame(rows, "c_id long, vec array<double>")
+    cents = ivf_build_centroids(corpus, 16, method="kmeans_parallel")
+    again = ivf_build_centroids(corpus, 16, method="kmeans_parallel")
+    assert len(cents) == 16
+    assert cents == again  # bit-identical re-run
+    # degenerate corpus: 3 identical vectors cannot seed 8 cells
+    dup = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(3)], "c_id long, vec array<double>"
+    )
+    with _pytest.raises(ValueError, match="candidates"):
+        ivf_build_centroids(dup, 8, method="kmeans_parallel")
+
+
+def test_ivf_retrain_trigger_counts_empty_cells(spark):
+    """With n_cells passed, the trigger's mean uses the TRUE cell count
+    (drift that empties cells must raise imbalance, not launder it) and
+    stats reports the exact empty-cell count (ADVICE r8)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from smallquery_spark.operators.similarity import ivf_retrain_trigger
+
+    t = f"ivfx_trigempty_{os.getpid()}"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        # 2 non-empty cells of 8 trained: 90 rows in cell 0, 10 in cell 1
+        df = spark.createDataFrame(
+            [(i, [0.0], 0 if i < 90 else 1) for i in range(100)],
+            "c_id long, vec array<double>, cell int",
+        )
+        df.repartition(F.col("cell")).write.partitionBy("cell").saveAsTable(t)
+        fired_nonempty, stats_ne = ivf_retrain_trigger(
+            spark, t, imbalance_bound=3.0
+        )
+        fired_true, stats_true = ivf_retrain_trigger(
+            spark, t, imbalance_bound=3.0, n_cells=8
+        )
+        # non-empty-only mean = 50 -> imbalance 1.8 (quiet, understated)
+        assert stats_ne["imbalance"] == 1.8 and not fired_nonempty
+        assert stats_ne["empty_cells"] is None
+        # true mean = 12.5 -> imbalance 7.2 (fires)
+        assert stats_true["imbalance"] == 7.2 and fired_true
+        assert stats_true["empty_cells"] == 6
+        assert stats_true["n_nonempty_cells"] == 2
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t}")

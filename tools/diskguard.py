@@ -67,7 +67,13 @@ def _owner_alive(name: str) -> bool:
     try:
         os.kill(int(m.group(1)), 0)
         return True
-    except (OSError, ValueError):
+    except PermissionError:
+        # EPERM means the pid EXISTS but belongs to another user — on a
+        # shared box that is exactly the live-run case this guard
+        # protects (treating it as dead would evict a bkt_* table out
+        # from under another user's >24h measurement)
+        return True
+    except (ProcessLookupError, ValueError, OSError):
         return False
 
 

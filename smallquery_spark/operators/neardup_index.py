@@ -354,7 +354,11 @@ class NearDupIndex:
         re-sent id still appears in this method's survivor output —
         callers with at-least-once upstreams dedup their accepted
         OUTPUT on id (a plain exact-dedup pass), or feed this operator
-        exactly-once ids."""
+        exactly-once ids. The registered c2_streaming_neardup pipeline
+        carries that output-side dedup (queries/streaming_queries.py),
+        and test_neardup_index_at_least_once pins the end-to-end
+        contract: re-sent batches produce byte-identical accepted sets
+        AND index state vs exactly-once delivery."""
         order = {
             "auto": ("shuffle_hash", "merge"),
             "shuffle_hash": ("shuffle_hash",),

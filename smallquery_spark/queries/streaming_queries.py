@@ -985,8 +985,17 @@ def c2_streaming_neardup(spark, sf_dir):
             .option("checkpointLocation", os.path.join(root, "ckpt")),
             "c2_streaming_neardup",
         )
-        streamed = spark.read.parquet(*_committed_epochs(index_dir)).select(
-            "doc_id"
+        # output-side exact dedup on id: the at-least-once half of the
+        # ingest contract. append()'s guard keeps the INDEX clean under
+        # upstream re-sends, but a re-sent already-accepted id passes
+        # ingest_epoch again (self-exclusion) and would re-emit — one
+        # dropDuplicates on the accepted output makes re-sends produce
+        # byte-identical survivor sets vs exactly-once delivery
+        # (pinned end-to-end in test_neardup_index_at_least_once).
+        streamed = (
+            spark.read.parquet(*_committed_epochs(index_dir))
+            .select("doc_id")
+            .dropDuplicates(["doc_id"])
         )
 
         # sequential reference: the same step applied slice-by-slice

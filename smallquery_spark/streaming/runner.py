@@ -133,6 +133,7 @@ def run_to_df(
     output_mode: str = "append",
     state_partitions: int = 8,
     sink: str = "auto",
+    rotate_sink: bool = True,
 ) -> DataFrame:
     """Drain a streaming DataFrame into a sink; return it as a DataFrame.
 
@@ -155,12 +156,22 @@ def run_to_df(
       ``state_partitions_for``), memory at fixture scale. Both sinks
       receive identical rows (pinned by test_streaming_sinks_agree).
 
-    Repeated corpus-sized drains in one process should DELETE each
-    run's sink root (the ``smallquery_runsink_*`` tmpdir) once the
-    returned DataFrame is consumed: retained sink bytes displace page
-    cache and cost ~15% per warm rerun at gen100 (measured, n=4 per
-    variant, B53_RESIDUAL_gen100.json — sink rotation is the flat
-    posture; forced GC nudges between runs measured strictly worse).
+    ``rotate_sink`` (default True) encodes the flat-rerun posture IN
+    the runner instead of leaving it to caller discipline: when the
+    files sink was used, the read-back result is materialized once
+    (``localCheckpoint(eager=True)``) and the run's entire sink root —
+    parquet epochs AND streaming checkpoint — is deleted before
+    returning, so repeated corpus-sized drains leave NOTHING on disk
+    per run. Retained sink bytes displace page cache and cost ~15% per
+    warm rerun at gen100 (measured, n=4 per variant,
+    B53_RESIDUAL_gen100.json; forced GC nudges between runs measured
+    strictly worse). The checkpointed blocks live in the block manager
+    (memory, spilling to executor-local disk) and are freed when the
+    returned frame is garbage-collected — unlike the sink tmpdir,
+    which nothing reclaimed until the 24h age prune. Pass
+    ``rotate_sink=False`` to keep the sink on disk (e.g. to re-read
+    the epochs out-of-band or hold many results at once without
+    block-manager pressure).
 
     ``state_partitions`` sizes the stateful operators: streaming state
     partitioning is FIXED at checkpoint creation from
@@ -239,9 +250,20 @@ def run_to_df(
         if not os.path.isdir(data_dir):
             # zero emissions (e.g. everything beyond the watermark):
             # an empty frame with the stream's schema
+            if rotate_sink:
+                import shutil
+
+                shutil.rmtree(out_root, ignore_errors=True)
             return spark.createDataFrame([], sdf.schema)
         # recursiveFileLookup: append-mode epochs live in epoch_* subdirs
         # (no partition-column inference wanted); complete mode is flat
         # and reads identically.
-        return spark.read.option("recursiveFileLookup", "true").parquet(data_dir)
+        out = spark.read.option("recursiveFileLookup", "true").parquet(data_dir)
+        if rotate_sink:
+            import shutil
+
+            # materialize BEFORE deleting the files the plan reads
+            out = out.localCheckpoint(eager=True)
+            shutil.rmtree(out_root, ignore_errors=True)
+        return out
     return spark.table(qname)

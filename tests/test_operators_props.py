@@ -1356,3 +1356,68 @@ def test_ivf_retrain_trigger_counts_empty_cells(spark):
         assert stats_true["n_nonempty_cells"] == 2
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_neardup_index_at_least_once(spark):
+    """End-to-end at-least-once contract (VERDICT r8 item 5): an
+    upstream that RE-SENDS ids in later batches (not a replay of the
+    same epoch — genuinely overlapping batches) must produce (a) the
+    byte-identical accepted output of exactly-once delivery after the
+    pipeline's output-side id-dedup, and (b) identical index state
+    (append's guard_existing). Re-sent ids cover both fates: some were
+    ACCEPTED earlier (pass ingest_epoch again via self-exclusion, then
+    dedup'd at the output), some were DROPPED earlier (dropped again
+    by the index match)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from smallquery_spark.operators.dedup import _banded_sig_df
+    from smallquery_spark.operators.neardup_index import NearDupIndex
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(
+        os.path.join(SF_SMOKE, "documents.parquet")
+    ).select("doc_id", "text")
+    epochs = [
+        docs.filter(F.abs(F.hash("doc_id")) % 3 == i).localCheckpoint()
+        for i in range(3)
+    ]
+
+    def run(batches, name):
+        ndx = NearDupIndex(spark, name, n_buckets=4)
+        ndx.drop()
+        try:
+            accepted = None
+            for ep in batches:
+                sig = _banded_sig_df(ep)
+                surv = ndx.ingest_epoch(sig, threshold=0.5)
+                ndx.append(surv)  # guard_existing default ON
+                out = surv.select("doc_id").localCheckpoint(eager=True)
+                accepted = out if accepted is None else accepted.unionByName(out)
+            # the pipeline's output-side exact dedup pass
+            ids = sorted(
+                r.doc_id
+                for r in accepted.dropDuplicates(["doc_id"]).collect()
+            )
+            return ids, ndx.doc_count()
+        finally:
+            ndx.drop()
+
+    pid = os.getpid()
+    exact_ids, exact_count = run(epochs, f"alonce_x_{pid}")
+    # at-least-once: epoch 1 re-sends HALF of epoch 0 (accepted AND
+    # dropped ids alike), epoch 2 re-sends half of epoch 1
+    resent = [
+        epochs[0],
+        epochs[1].unionByName(
+            epochs[0].filter(F.abs(F.hash("doc_id")) % 2 == 0)
+        ),
+        epochs[2].unionByName(
+            epochs[1].filter(F.abs(F.hash("doc_id")) % 2 == 1)
+        ),
+    ]
+    alo_ids, alo_count = run(resent, f"alonce_r_{pid}")
+    assert alo_ids == exact_ids  # byte-identical accepted set
+    assert alo_count == exact_count  # index never double-appends
+    assert len(exact_ids) > 0

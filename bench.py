@@ -6,16 +6,27 @@ Prints ONE JSON line:
 The metric is total wall time of the headline query set (lower is
 better). Each query is executed to completion via a count/collect of the
 final DataFrame — the same work a user's action would trigger.
+
+Median-of-n (VERDICT r8 item 6): a single-sample bench on a shared box
+has produced 3-4σ outliers every round (BENCH_NOISE_r8.json measured a
+monotone 18.7→23.1 s climb across consecutive same-code runs — r8 spent
+real effort proving a '1.12× regression' was box state). The default
+entrypoint therefore runs N=3 passes, EACH in a fresh JVM (a
+subprocess re-exec of this script with SPARK_GRAFT_BENCH_SINGLE=1 —
+warm-JVM repeats within one process would understate, and share, the
+JIT/page-cache state), and commits the PER-QUERY MEDIAN, with min/max
+spread and per-pass totals in the same JSON line so round-over-round
+comparisons are median-vs-median by construction. Set
+SPARK_GRAFT_BENCH_PASSES=1 for the old single-pass behavior.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
-
-from smallquery_spark.queries import REGISTRY, load_all
-from smallquery_spark.session import get_session
 
 # Headline set: one representative per operator family, weighted toward
 # the scale-sensitive ones (agg, join, window, dedup, similarity,
@@ -58,7 +69,10 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
+def _single_pass() -> None:
+    from smallquery_spark.queries import REGISTRY, load_all
+    from smallquery_spark.session import get_session
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     load_all()
     names = [n for n in HEADLINE if n in REGISTRY]
@@ -114,6 +128,75 @@ def main() -> None:
                 "sentinel_before_sec": sentinel_before,
                 "sentinel_after_sec": sentinel_after,
                 "sf": float(sf) if sf else None,
+            }
+        )
+    )
+
+
+def _median(vals: list[float]) -> float:
+    s = sorted(vals)
+    n = len(s)
+    mid = n // 2
+    return s[mid] if n % 2 else round((s[mid - 1] + s[mid]) / 2.0, 3)
+
+
+def main() -> None:
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3") or 3)
+    if os.environ.get("SPARK_GRAFT_BENCH_SINGLE") == "1" or n_passes <= 1:
+        _single_pass()
+        return
+    results = []
+    for i in range(n_passes):
+        env = dict(os.environ, SPARK_GRAFT_BENCH_SINGLE="1")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=sys.stderr,
+            text=True,
+        )
+        line = next(
+            (
+                ln
+                for ln in reversed(proc.stdout.splitlines())
+                if ln.startswith("{")
+            ),
+            None,
+        )
+        if proc.returncode != 0 or line is None:
+            raise RuntimeError(
+                f"bench pass {i + 1}/{n_passes} failed "
+                f"(rc={proc.returncode}): {proc.stdout[-2000:]}"
+            )
+        results.append(json.loads(line))
+    names = list(results[0]["queries"])
+    queries = {
+        n: _median([r["queries"][n] for r in results]) for n in names
+    }
+    spread = {
+        n: [
+            min(r["queries"][n] for r in results),
+            max(r["queries"][n] for r in results),
+        ]
+        for n in names
+    }
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "n_passes": n_passes,
+                "pass_totals": [r["value"] for r in results],
+                "query_spread": spread,
+                "cold_first_run": results[0]["cold_first_run"],
+                "sentinels": [
+                    [r["sentinel_before_sec"], r["sentinel_after_sec"]]
+                    for r in results
+                ],
+                "sf": results[0]["sf"],
             }
         )
     )

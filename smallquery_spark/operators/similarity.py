@@ -915,6 +915,48 @@ def compact_ivf_cells(spark, index_table: str) -> int:
     return len(fragmented)
 
 
+def assignment_fit(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "vec",
+) -> float:
+    """Mean cosine between each vector and its NEAREST centroid — the
+    quantization-fit statistic, one Arrow-vectorized pass over ``df``
+    (use it on BATCHES: epoch-bounded at append time, corpus-bounded
+    only if you choose to pass the corpus).
+
+    This is the drift signal the cell histogram cannot see: a DIFFUSE
+    new mode spreads across many cells, so max/mean imbalance stays
+    flat (measured at gen10: an injected sigma-0.6 mode at cosine 0.38
+    from every centroid left imbalance DECLINING, 6.13 -> 4.96, across
+    8 appends while the mode's recall@10 sat at 0.44 — IVF_DRIFT
+    artifact). Assignment fit drops immediately for such batches:
+    compare each append batch's fit against the build-time corpus fit
+    and retrain when the ratio crosses ~0.9 (the measured separation
+    is far wider — in-distribution batches sit within noise of the
+    baseline, the drift mode at roughly half). Two signals, two drift
+    shapes: imbalance catches CONCENTRATED drift (a mode collapsing
+    into hot cells), fit catches DIFFUSE drift (the corpus moving away
+    from the quantizer wholesale)."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.array(centroids, dtype=np.float64)
+    norms = np.linalg.norm(C, axis=1)
+    Cn = (C / np.where(norms == 0, 1.0, norms)[:, None]).T  # (dim, k)
+
+    def max_cos(v):
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        xn = np.linalg.norm(X, axis=1, keepdims=True)
+        X = X / np.where(xn == 0, 1.0, xn)
+        return pd.Series((X @ Cn).max(axis=1))
+
+    max_cos.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    fit_udf = F.pandas_udf(max_cos, "double")
+    row = df.agg(F.avg(fit_udf(F.col(vec_col))).alias("fit")).collect()[0]
+    return float(row["fit"]) if row["fit"] is not None else 0.0
+
+
 def ivf_retrain_trigger(
     spark,
     index_table: str,
@@ -957,7 +999,14 @@ def ivf_retrain_trigger(
     pay k× the candidate budget) and recall decays. On trigger, the
     caller retrains (ivf_build_centroids over the current corpus) and
     rebuilds via materialize_ivf; appends resume against the new
-    centroids."""
+    centroids.
+
+    SCOPE: the histogram only sees CONCENTRATED drift. A diffuse new
+    mode spreads across many cells and leaves imbalance flat-or-lower
+    while its recall craters (measured — see :func:`assignment_fit`,
+    the complementary batch-time signal for that drift shape; the
+    production posture checks BOTH: this trigger per maintenance tick,
+    fit per append batch)."""
     hist = (
         spark.table(index_table)
         .groupBy("cell")

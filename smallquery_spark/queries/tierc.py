@@ -828,7 +828,8 @@ def c3_ann_ivf_indexed(spark, sf_dir):
     "c3_ann_ivf_append",
     oracle=(
         "SELECT TRUE AS same_as_rebuild, TRUE AS same_after_compact,"
-        " TRUE AS compacted_some, TRUE AS nonempty"
+        " TRUE AS compacted_some, TRUE AS nonempty, TRUE AS fit_quiet,"
+        " TRUE AS fit_fires"
     ),
     tags=("C3", "C9"),
 )
@@ -844,10 +845,22 @@ def c3_ann_ivf_append(spark, sf_dir):
     probe must still return the identical rows — compaction moves
     bytes, never values. This is the ingest posture that keeps a
     100 TB embedding store epoch-bounded: per-append cost is one
-    narrow assignment pass + a batch-sized clustered write, with
-    drift watched by ivf_retrain_trigger (cell-histogram imbalance)."""
+    narrow assignment pass + a batch-sized clustered write, with drift
+    watched two ways: ivf_retrain_trigger's cell-histogram imbalance
+    (concentrated drift) and assignment_fit per batch (diffuse drift —
+    the shape the histogram is blind to; measured, IVF_DRIFT artifact).
+    The fit contract here is scale-independent geometry (the fixture
+    corpus at sf0.01 is too small for distributional claims — a
+    quantizer trained on 250 rows memorizes them, so even an
+    in-distribution batch reads ~0.58): a batch OF the indexed corpus
+    must ratio 1.0 against the corpus fit (quiet), and the same batch
+    NEGATED (cosine sign flips — the maximal diffuse drift) must
+    crater the ratio (fires). The measured real-scale separation —
+    in-distribution appends quiet at ~1.0, an injected sigma-0.6 mode
+    at 0.35 — is the IVF_DRIFT gen100 artifact."""
     from smallquery_spark.operators.similarity import (
         append_ivf,
+        assignment_fit,
         compact_ivf_cells,
         ivf_assign,
         ivf_build_centroids,
@@ -873,6 +886,12 @@ def c3_ann_ivf_append(spark, sf_dir):
     tname_rb = f"ivfx_c3app_rb_{os.getpid()}"
     try:
         materialize_ivf(spark, ivf_assign(base, cents), f"c3app_{os.getpid()}")
+        base_fit = assignment_fit(spark.table(tname), cents)
+        quiet_fit = assignment_fit(base, cents)
+        drifted = base.withColumn("vec", F.transform("vec", lambda x: -x))
+        drift_fit = assignment_fit(drifted, cents)
+        fit_quiet = base_fit > 0 and quiet_fit / base_fit >= 0.9
+        fit_fires = base_fit > 0 and drift_fit / base_fit < 0.9
         append_ivf(spark, tname, arriving, cents)
         materialize_ivf(
             spark, ivf_assign(corpus, cents), f"c3app_rb_{os.getpid()}"
@@ -902,10 +921,13 @@ def c3_ann_ivf_append(spark, sf_dir):
                     same_compact,
                     n_compacted > 0,
                     appended.count() > 0,
+                    fit_quiet,
+                    fit_fires,
                 )
             ],
             "same_as_rebuild boolean, same_after_compact boolean,"
-            " compacted_some boolean, nonempty boolean",
+            " compacted_some boolean, nonempty boolean, fit_quiet boolean,"
+            " fit_fires boolean",
         )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tname}")

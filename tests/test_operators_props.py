@@ -1421,3 +1421,31 @@ def test_neardup_index_at_least_once(spark):
     assert alo_ids == exact_ids  # byte-identical accepted set
     assert alo_count == exact_count  # index never double-appends
     assert len(exact_ids) > 0
+
+
+def test_assignment_fit_detects_diffuse_drift(spark):
+    """assignment_fit is the batch-time drift signal the cell histogram
+    cannot see (measured: a diffuse mode left imbalance flat while
+    recall cratered — IVF_DRIFT artifact). Exact values on known
+    geometry, plus the separation contract: an in-distribution batch
+    scores ~1, an orthogonal/far batch scores far below the 0.9 ratio
+    the drift watch uses."""
+    import math
+
+    from smallquery_spark.operators.similarity import assignment_fit
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    near = spark.createDataFrame(
+        [(1, [2.0, 0.0]), (2, [0.0, 5.0])], "c_id long, vec array<double>"
+    )
+    assert abs(assignment_fit(near, cents) - 1.0) < 1e-9
+    diag = spark.createDataFrame(
+        [(3, [1.0, 1.0])], "c_id long, vec array<double>"
+    )
+    assert abs(assignment_fit(diag, cents) - 1 / math.sqrt(2)) < 1e-9
+    far = spark.createDataFrame(
+        [(4, [-1.0, -1.0]), (5, [-2.0, -3.0])], "c_id long, vec array<double>"
+    )
+    assert assignment_fit(far, cents) < 0.0  # opposite half-space
+    # ratio separation: far batch / in-distribution baseline << 0.9
+    assert assignment_fit(far, cents) / assignment_fit(near, cents) < 0.9

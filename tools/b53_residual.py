@@ -8,13 +8,17 @@ files-sink writeback and shuffle-file cleaner lag. This tool runs the
 same workload N times back-to-back under controlled variants that
 remove one suspected mechanism at a time:
 
-- ``baseline``      — exactly the anomaly harness: complete-mode
-                      session agg → files sink → checksum read-back.
-                      Each run leaves its sink tmpdir (≈1-2 GB of
-                      fresh parquet + checkpoint) on disk until
-                      process exit.
-- ``rm_sink``       — delete each run's sink/checkpoint tmpdir right
-                      after the checksum. If the climb is accumulated
+- ``baseline``      — the engine DEFAULT (r9: run_to_df now rotates
+                      its sink — materialize, delete sink+checkpoint —
+                      before returning). The flat posture with no
+                      caller discipline is what this variant proves.
+- ``keep_sink``     — rotate_sink=False: the pre-r9 behavior. Each
+                      run leaves its sink tmpdir (≈1-2 GB of fresh
+                      parquet + checkpoint) on disk until process
+                      exit — the variant that exhibited the climb.
+- ``rm_sink``       — rotate_sink=False + delete each run's
+                      sink/checkpoint tmpdir manually right after the
+                      checksum. If the climb is accumulated
                       dirty-page writeback / page-cache displacement
                       from retained sink dirs, this flattens it.
 - ``gc_nudge``      — System.gc() + 8 s pause after each run. Spark's
@@ -51,7 +55,14 @@ import sys
 import tempfile
 import time
 
-VARIANTS = ("baseline", "rm_sink", "gc_nudge", "rm_sink_gc", "nosink")
+VARIANTS = (
+    "baseline",
+    "keep_sink",
+    "rm_sink",
+    "gc_nudge",
+    "rm_sink_gc",
+    "nosink",
+)
 
 
 def _run_variant(sf_dir: str, variant: str, n_runs: int) -> dict:
@@ -123,6 +134,9 @@ def _run_variant(sf_dir: str, variant: str, n_runs: int) -> dict:
                 output_mode="complete",
                 state_partitions=n_parts,
                 sink="files",
+                # only 'baseline' exercises the r9 default rotation;
+                # the other variants manage (or retain) sinks manually
+                rotate_sink=(variant == "baseline"),
             )
             r = out.agg(
                 F.count("*").alias("n"),
@@ -167,6 +181,11 @@ def main() -> None:
         i = argv.index("--variant")
         variant = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
+    run_variants = VARIANTS
+    if "--variants" in argv:
+        i = argv.index("--variants")
+        run_variants = tuple(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2 :]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
 
     if variant is not None:
@@ -183,7 +202,7 @@ def main() -> None:
         "disk_preflight": disk,
         "variants": {},
     }
-    for v in VARIANTS:
+    for v in run_variants:
         # fresh JVM per variant: heap aging must not leak across cases
         proc = subprocess.run(
             [

@@ -47,6 +47,7 @@ def run(
     n_cells: int,
     n_probe: int,
     probe_sweep: list[int] | None = None,
+    methods: tuple[str, ...] = ("first_n", "kmeans", "kmeans_parallel"),
 ) -> dict:
     from smallquery_spark.operators.similarity import (
         ivf_assign,
@@ -92,7 +93,7 @@ def run(
         "bruteforce_sec": brute_sec,
         "methods": {},
     }
-    for method in ("first_n", "kmeans", "kmeans_parallel"):
+    for method in methods:
         t0 = time.time()
         cents = ivf_build_centroids(corpus, n_cells=n_cells, method=method)
         build_sec = round(time.time() - t0, 3)
@@ -188,8 +189,16 @@ def main() -> None:
     n_queries = opt("--queries", 50)
     n_cells = opt("--cells", 64)
     n_probe = opt("--probe", 8)
+    methods = ("first_n", "kmeans", "kmeans_parallel")
+    if "--methods" in argv:
+        i = argv.index("--methods")
+        methods = tuple(argv[i + 1].split(","))
+        del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
-    result = run(sf_dir, n_queries, n_cells, n_probe, probe_sweep=sweep)
+    result = run(
+        sf_dir, n_queries, n_cells, n_probe, probe_sweep=sweep,
+        methods=methods,
+    )
     line = json.dumps(result)
     print(line)
     if out_path:

@@ -19,9 +19,21 @@ tool measures both signals against both drift shapes:
                      fit fires first here too (measured) — drift is
                      visible at the first drifted batch.
 - ``concentrated_imbonly`` — same tight mode with the fit signal
-                     DISABLED: the histogram trigger's own positive
-                     case (hot-cell mass must cross 2x the build-time
-                     baseline on its own).
+                     DISABLED: measured at gen100, this NEVER fires —
+                     an out-of-distribution mode is near-equidistant
+                     from ~all 1024 centroids (cos 0.38), so sigma-0.15
+                     jitter still flips the argmax and the mass
+                     diffuses across cells; no hot cell forms. The
+                     histogram is structurally blind to OOD drift at
+                     high cell counts, not just to diffuse OOD drift.
+- ``hot_topic``    — the drift shape imbalance DOES own: a volume
+                     explosion on an EXISTING mode (direction = a
+                     trained centroid, sigma 0.15). Fit stays quiet
+                     (the quantizer still fits every vector); the one
+                     cell's mass crosses 2x baseline and the histogram
+                     trigger fires. Together with fit this covers both
+                     real drift shapes: new-mode arrival (fit) and
+                     existing-mode skew (imbalance).
 
 Per scenario: append batches until a watched signal fires (then keep
 appending to --min-batches so retrain recovery is measured at a
@@ -34,7 +46,8 @@ and measure the same numbers — the recovery the trigger buys.
 Usage:
     python -m tools.ivf_drift [sf_dir] [--batch-frac F=0.02]
         [--max-batches N=10] [--min-batches N=1] [--queries N=20]
-        [--fit-ratio R=0.9] [--scenarios a,b,c] [--out OUT.json]
+        [--fit-ratio R=0.9] [--sigma S] [--scenarios a,b,c]
+        [--out OUT.json]
 """
 
 from __future__ import annotations
@@ -133,6 +146,15 @@ def main() -> None:
         i = argv.index("--fit-ratio")
         fit_ratio = float(argv[i + 1])
         argv = argv[:i] + argv[i + 2 :]
+    sigma_override = None
+    if "--sigma" in argv:
+        # high-dim note: sigma is PER-DIMENSION — at dim 64 the jitter
+        # NORM is sigma*8, so 0.15 is already a wide mode (norm ~1.2 vs
+        # the unit direction; measured fit 0.65). A genuinely tight
+        # mode needs sigma ~0.03 (norm 0.24, fit ~0.97).
+        i = argv.index("--sigma")
+        sigma_override = float(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
     if "--scenarios" in argv:
         i = argv.index("--scenarios")
         scenarios = tuple(argv[i + 1].split(","))
@@ -184,19 +206,26 @@ def main() -> None:
         "diffuse": 0.6,
         "concentrated": 0.15,
         "concentrated_imbonly": 0.15,
+        "hot_topic": 0.15,
     }
     try:
         t0 = time.time()
         cents = ivf_build_centroids(corpus, n_cells=n_cells)
         out["train_sec"] = round(time.time() - t0, 3)
         for scen in scenarios:
-            sigma = sigmas[scen]
+            sigma = sigma_override if sigma_override is not None else sigmas[scen]
             use_fit = not scen.endswith("_imbonly")
             materialize_ivf(spark, ivf_assign(corpus, cents), name)
             _, base_stats = ivf_retrain_trigger(spark, tname, n_cells=n_cells)
             base_fit = assignment_fit(spark.table(tname), cents)
             rng = np.random.RandomState(4242)
-            direction = rng.normal(0, 1, dim)
+            if scen == "hot_topic":
+                # existing-mode volume explosion: aim at a trained
+                # centroid — the quantizer FITS this drift (fit stays
+                # quiet); only the histogram can see it
+                direction = np.array(cents[0], dtype=np.float64)
+            else:
+                direction = rng.normal(0, 1, dim)
             direction /= np.linalg.norm(direction)
             qvecs = _mode_vecs(rng, direction, n_queries, sigma, dim)
             queries = _vec_df(

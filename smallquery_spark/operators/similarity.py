@@ -281,18 +281,27 @@ def _min_d2_udf(centers: list[list[float]]):
     column to a (small, closure-shipped) center set, on the sphere:
     min_c |x-c|² = 2 - 2·max_c x·ĉ. One numpy matmul per Arrow batch —
     the same kernel shape as _top_cells_udf, returning the distance
-    VALUE instead of the argmin."""
+    VALUE instead of the argmin.
+
+    float32 matmul: candidate scoring is THE k-means|| build cost
+    (per round ~|corpus| × dim × oversample flops — 131 GFLOP/round at
+    2M×64×1024; the r8 checkpoint-bytes hypothesis measured WRONG, see
+    _kmeans_parallel_centroids), and a D²-sampling probability needs
+    ~3 significant digits, not 15. float32 is exactly as deterministic
+    as float64 (IEEE ops, fixed order per batch) — the c37 re-run
+    bit-identity contract is unaffected."""
     import numpy as np
     import pandas as pd
 
-    C = np.array(centers, dtype=np.float64)
+    C = np.array(centers, dtype=np.float32)
     norms = np.linalg.norm(C, axis=1)
     Cn = (C / np.where(norms == 0, 1.0, norms)[:, None]).T  # (dim, m)
 
     def mind2(v):
-        X = np.stack(v.to_numpy()).astype(np.float64)
+        X = np.stack(v.to_numpy()).astype(np.float32)
         sims = X @ Cn
-        return pd.Series(np.maximum(2.0 - 2.0 * sims.max(axis=1), 0.0))
+        d2 = np.maximum(2.0 - 2.0 * sims.max(axis=1), 0.0)
+        return pd.Series(d2.astype(np.float64))
 
     mind2.__annotations__ = {"v": pd.Series, "return": pd.Series}
     return F.pandas_udf(mind2, "double")
@@ -313,20 +322,23 @@ def _kmeans_parallel_centroids(
 
     Scale shape: per round, ONE distributed pass scores the corpus
     against only the round's NEW candidates (the running min-d² rides
-    along as a NARROW (id, d²) frame, the classic incremental trick —
-    cost per round is |corpus| × oversample × dim, not |corpus| ×
-    total-candidates), plus one scalar agg over that narrow frame for
-    the sampling normalizer. Per-round durability is the narrow frame
-    ONLY: localCheckpointing (id, d²) writes ~16 bytes/row instead of
-    the corpus-sized (id, vec, d²) the first cut persisted every round
-    (dim×8 more per row — at real scale that was `rounds` full-corpus
-    writes to executor-local disk; VERDICT r8 efficiency note). The
-    vectors never leave the once-persisted, id-partitioned base, which
-    each round re-joins by id — the base side re-uses its persisted
-    hash partitioning, so only the 16-byte rows move. The final
+    along as a column, the classic incremental trick — cost per round
+    is |corpus| × oversample × dim, not |corpus| × total-candidates),
+    plus one scalar agg for the sampling normalizer. The final
     weighting is one more pass (nearest candidate via the existing
     top-cells kernel). Driver memory holds only candidates
     (≤ rounds·oversample vectors) — never corpus rows.
+
+    Where the build time actually goes (measured at 2M×64, 256 cells,
+    IVF_RECALL_gen100_kmpar*.json): candidate SCORING flops. The r8
+    verdict hypothesized the corpus-sized (id, vec, d²) per-round
+    localCheckpoint was the shave and suggested checkpointing only
+    (id, d²) + re-joining a persisted base; implemented and measured,
+    that was 217 s vs 134 s — the per-round join exchange costs more
+    than the checkpoint bytes it saves, so this keeps the single-frame
+    form and takes the real lever instead: float32 candidate scoring
+    in _min_d2_udf (a D² sampling probability needs ~3 digits), which
+    halves the matmul term.
 
     Contract (pinned by c37_kmeans_parallel_seed): returns EXACTLY
     ``n_cells`` centroids or raises ValueError — a corpus whose
@@ -355,6 +367,12 @@ def _kmeans_parallel_centroids(
     # one normalized-vector projection, reused by every pass
     import pandas as pd
 
+    # storage stays float64: a float32 normalized frame was tried for
+    # the Arrow/checkpoint bytes and measured NO faster (230 s vs the
+    # f32-scoring 118 s on this box — byte volume is not the term) while
+    # perturbing the candidate set (recall 0.986 -> 0.974, balance 4.75
+    # -> 5.09). Scoring precision is where the flops are; see
+    # _min_d2_udf.
     def normalize(v):
         X = np.stack(v.to_numpy()).astype(np.float64)
         n = np.linalg.norm(X, axis=1, keepdims=True)
@@ -363,29 +381,19 @@ def _kmeans_parallel_centroids(
     normalize.__annotations__ = {"v": pd.Series, "return": pd.Series}
     norm_udf = F.pandas_udf(normalize, "array<double>")
 
-    # id-partitioned so every per-round join re-uses this partitioning
-    # (no base-side exchange; only the narrow d² rows shuffle)
-    base = (
-        corpus.select(
-            F.col(corpus_id).alias("__id"),
-            norm_udf(F.col(vec_col)).alias("__nv"),
-        )
-        .repartition(F.col("__id"))
-        .persist()
-    )
-    d2 = None
+    base = corpus.select(
+        F.col(corpus_id).alias("__id"), norm_udf(F.col(vec_col)).alias("__nv")
+    ).persist()
     try:
         first = base.orderBy("__id").limit(1).collect()
         if not first:
             raise ValueError("cannot train centroids on an empty corpus")
         centers: list[list[float]] = [list(first[0]["__nv"])]
-        d2 = base.select(
-            "__id", _min_d2_udf(centers)(F.col("__nv")).alias("__d2")
+        cur = base.withColumn(
+            "__d2", _min_d2_udf(centers)(F.col("__nv"))
         ).localCheckpoint(eager=True)
         for rnd in range(rounds):
-            # the normalizer agg runs over the 16-byte checkpointed
-            # frame, not the vectors
-            tot = d2.agg(F.sum("__d2")).collect()[0][0] or 0.0
+            tot = cur.agg(F.sum("__d2")).collect()[0][0] or 0.0
             if tot <= 1e-12:
                 break  # every vector coincides with a candidate
             # deterministic Bernoulli(min(1, ell·d²/Σd²)) via an
@@ -414,35 +422,35 @@ def _kmeans_parallel_centroids(
             )
             p = F.least(F.lit(1.0), F.lit(float(ell)) * F.col("__d2") / F.lit(tot))
             picked = (
-                base.join(d2.filter(u < p).select("__id"), "__id")
-                .select("__id", "__nv")
-                .orderBy("__id")
-                .collect()
+                cur.filter(u < p).select("__id", "__nv").orderBy("__id").collect()
             )
             if not picked:
                 continue
             new_centers = _norm_rows([list(r["__nv"]) for r in picked])
             centers.extend(new_centers)
             if rnd + 1 < rounds:
-                nxt = (
-                    base.join(d2, "__id")
-                    .select(
-                        "__id",
-                        F.least(
-                            F.col("__d2"),
-                            _min_d2_udf(new_centers)(F.col("__nv")),
-                        ).alias("__d2"),
-                    )
-                    .localCheckpoint(eager=True)
-                )
-                d2.unpersist()
-                d2 = nxt
+                nxt = cur.select(
+                    "__id",
+                    "__nv",
+                    F.least(
+                        F.col("__d2"),
+                        _min_d2_udf(new_centers)(F.col("__nv")),
+                    ).alias("__d2"),
+                ).localCheckpoint(eager=True)
+                cur.unpersist()
+                cur = nxt
+        cur.unpersist()
         # weight candidates by the corpus mass they attract (one pass,
         # k-bounded result) — the k-means|| reduction step
+        import numpy as _np
+
         wrows = (
             base.select(
                 F.element_at(
-                    _top_cells_udf(centers, 1)(F.col("__nv")), 1
+                    _top_cells_udf(centers, 1, dtype=_np.float32)(
+                        F.col("__nv")
+                    ),
+                    1,
                 ).alias("__c")
             )
             .groupBy("__c")
@@ -450,8 +458,6 @@ def _kmeans_parallel_centroids(
             .collect()
         )
     finally:
-        if d2 is not None:
-            d2.unpersist()
         base.unpersist()
     w = np.zeros(len(centers), dtype=np.float64)
     for r in wrows:
@@ -519,7 +525,7 @@ def _kmeans_parallel_centroids(
     return [[float(x) for x in c] for c in C]
 
 
-def _top_cells_udf(centroids: list[list[float]], n_probe: int):
+def _top_cells_udf(centroids: list[list[float]], n_probe: int, dtype=None):
     """Arrow-vectorized top-``n_probe`` nearest cells (by cosine) for a
     vector column. The centroid matrix is k-bounded driver metadata
     shipped in the closure — one numpy matmul per Arrow batch.
@@ -533,17 +539,24 @@ def _top_cells_udf(centroids: list[list[float]], n_probe: int):
     Ties: argsort is stable on the negated similarities → lowest cell
     id first (the old struct-max broke ties toward the highest id; the
     choice is an internal index decision either way).
+
+    ``dtype``: scoring precision, default float64 (the serve path —
+    ivf_assign/ivf_search — keeps full precision so cell assignment is
+    a stable pure function of the stored vectors). Internal bulk
+    passes that only need a nearest-candidate vote (the k-means||
+    weighting reduction) pass float32 to halve the matmul.
     """
     import numpy as np
     import pandas as pd
 
-    C = np.array(centroids, dtype=np.float64)
+    dt = dtype or np.float64
+    C = np.array(centroids, dtype=dt)
     norms = np.linalg.norm(C, axis=1)
     Cn = (C / np.where(norms == 0, 1.0, norms)[:, None]).T  # (dim, k)
     n_keep = min(n_probe, len(centroids))
 
     def top_cells(v):
-        X = np.stack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        X = np.stack(v.to_numpy()).astype(dt)  # (n, dim)
         # argmax_c cos(x, c) == argmax_c x·ĉ (|x| is constant per row)
         sims = X @ Cn
         order = np.argsort(-sims, axis=1, kind="stable")[:, :n_keep]

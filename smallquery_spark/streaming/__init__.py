@@ -1,6 +1,7 @@
 from smallquery_spark.streaming.runner import (
     events_stream,
     run_to_df,
+    sink_scope,
     state_partitions_for,
     unload_state_stores,
 )
@@ -8,6 +9,7 @@ from smallquery_spark.streaming.runner import (
 __all__ = [
     "events_stream",
     "run_to_df",
+    "sink_scope",
     "state_partitions_for",
     "unload_state_stores",
 ]

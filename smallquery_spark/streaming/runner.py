@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 import re
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -134,6 +135,7 @@ def run_to_df(
     state_partitions: int = 8,
     sink: str = "auto",
     rotate_sink: bool = True,
+    rotate_max_bytes: int = 256 * 1024 * 1024,
 ) -> DataFrame:
     """Drain a streaming DataFrame into a sink; return it as a DataFrame.
 
@@ -157,21 +159,27 @@ def run_to_df(
       receive identical rows (pinned by test_streaming_sinks_agree).
 
     ``rotate_sink`` (default True) encodes the flat-rerun posture IN
-    the runner instead of leaving it to caller discipline: when the
-    files sink was used, the read-back result is materialized once
-    (``localCheckpoint(eager=True)``) and the run's entire sink root —
-    parquet epochs AND streaming checkpoint — is deleted before
-    returning, so repeated corpus-sized drains leave NOTHING on disk
-    per run. Retained sink bytes displace page cache and cost ~15% per
-    warm rerun at gen100 (measured, n=4 per variant,
-    B53_RESIDUAL_gen100.json; forced GC nudges between runs measured
-    strictly worse). The checkpointed blocks live in the block manager
-    (memory, spilling to executor-local disk) and are freed when the
-    returned frame is garbage-collected — unlike the sink tmpdir,
-    which nothing reclaimed until the 24h age prune. Pass
-    ``rotate_sink=False`` to keep the sink on disk (e.g. to re-read
-    the epochs out-of-band or hold many results at once without
-    block-manager pressure).
+    the runner instead of leaving it to caller discipline — but
+    SIZE-GATED, because the two retention regimes were both measured
+    at gen100 (B53_RESIDUAL_gen100.json, B53_ROTATE_gen100.json):
+
+    - result ≤ ``rotate_max_bytes`` of sink parquet: materialize once
+      (``localCheckpoint(eager=True)``) and delete the run's entire
+      sink root — parquet epochs AND streaming checkpoint — before
+      returning. Retained sink bytes displace page cache and cost
+      ~15% per warm rerun at gen100; the checkpointed blocks are
+      freed when the returned frame is garbage-collected.
+    - result LARGER than the gate: checkpoint-rotation is the wrong
+      trade — measured on b53's ~99M-row complete-mode result, the
+      block-manager copy pinned gigabytes per run (run 2 of 2 climbed
+      2.22×, 78→174 s, and a 4-run sequence died in the JVM). Big
+      results stay a lazy scan over the sink files (the tmpdir is
+      already registered for at-exit cleanup); callers doing repeated
+      corpus-sized drains delete each run's sink AFTER consuming it —
+      the measured-flat ``rm_sink`` pattern — via :func:`sink_scope`.
+
+    Pass ``rotate_sink=False`` to always keep the sink on disk (e.g.
+    to re-read the epochs out-of-band).
 
     ``state_partitions`` sizes the stateful operators: streaming state
     partitioning is FIXED at checkpoint creation from
@@ -260,10 +268,69 @@ def run_to_df(
         # and reads identically.
         out = spark.read.option("recursiveFileLookup", "true").parquet(data_dir)
         if rotate_sink:
-            import shutil
+            # size gate (see docstring): the sink is a LOCAL tmpdir by
+            # construction, so a plain walk is fine here
+            sink_bytes = 0
+            for dirpath, _d, files in os.walk(data_dir):
+                for f in files:
+                    try:
+                        sink_bytes += os.path.getsize(os.path.join(dirpath, f))
+                    except OSError:
+                        pass
+            if sink_bytes <= rotate_max_bytes:
+                import shutil
 
-            # materialize BEFORE deleting the files the plan reads
-            out = out.localCheckpoint(eager=True)
-            shutil.rmtree(out_root, ignore_errors=True)
+                # materialize BEFORE deleting the files the plan reads
+                out = out.localCheckpoint(eager=True)
+                shutil.rmtree(out_root, ignore_errors=True)
+                return out
+        # big-result (or rotate_sink=False) path: lazy scan over the
+        # sink; remember the root so sink_scope can delete it after
+        # the caller consumes the frame
+        out._smallquery_sink_root = out_root
         return out
     return spark.table(qname)
+
+
+@contextmanager
+def sink_scope(
+    sdf: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    state_partitions: int = 8,
+    sink: str = "auto",
+):
+    """Drain a stream, yield the result frame, and DELETE the run's
+    sink root when the block exits — the flat warm-rerun posture for
+    results too large to rotate through the block manager.
+
+    The measured background (gen100 b53, ~99M-row complete-mode
+    results): retaining each run's sink costs ~15% per warm rerun
+    (page-cache displacement, B53_RESIDUAL_gen100.json); rotating via
+    localCheckpoint pins gigabytes of blocks per run and measured a
+    2.22x climb then a JVM death at 4 runs (B53_ROTATE_gen100.json);
+    deleting the sink AFTER consumption — what this context manager
+    does — was the flat variant. run_to_df's size-gated rotation
+    handles small results automatically; use this for repeated
+    corpus-sized drains:
+
+        with sink_scope(agg, "big") as df:
+            checksum = df.agg(...).collect()
+        # sink root deleted here
+    """
+    df = run_to_df(
+        sdf,
+        name,
+        output_mode=output_mode,
+        state_partitions=state_partitions,
+        sink=sink,
+        rotate_sink=False,
+    )
+    try:
+        yield df
+    finally:
+        root = getattr(df, "_smallquery_sink_root", None)
+        if root:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)

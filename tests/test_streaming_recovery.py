@@ -275,3 +275,69 @@ def test_run_to_df_rotates_sink(spark):
 
     for d in post2 - pre:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_sink_scope_deletes_after_consumption(spark):
+    """sink_scope: consume inside the block, sink root gone on exit —
+    the corpus-sized flat-rerun posture (rotation-by-checkpoint
+    measured a 2.22x climb then JVM death on ~99M-row results,
+    B53_ROTATE_gen100.json)."""
+    import glob
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+    from smallquery_spark.streaming import events_stream, sink_scope
+
+    pre = set(glob.glob(os.path.join(tempfile.gettempdir(), "smallquery_runsink_*")))
+    sdf = events_stream(spark, SF_SMOKE)
+    agg = (
+        sdf.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .select("event_type", "n")
+    )
+    with sink_scope(agg, "scoped", output_mode="complete", sink="files") as df:
+        rows = {(r["event_type"], r["n"]) for r in df.collect()}
+        # inside the scope the sink exists (lazy scan needs it)
+        assert set(
+            glob.glob(os.path.join(tempfile.gettempdir(), "smallquery_runsink_*"))
+        ) - pre
+    assert rows and all(n > 0 for _t, n in rows)
+    post = set(glob.glob(os.path.join(tempfile.gettempdir(), "smallquery_runsink_*")))
+    assert post - pre == set()  # gone on exit
+
+
+def test_run_to_df_rotation_size_gate(spark):
+    """Results past rotate_max_bytes must NOT be pulled through the
+    block manager: the frame stays a lazy scan and the sink survives
+    (with its root exposed for sink_scope)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+    from smallquery_spark.streaming import events_stream, run_to_df
+
+    pre = set(glob.glob(os.path.join(tempfile.gettempdir(), "smallquery_runsink_*")))
+    sdf = events_stream(spark, SF_SMOKE)
+    agg = (
+        sdf.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .select("event_type", "n")
+    )
+    out = run_to_df(
+        agg, "gated", output_mode="complete", sink="files", rotate_max_bytes=0
+    )
+    new = set(
+        glob.glob(os.path.join(tempfile.gettempdir(), "smallquery_runsink_*"))
+    ) - pre
+    assert len(new) == 1  # kept: result exceeded the (zero) gate
+    assert getattr(out, "_smallquery_sink_root", None) in new
+    assert out.count() > 0
+    for d in new:
+        shutil.rmtree(d, ignore_errors=True)

@@ -8,10 +8,16 @@ files-sink writeback and shuffle-file cleaner lag. This tool runs the
 same workload N times back-to-back under controlled variants that
 remove one suspected mechanism at a time:
 
-- ``baseline``      — the engine DEFAULT (r9: run_to_df now rotates
-                      its sink — materialize, delete sink+checkpoint —
-                      before returning). The flat posture with no
-                      caller discipline is what this variant proves.
+- ``baseline``      — the engine's documented posture for repeated
+                      corpus-sized drains (r9): ``sink_scope`` — drain
+                      to files, consume inside the scope, sink root
+                      deleted on exit. (run_to_df's default rotation
+                      is size-gated and correctly REFUSES to rotate a
+                      result this big: a localCheckpoint of the ~99M
+                      -row frame pinned gigabytes of block-manager
+                      memory per run and measured a 2.22× climb, then
+                      a JVM death at 4 runs — the first cut of this
+                      very measurement.)
 - ``keep_sink``     — rotate_sink=False: the pre-r9 behavior. Each
                       run leaves its sink tmpdir (≈1-2 GB of fresh
                       parquet + checkpoint) on disk until process
@@ -127,6 +133,24 @@ def _run_variant(sf_dir: str, variant: str, n_runs: int) -> dict:
 
                 unload_state_stores(spark)
             cs = (counts[-1] if counts else 0,)
+        elif variant == "baseline":
+            # the engine's corpus-sized posture: consume inside the
+            # scope, sink deleted on exit (see module docstring)
+            from smallquery_spark.streaming.runner import sink_scope
+
+            with sink_scope(
+                agg,
+                f"b53res_{variant}_{i}",
+                output_mode="complete",
+                state_partitions=n_parts,
+                sink="files",
+            ) as out:
+                r = out.agg(
+                    F.count("*").alias("n"),
+                    F.sum("n_events").alias("se"),
+                    F.sum(F.xxhash64("user_id", "n_events")).alias("h"),
+                ).collect()[0]
+            cs = (r["n"], int(r["se"] or 0), int(r["h"] or 0))
         else:
             out = run_to_df(
                 agg,
@@ -134,9 +158,7 @@ def _run_variant(sf_dir: str, variant: str, n_runs: int) -> dict:
                 output_mode="complete",
                 state_partitions=n_parts,
                 sink="files",
-                # only 'baseline' exercises the r9 default rotation;
-                # the other variants manage (or retain) sinks manually
-                rotate_sink=(variant == "baseline"),
+                rotate_sink=False,
             )
             r = out.agg(
                 F.count("*").alias("n"),
@@ -222,8 +244,12 @@ def main() -> None:
         try:
             out["variants"][v] = json.loads(proc.stdout.strip().splitlines()[-1])
         except Exception:
+            err = proc.stderr or proc.stdout
+            # keep the HEAD too: Spark exceptions lead with the error
+            # class and end in a py4j stack — a tail-only slice once
+            # cost this tool its root cause
             out["variants"][v] = {
-                "error": (proc.stderr or proc.stdout)[-400:]
+                "error": err[:1200] + (" ... " + err[-400:] if len(err) > 1600 else "")
             }
         print(f"{v}: {out['variants'][v]}", file=sys.stderr, flush=True)
         if out_path:

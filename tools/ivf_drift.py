@@ -146,6 +146,15 @@ def main() -> None:
         i = argv.index("--fit-ratio")
         fit_ratio = float(argv[i + 1])
         argv = argv[:i] + argv[i + 2 :]
+    retrain_method = "kmeans"
+    if "--retrain-method" in argv:
+        # "kmeans_parallel" retrains the quantizer on the WHOLE drifted
+        # corpus — the C37 seeding exists exactly for the case a
+        # bounded sample under-represents a new mode (a 2% mode is
+        # ~80 rows in the sampled trainer's 4096)
+        i = argv.index("--retrain-method")
+        retrain_method = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
     sigma_override = None
     if "--sigma" in argv:
         # high-dim note: sigma is PER-DIMENSION — at dim 64 the jitter
@@ -316,8 +325,11 @@ def main() -> None:
                     .localCheckpoint(eager=True)
                 )
                 t0 = time.time()
-                cents2 = ivf_build_centroids(cur, n_cells=n_cells)
+                cents2 = ivf_build_centroids(
+                    cur, n_cells=n_cells, method=retrain_method
+                )
                 sc["retrain_sec"] = round(time.time() - t0, 3)
+                sc["retrain_method"] = retrain_method
                 t0 = time.time()
                 materialize_ivf(spark, ivf_assign(cur, cents2), name)
                 sc["rematerialize_sec"] = round(time.time() - t0, 3)

@@ -253,40 +253,42 @@ def _bucketed_tables(spark, sf_dir) -> tuple[str, str]:
         if not spark.catalog.tableExists(table):
             # a previous session may have left the managed location on
             # disk without a catalog entry — clear it or saveAsTable
-            # fails with LOCATION_ALREADY_EXISTS
-            import shutil
+            # fails with LOCATION_ALREADY_EXISTS. Warehouse ops go
+            # through the Hadoop FileSystem API (fsio) like the
+            # operators' maintenance plane — scheme-aware.
             from urllib.parse import urlparse
 
-            wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-            shutil.rmtree(os.path.join(wh, table), ignore_errors=True)
+            from smallquery_spark.fsio import fs_for, join_uri
+
+            wh_uri = spark.conf.get("spark.sql.warehouse.dir")
+            fs = fs_for(spark, wh_uri)
+            fs.delete(join_uri(wh_uri, table))
             key = "o_orderkey" if name == "orders" else "l_orderkey"
             write_bucketed(t(spark, sf_dir, name), table, key, n_buckets=8)
             # catalog entry dies with the in-memory metastore; the
-            # on-disk location would outlive us without this
-            register_cleanup(os.path.join(wh, table))
-            _prune_stale_warehouse(wh)
+            # on-disk location would outlive us without this (local
+            # warehouse only — atexit rmtree is a path affordance)
+            parsed = urlparse(wh_uri)
+            if parsed.scheme in ("", "file"):
+                register_cleanup(os.path.join(parsed.path, table))
+            _prune_stale_warehouse(fs, wh_uri)
     return ot, lt
 
 
-def _prune_stale_warehouse(wh: str, max_age_hours: float = 24.0) -> None:
+def _prune_stale_warehouse(fs, wh_uri: str, max_age_hours: float = 24.0) -> None:
     """Scavenge pid-suffixed bucketed-table dirs left by killed runs."""
     import re
     import time
 
-    cutoff = time.time() - max_age_hours * 3600.0
-    try:
-        entries = os.listdir(wh)
-    except OSError:
-        return
-    for name in entries:
-        if not re.match(r"(orders|lineitem)_bkt_.*_\d+$", name):
-            continue
-        full = os.path.join(wh, name)
-        try:
-            if os.path.isdir(full) and os.path.getmtime(full) < cutoff:
-                import shutil
+    from smallquery_spark.fsio import join_uri
 
-                shutil.rmtree(full, ignore_errors=True)
+    cutoff = time.time() - max_age_hours * 3600.0
+    for st in fs.list_status(wh_uri):
+        if not re.match(r"(orders|lineitem)_bkt_.*_\d+$", st["name"]):
+            continue
+        try:
+            if st["is_dir"] and st["mtime"] < cutoff:
+                fs.delete(join_uri(wh_uri, st["name"]))
         except OSError:
             continue
 

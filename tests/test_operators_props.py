@@ -1449,3 +1449,37 @@ def test_assignment_fit_detects_diffuse_drift(spark):
     assert assignment_fit(far, cents) < 0.0  # opposite half-space
     # ratio separation: far batch / in-distribution baseline << 0.9
     assert assignment_fit(far, cents) / assignment_fit(near, cents) < 0.9
+
+
+def test_fsio_non_file_scheme_viewfs(spark, tmp_path):
+    """The strongest scheme-portability proof this sandbox can run:
+    drive fsio AND compact_parquet_dir end-to-end through Hadoop's
+    viewfs:// (a DIFFERENT FileSystem class with its own scheme and
+    authority, resolved per-URI from hadoopConfiguration — exactly how
+    an hdfs:// or s3a:// warehouse would resolve). file://-only code
+    (os.rename, path-string luck) cannot pass this."""
+    from smallquery_spark.fsio import fs_for
+    from smallquery_spark.operators.compaction import compact_parquet_dir
+
+    root = str(tmp_path / "viewfs_root")
+    import os
+
+    os.makedirs(root, exist_ok=True)
+    spark._jsc.hadoopConfiguration().set(
+        "fs.viewfs.mounttable.testcluster.link./warehouse", f"file:{root}"
+    )
+    uri = "viewfs://testcluster/warehouse/t1"
+    spark.range(500).repartition(4).write.mode("overwrite").parquet(uri)
+    fs = fs_for(spark, uri)
+    n, total = fs.parquet_stats(uri)
+    assert n == 4 and total > 0
+    uri2 = "viewfs://testcluster/warehouse/t2"
+    fs.rename(uri, uri2)
+    assert not fs.exists(uri) and fs.exists(uri2)
+    before, after = compact_parquet_dir(
+        spark, uri2, target_file_bytes=1 << 30, min_files=2
+    )
+    assert (before, after) == (4, 1)
+    assert spark.read.parquet(uri2).count() == 500
+    fs.delete(uri2)
+    assert not fs.exists(uri2)

@@ -63,6 +63,7 @@ def main() -> None:
 
     from smallquery_spark.operators.similarity import (
         append_ivf,
+        assignment_fit,
         compact_ivf_cells,
         ivf_assign,
         ivf_build_centroids,
@@ -114,9 +115,15 @@ def main() -> None:
         # quantizer coarse" (it is: 1024 cells over a 10-mode fixture)
         _, base_stats = ivf_retrain_trigger(spark, tname)
         out["baseline_imbalance"] = base_stats["imbalance"]
+        # fit baseline for the r9 diffuse-drift signal: in-distribution
+        # appends must stay ~1.0 of this (the false-positive side of
+        # the 0.9 trigger ratio; the drift side measures 0.33-0.36)
+        base_fit = assignment_fit(spark.table(tname), cents)
+        out["baseline_fit"] = round(base_fit, 4)
         index_rows = base_stats["n_rows"]
         for i, batch in enumerate(batches[1:], start=1):
             n_batch = batch.count()
+            batch_fit = assignment_fit(batch, cents)
             t0 = time.time()
             append_ivf(spark, tname, batch, cents)
             append_sec = round(time.time() - t0, 3)
@@ -138,6 +145,9 @@ def main() -> None:
                     "cells_compacted": n_compacted,
                     "imbalance": stats["imbalance"],
                     "retrain_triggered": retrain,
+                    "fit_ratio": round(batch_fit / base_fit, 3)
+                    if base_fit
+                    else None,
                 }
             )
             index_rows = stats["n_rows"]

@@ -1636,17 +1636,20 @@ def _register_incremental_dedup() -> None:
 
 
 def _register_ann_contracts() -> None:
-    """a_c03: both C3 IVF scale paths under one window row — the
+    """a_c03: the C3 IVF scale paths under one window row — the
     in-memory probe (c3_ann_ivf: recall vs brute force + strict-subset
-    pruning) and the AT-REST cell-partitioned index (c3_ann_ivf_indexed:
+    pruning), the AT-REST cell-partitioned index (c3_ann_ivf_indexed:
     partition-pruned scan value-identical to the unindexed probe, same
-    recall bar)."""
+    recall bar), and the PQ-compressed index (c3_ann_ivfpq: reranked
+    AND pure-ADC recall over m-byte codes, code table smaller on disk
+    than the full-vector index)."""
 
     @query(
         "a_c03_ann_ivf",
         oracle=(
             "SELECT 'indexed' AS leg, TRUE AS ok, TRUE AS ok2 "
-            "UNION ALL SELECT 'ivf', TRUE, TRUE"
+            "UNION ALL SELECT 'ivf', TRUE, TRUE "
+            "UNION ALL SELECT 'pq', TRUE, TRUE"
         ),
         tags=("C3", "C9", "canonical"),
     )
@@ -1661,7 +1664,12 @@ def _register_ann_contracts() -> None:
             (F.col("same_as_unindexed") & F.col("recall_ok")).alias("ok"),
             F.col("nonempty").alias("ok2"),
         )
-        return ivf.unionByName(indexed)
+        pq = _fn("c3_ann_ivfpq")(spark, sf_dir).select(
+            F.lit("pq").alias("leg"),
+            (F.col("recall_ok") & F.col("adc_recall_ok")).alias("ok"),
+            (F.col("compressed") & F.col("route_identical")).alias("ok2"),
+        )
+        return ivf.unionByName(indexed).unionByName(pq)
 
 
 _register_aliases()

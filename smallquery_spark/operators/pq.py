@@ -281,6 +281,120 @@ def materialize_ivfpq(
     return tname
 
 
+def append_ivfpq(
+    spark,
+    index_table: str,
+    new_corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: PQCodebooks,
+    corpus_id: str = "c_id",
+    vec_col: str = "vec",
+) -> None:
+    """Append new vectors to a materialized IVF-PQ index without a
+    rewrite: assign to the frozen centroids, encode against the frozen
+    codebooks, append into the matching cell partitions — the PQ
+    analogue of similarity.append_ivf, and the same parity argument:
+    codes are a pure function of (vector, centroids, codebooks), so the
+    appended index holds exactly the rows a full rebuild over the
+    unioned corpus would (pinned in tests/test_pq.py). What appends
+    degrade is quantizer fit, watched by the same two signals as the
+    full-vector index (assignment_fit per batch for diffuse drift,
+    ivf_retrain_trigger for concentrated skew — a retrain that replaces
+    centroids must re-encode, i.e. re-materialize, since residuals
+    move); file-count growth is bounded by the same
+    compact_ivf_cells (the code table shares the cell= layout)."""
+    from smallquery_spark.operators.similarity import ivf_assign
+
+    assigned = ivf_assign(
+        new_corpus, centroids, corpus_id=corpus_id, vec_col=vec_col
+    )
+    (
+        pq_encode(assigned, centroids, codebooks, vec_col=vec_col)
+        .select(corpus_id, "cell", "code")
+        .repartition(F.col("cell"))
+        .write.mode("append")
+        .partitionBy("cell")
+        .saveAsTable(index_table)
+    )
+    try:
+        spark.catalog.refreshTable(index_table)
+    except Exception:
+        pass
+
+
+def save_index_meta(
+    spark,
+    index_table: str,
+    centroids: list[list[float]],
+    codebooks: PQCodebooks | None = None,
+) -> str:
+    """Persist the quantizer metadata BESIDE the index it serves, as a
+    tiny parquet table ``<index_table>_meta`` — one row per centroid
+    (kind='centroid', pos=cell id) and, for PQ indexes, one row per
+    (subspace, code) codebook entry (kind='book', pos=j*ksub+b). An
+    at-rest index is not at rest if probing it needs Python lists the
+    builder process happened to keep alive; with this, any session can
+    :func:`load_index_meta` and serve probes. Overwrites any previous
+    meta for the table (the meta must describe the CURRENT index — a
+    retrain that re-materializes must re-save). Returns the meta table
+    name."""
+    import numpy as np
+
+    tname = f"{index_table}_meta"
+    C = np.asarray(centroids, dtype=np.float64)
+    rows = [
+        ("centroid", int(i), 0, [float(x) for x in C[i]])
+        for i in range(len(C))
+    ]
+    if codebooks is not None:
+        b64 = codebooks.books.astype(np.float64)
+        for j in range(codebooks.m):
+            for b in range(codebooks.ksub):
+                rows.append(
+                    ("book", j * codebooks.ksub + b, codebooks.ksub,
+                     [float(x) for x in b64[j, b]])
+                )
+    spark.sql(f"DROP TABLE IF EXISTS {tname}")
+    (
+        spark.createDataFrame(
+            rows, "kind string, pos int, ksub int, vec array<double>"
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .saveAsTable(tname)
+    )
+    return tname
+
+
+def load_index_meta(
+    spark, index_table: str
+) -> tuple[list[list[float]], PQCodebooks | None]:
+    """Load (centroids, codebooks-or-None) saved by
+    :func:`save_index_meta` — bounded driver metadata (n_cells + m*ksub
+    rows). Float64 end-to-end, so a probe served from loaded meta is
+    bit-identical to one served from the builder's in-memory copies
+    (pinned in tests/test_pq.py)."""
+    import numpy as np
+
+    rows = spark.table(f"{index_table}_meta").collect()
+    cents = [
+        [float(x) for x in r["vec"]]
+        for r in sorted(
+            (r for r in rows if r["kind"] == "centroid"),
+            key=lambda r: r["pos"],
+        )
+    ]
+    book_rows = sorted(
+        (r for r in rows if r["kind"] == "book"), key=lambda r: r["pos"]
+    )
+    if not book_rows:
+        return cents, None
+    ksub = int(book_rows[0]["ksub"])
+    flat = np.array([r["vec"] for r in book_rows], dtype=np.float64)
+    books = flat.reshape(len(book_rows) // ksub, ksub, flat.shape[1])
+    return cents, PQCodebooks(books)
+
+
 def _adc_udf(q_index: dict, luts, offsets):
     """Arrow-vectorized ADC score: (q_id, cell, code) -> double.
     ``luts`` (n_q, m, ksub) and ``offsets`` (n_q, n_cells) are
@@ -407,6 +521,9 @@ def ivfpq_search(
     # the full-vector scan as an IN-filter (row-group pruning; bucket
     # the corpus by id at scale so point fetches prune to buckets)
     cand_ids = [r[0] for r in top.select(corpus_id).distinct().collect()]
+    if not cand_ids:  # empty index / all-filtered probe: nothing to rerank
+        schema = f"{query_id} long, {corpus_id} long, cos double, rnk int"
+        return spark.createDataFrame([], schema)
     vecs = rerank_corpus.select(
         corpus_id, F.col(vec_col).alias("__cvec")
     ).filter(F.col(corpus_id).isin(cand_ids))

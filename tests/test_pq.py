@@ -155,6 +155,99 @@ def test_ivfpq_adc_only_recall_and_route_identity(spark, corpus, trained):
         spark.sql(f"DROP TABLE IF EXISTS {tname}")
 
 
+def test_append_ivfpq_equals_rebuild(spark, corpus, trained):
+    """Appending against frozen centroids+codebooks must yield a table
+    holding exactly the rows a full rebuild over the unioned corpus
+    holds (codes are a pure function of vector and quantizers) — and a
+    probe must answer identically against both."""
+    from smallquery_spark.operators.pq import (
+        append_ivfpq,
+        ivfpq_search,
+        materialize_ivfpq,
+    )
+    from smallquery_spark.operators.similarity import ivf_assign
+
+    cents, books = trained
+    base = corpus.filter("c_id % 2 = 0")
+    arriving = corpus.filter("c_id % 2 = 1")
+    pid = os.getpid()
+    t_app = materialize_ivfpq(
+        spark, ivf_assign(base, cents), cents, books, f"pqapp_{pid}"
+    )
+    t_rb = materialize_ivfpq(
+        spark, ivf_assign(corpus, cents), cents, books, f"pqrb_{pid}"
+    )
+    try:
+        append_ivfpq(spark, t_app, arriving, cents, books)
+        a = spark.table(t_app).select(
+            "c_id", "cell", F.col("code").cast("string").alias("code")
+        )
+        b = spark.table(t_rb).select(
+            "c_id", "cell", F.col("code").cast("string").alias("code")
+        )
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+
+        queries = corpus.filter("c_id < 5").select(
+            F.col("c_id").alias("q_id"), "vec"
+        )
+        ra = ivfpq_search(
+            spark, queries, t_app, cents, books, k=5, n_probe=4
+        )
+        rb = ivfpq_search(
+            spark, queries, t_rb, cents, books, k=5, n_probe=4
+        )
+        assert ra.exceptAll(rb).count() == 0
+        assert rb.exceptAll(ra).count() == 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_app}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_rb}")
+
+
+def test_index_meta_roundtrip_serves_identical_probes(spark, corpus, trained):
+    """save_index_meta / load_index_meta: quantizer metadata persisted
+    beside the index round-trips bit-identically (float64 storage is
+    lossless for the float32 codebooks), and a probe served from the
+    LOADED metadata returns exactly the rows the builder's in-memory
+    copies return — the at-rest index outlives its builder process."""
+    from smallquery_spark.operators.pq import (
+        ivfpq_search,
+        load_index_meta,
+        materialize_ivfpq,
+        save_index_meta,
+    )
+    from smallquery_spark.operators.similarity import ivf_assign
+
+    cents, books = trained
+    pid = os.getpid()
+    tname = materialize_ivfpq(
+        spark, ivf_assign(corpus, cents), cents, books, f"pqmeta_{pid}"
+    )
+    try:
+        save_index_meta(spark, tname, cents, books)
+        cents2, books2 = load_index_meta(spark, tname)
+        assert cents2 == cents
+        assert books2 is not None and (books2.books == books.books).all()
+
+        queries = corpus.filter("c_id < 5").select(
+            F.col("c_id").alias("q_id"), "vec"
+        )
+        r1 = ivfpq_search(spark, queries, tname, cents, books, k=5, n_probe=4)
+        r2 = ivfpq_search(
+            spark, queries, tname, cents2, books2, k=5, n_probe=4
+        )
+        assert r1.exceptAll(r2).count() == 0
+        assert r2.exceptAll(r1).count() == 0
+
+        # centroid-only meta (full-vector IVF index shape)
+        save_index_meta(spark, tname, cents)
+        cents3, books3 = load_index_meta(spark, tname)
+        assert cents3 == cents and books3 is None
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")
+        spark.sql(f"DROP TABLE IF EXISTS {tname}_meta")
+
+
 def test_ivfpq_table_smaller_than_full_vector_index(spark, corpus, trained):
     """The materialized code table must be materially smaller than the
     full-vector IVF index over the SAME corpus — the compression that

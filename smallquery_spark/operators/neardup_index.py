@@ -281,8 +281,19 @@ class NearDupIndex:
         there made the next append compute mode='overwrite' and
         silently discard the other table's accumulated rows. A crash
         between the two renames now leaves ``_old``, which
-        ``_recover()`` (run by every ``exists`` check) renames back."""
-        from smallquery_spark.fsio import table_location
+        ``_recover()`` (run by every ``exists`` check) renames back.
+
+        Concurrent appends: the staging read is a snapshot, so an
+        ``append`` landing mid-rewrite would be dropped by the table
+        swap. The normal operating mode precludes this (one ingest
+        loop calls ingest_epoch -> append -> maybe_compact
+        sequentially), but the swap still re-lists the live table and
+        ABORTS this table's compaction when the data-file set changed
+        since the snapshot (the files stay fragmented; the next
+        maybe_compact retries) — the same changed-since-scan guard as
+        compact_ivf_cells, leaving only the instant re-list-to-rename
+        race that any rename-based protocol has."""
+        from smallquery_spark.fsio import fs_for, table_location
 
         for tname, key in (
             (self.bands_table, "__bk"),
@@ -301,8 +312,22 @@ class NearDupIndex:
             # lands exactly one file per bucket. The location comes from
             # the catalog (scheme-qualified URI), so the raw read works
             # against any warehouse FS, not just file:// (fsio).
-            raw = self.spark.read.parquet(table_location(self.spark, tname))
+            loc = table_location(self.spark, tname)
+            fs = fs_for(self.spark, loc)
+
+            def _data_files():
+                return {
+                    p.rsplit("/", 1)[1]
+                    for p, _ in fs.list_files_recursive(loc)
+                    if p.endswith(".parquet")
+                }
+
+            snapshot = _data_files()
+            raw = self.spark.read.parquet(loc)
             write_bucketed(raw, tmp, key, self.n_buckets)
+            if _data_files() != snapshot:
+                self.spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+                continue
             self.spark.sql(f"DROP TABLE IF EXISTS {tname}_old")
             self.spark.sql(f"ALTER TABLE {tname} RENAME TO {tname}_old")
             self.spark.sql(f"ALTER TABLE {tmp} RENAME TO {tname}")

@@ -7,11 +7,10 @@ that IS the query cost. PQ (Jegou, Douze, Schmid — "Product
 quantization for nearest neighbor search", TPAMI 2011; the Faiss
 IVFPQ design) compresses each vector to ``m`` one-byte codes by
 k-means-quantizing ``m`` subspaces of the RESIDUAL (vector minus its
-cell centroid): at dim 64 / m 8 the logical payload shrinks 32x
-(8 code bytes vs 256 vector bytes; measured ~13x as parquet bytes
-once row framing and the id column are counted — IVFPQ_gen100.json),
-compounding with the cell partition-pruning the IVF layout already
-does. Scoring is ADC
+cell centroid): measured at 2M x 64-dim (IVFPQ_gen100.json), the
+code table is 19.3x smaller than the full-vector index at m=8 and
+12.0x at m=16 as parquet bytes on disk, compounding with the cell
+partition-pruning the IVF layout already does. Scoring is ADC
 (asymmetric distance computation): the query stays full-precision, and
 each candidate's approximate similarity is m table lookups into a
 per-query lookup table (LUT) of subspace dot products. A bounded exact
@@ -50,17 +49,24 @@ cosine and rank order matches the exact scorer up to quantization
 error.
 
 What the measurement says about WHEN to use this
-(IVFPQ_gen100.json; the numpy error-floor study in SCALE.md): ADC's
-per-candidate score error is ~0.04 cosine at m=8 (~0.03 at m=16), so
-PQ ranking works exactly when true neighbors are separated by MORE
-than that. Retrieval of genuinely-near items (the near-dup /
+(IVFPQ_gen100.json at 2M x 64-dim; the numpy error-floor study in
+SCALE.md): ADC's per-candidate score error is ~0.04 cosine at m=8,
+so PQ ranking works exactly when true neighbors are separated by
+MORE than that. Retrieval of genuinely-near items (the near-dup /
 dedup shape: a planted sigma-0.02 perturbation sits a full gap above
-the bulk) is the sweet spot — seed-hit@1 is 0.85 ADC-only and 1.0
-with any rerank at 12.6x fewer bytes. Ranking WITHIN an
-undifferentiated noise cloud (this fixture's mode-mates are spaced
-~0.002 apart — tighter than any byte-bounded code can resolve) is
-not: recall@10 degrades and the full-vector index is the right tool.
-State the regime, don't average over it.
+the bulk) is the sweet spot — at m=16 the seed is retrieved at
+rank 1 for EVERY query with no rerank at all (12.0x fewer bytes);
+m=8 pushes to 19.3x and reads 0.92 with a x4 rerank. Ranking WITHIN
+an undifferentiated noise cloud (this fixture's mode-mates are
+spaced ~0.002 apart — tighter than any byte-bounded code can
+resolve) is not: recall@10 degrades at any m and the full-vector
+index is the right tool. Hence the measured default m=16. And the
+win is AT-REST BYTES, not warm-box wall time: on this machine's
+page-cached disk the ADC pass is mildly slower than the full-vector
+probe (17.1s vs 12.5s at 2M) — the byte ratio pays off where reads
+are the cost, i.e. the cold object store a 100 TB index lives on
+(the same storage-tier dependence as the route cutoff in
+ivf_search_indexed). State the regime, don't average over it.
 """
 
 from __future__ import annotations
@@ -112,7 +118,7 @@ def _normalized(M, np):
 def pq_train(
     corpus: DataFrame,
     centroids: list[list[float]],
-    m: int = 8,
+    m: int = 16,
     nbits: int = 8,
     corpus_id: str = "c_id",
     vec_col: str = "vec",
@@ -132,7 +138,13 @@ def pq_train(
     coarse trainer). Deterministic: md5-keyed sampling, seeded RNG per
     subspace. Raises when ``m`` does not divide the vector dim or the
     sample is empty; ``ksub`` clamps to the sample size when the corpus
-    is smaller than 2**nbits (codes stay dense in [0, ksub))."""
+    is smaller than 2**nbits (codes stay dense in [0, ksub)).
+
+    ``m=16`` is the measured default (IVFPQ_gen100.json, 2M x 64-dim):
+    it is the coarsest code that still retrieved every planted
+    near-dup at rank 1 with NO rerank, at 12x fewer at-rest bytes;
+    m=8 (19.3x) needs a x4 rerank and reads 0.92 on the same probe.
+    Drop to m=8 when bytes dominate and a rerank pass is acceptable."""
     import numpy as np
 
     C = np.asarray(centroids, dtype=np.float64)

@@ -866,6 +866,18 @@ def compact_ivf_cells(spark, index_table: str) -> int:
     the rewritten rows only in an ephemeral localCheckpoint while
     Spark's commit deleted the old directories — a driver crash in
     that window lost the fragmented cells for good.)
+
+    Concurrent appends: the staging read is a snapshot, so an
+    ``append_ivf`` landing between stage and swap would otherwise be
+    silently REPLACED by the staged (pre-append) copy of its cell. The
+    swap therefore re-lists each cell immediately before renaming it
+    and SKIPS any cell whose data-file set changed since the scan
+    (``_swap_safe_cells``) — the skipped cell stays fragmented and the
+    next compaction picks it up. This closes the minutes-long staging
+    window; the re-list-to-rename gap that remains is the same
+    instant-race every rename-based maintenance protocol has, so a
+    deployment with multiple UNCOORDINATED writers still needs external
+    serialization of maintenance, as in any table format.
     """
     import re
 
@@ -890,13 +902,17 @@ def compact_ivf_cells(spark, index_table: str) -> int:
 
     # fragmentation scan from the table's file index — scheme-aware and
     # one catalog listing, no per-directory walk (4096 cells on an
-    # object store would be 4096 LIST calls the other way)
-    counts: dict[int, int] = {}
+    # object store would be 4096 LIST calls the other way). The
+    # per-cell file NAMES are kept: they are the swap guard's
+    # changed-since-scan baseline.
+    scanned: dict[int, set[str]] = {}
     for f in spark.table(index_table).inputFiles():
         m = re.search(r"/cell=(\d+)/", f)
         if m:
-            counts[int(m.group(1))] = counts.get(int(m.group(1)), 0) + 1
-    fragmented = sorted(c for c, n in counts.items() if n > 1)
+            scanned.setdefault(int(m.group(1)), set()).add(
+                f.rsplit("/", 1)[1]
+            )
+    fragmented = sorted(c for c, names in scanned.items() if len(names) > 1)
     if not fragmented:
         return 0
     # stage: read ONLY the fragmented cell directories (basePath keeps
@@ -913,19 +929,44 @@ def compact_ivf_cells(spark, index_table: str) -> int:
         .partitionBy("cell")
         .parquet(staging)
     )
-    # swap per cell: aside <- live, live <- staged (see recovery above)
+    # swap per cell: aside <- live, live <- staged (see recovery above);
+    # cells whose live file set changed since the scan (a concurrent
+    # append landed mid-stage) are skipped — swapping them in would
+    # replace the appended file with the staged pre-append copy
     fs.mkdirs(aside)
-    for c in fragmented:
+    swapped = 0
+    for c in _swap_safe_cells(fs, loc, fragmented, scanned):
         cell = f"cell={c}"
         fs.rename(join_uri(loc, cell), join_uri(aside, cell))
         fs.rename(join_uri(staging, cell), join_uri(loc, cell))
+        swapped += 1
     fs.delete(aside)
     fs.delete(staging)
     try:
         spark.catalog.refreshTable(index_table)
     except Exception:
         pass
-    return len(fragmented)
+    return swapped
+
+
+def _swap_safe_cells(fs, loc: str, fragmented, scanned) -> list[int]:
+    """The subset of ``fragmented`` cells whose live data-file set
+    still equals the set recorded at scan time (``scanned``) — only
+    those may be swapped for their staged rewrite without discarding a
+    concurrently appended file. Pure selection over fsio listings, so
+    the guard is unit-testable with a stub filesystem."""
+    from smallquery_spark.fsio import join_uri
+
+    safe = []
+    for c in fragmented:
+        live = {
+            n
+            for n in fs.list_names(join_uri(loc, f"cell={c}"))
+            if n.endswith(".parquet")
+        }
+        if live == scanned[c]:
+            safe.append(c)
+    return safe
 
 
 def assignment_fit(

@@ -977,7 +977,7 @@ def c3_ann_ivfpq(spark, sf_dir):
     )
     n_cells, n_probe = ivf_defaults(corpus.count())
     cents = ivf_build_centroids(corpus, n_cells=n_cells)
-    books = pq_train(corpus, cents, m=8)
+    books = pq_train(corpus, cents)  # m=16, the measured default
     assigned = ivf_assign(corpus, cents)
     name = f"c3pq_{os.getpid()}"
     t_pq = materialize_ivfpq(spark, assigned, cents, books, name)

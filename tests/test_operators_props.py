@@ -1483,3 +1483,149 @@ def test_fsio_non_file_scheme_viewfs(spark, tmp_path):
     assert spark.read.parquet(uri2).count() == 500
     fs.delete(uri2)
     assert not fs.exists(uri2)
+
+
+def test_swap_safe_cells_guard():
+    """_swap_safe_cells: only cells whose live data-file set still
+    equals the scan-time set may swap — a changed set means a
+    concurrent append landed mid-stage and swapping would discard it.
+    Pure selection over listings, tested with a stub filesystem."""
+    from smallquery_spark.operators.similarity import _swap_safe_cells
+
+    class StubFS:
+        def __init__(self, listing):
+            self.listing = listing
+
+        def list_names(self, uri):
+            return self.listing.get(uri, [])
+
+    scanned = {0: {"part-a.parquet", "part-b.parquet"}, 1: {"part-c.parquet", "part-d.parquet"}}
+    fs = StubFS(
+        {
+            # cell 0: a concurrent append added part-e -> unsafe
+            "wh/t/cell=0": ["part-a.parquet", "part-b.parquet", "part-e.parquet"],
+            # cell 1: unchanged (extra non-parquet noise ignored)
+            "wh/t/cell=1": ["part-c.parquet", "part-d.parquet", ".crc"],
+        }
+    )
+    assert _swap_safe_cells(fs, "wh/t", [0, 1], scanned) == [1]
+
+
+def test_ivf_compact_skips_concurrently_appended_cell(spark, monkeypatch):
+    """compact_ivf_cells must not lose a file appended between its
+    staging snapshot and the directory swap: the changed cell is
+    SKIPPED (stays fragmented, every row reachable — including the
+    concurrent one) and the next compaction picks it up. The append is
+    injected at the one point between stage and swap (the aside-tree
+    mkdirs)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from smallquery_spark.fsio import HadoopFS
+    from smallquery_spark.operators.similarity import compact_ivf_cells
+
+    t = f"ivfx_cmprace_{os.getpid()}"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        base = spark.createDataFrame(
+            [(i, [float(i)], i % 2) for i in range(8)],
+            "c_id long, vec array<double>, cell int",
+        )
+        base.repartition(F.col("cell")).write.partitionBy("cell").saveAsTable(t)
+        extra = spark.createDataFrame(
+            [(100, [1.0], 0), (101, [2.0], 1)],
+            "c_id long, vec array<double>, cell int",
+        )
+        extra.repartition(F.col("cell")).write.mode("append").partitionBy(
+            "cell"
+        ).saveAsTable(t)  # both cells now fragmented (2 files each)
+
+        orig_mkdirs = HadoopFS.mkdirs
+        fired = {"done": False}
+
+        def mkdirs_then_append(self, uri):
+            if not fired["done"]:
+                fired["done"] = True
+                race = spark.createDataFrame(
+                    [(999, [9.0], 0)], "c_id long, vec array<double>, cell int"
+                )
+                race.repartition(F.col("cell")).write.mode("append").partitionBy(
+                    "cell"
+                ).saveAsTable(t)
+            return orig_mkdirs(self, uri)
+
+        monkeypatch.setattr(HadoopFS, "mkdirs", mkdirs_then_append)
+        assert compact_ivf_cells(spark, t) == 1  # cell 1 only; cell 0 raced
+        monkeypatch.setattr(HadoopFS, "mkdirs", orig_mkdirs)
+
+        ids = sorted(r.c_id for r in spark.table(t).collect())
+        assert ids == [0, 1, 2, 3, 4, 5, 6, 7, 100, 101, 999]  # nothing lost
+        # the raced cell stays fragmented; the clean one compacted
+        from urllib.parse import urlparse
+        import glob
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        assert len(glob.glob(os.path.join(wh, t, "cell=0", "part-*"))) == 3
+        assert len(glob.glob(os.path.join(wh, t, "cell=1", "part-*"))) == 1
+        # next (quiet) compaction picks the raced cell up
+        assert compact_ivf_cells(spark, t) == 1
+        assert len(glob.glob(os.path.join(wh, t, "cell=0", "part-*"))) == 1
+        assert sorted(r.c_id for r in spark.table(t).collect()) == ids
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_neardup_compact_aborts_on_concurrent_append(spark, monkeypatch):
+    """NearDupIndex.compact must abort a table's swap when an append
+    landed during the staging rewrite (the staged copy predates the
+    append): the appended rows survive, the table simply stays
+    fragmented until the next compaction."""
+    import os
+
+    from smallquery_spark.operators import neardup_index as ndx_mod
+    from smallquery_spark.operators.dedup import _banded_sig_df
+    from smallquery_spark.operators.neardup_index import NearDupIndex
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(
+        os.path.join(SF_SMOKE, "documents.parquet")
+    ).select("doc_id", "text")
+    ndx = NearDupIndex(spark, f"cmprace_{os.getpid()}", n_buckets=4)
+    ndx.drop()
+    try:
+        sig = _banded_sig_df(docs).localCheckpoint(eager=True)
+        race_sig = _banded_sig_df(
+            docs.withColumn("doc_id", F.col("doc_id") + 10_000)
+        ).localCheckpoint(eager=True)
+        ndx.append(sig)
+
+        orig_wb = ndx_mod.write_bucketed
+        fired = {"done": False}
+
+        def wb_then_append(df, name, key, n_buckets):
+            orig_wb(df, name, key, n_buckets)
+            if not fired["done"]:
+                fired["done"] = True
+                # lands AFTER the bands staging snapshot was read but
+                # BEFORE its swap -> bands must abort; the hashes pass
+                # snapshots after this, so it compacts normally
+                ndx.append(race_sig)
+
+        monkeypatch.setattr(ndx_mod, "write_bucketed", wb_then_append)
+        before_bands = spark.table(ndx.bands_table).count()
+        before_hashes = spark.table(ndx.hashes_table).count()
+        ndx.compact()
+        monkeypatch.setattr(ndx_mod, "write_bucketed", orig_wb)
+
+        # appended rows survived the aborted swap (race_sig covers the
+        # same doc count as sig, so it contributes the same band-row
+        # count; a lost append would read exactly before_bands)
+        assert spark.table(ndx.bands_table).count() == 2 * before_bands
+        assert spark.table(ndx.hashes_table).count() > before_hashes
+        # a quiet compact now flattens everything, values intact
+        bands_rows = spark.table(ndx.bands_table).count()
+        ndx.compact()
+        assert spark.table(ndx.bands_table).count() == bands_rows
+    finally:
+        ndx.drop()

@@ -113,10 +113,27 @@ def materialize_bucketed(
 def _prune_stale_bucketed(
     fs: HadoopFS, wh_uri: str, max_age_hours: float = 24.0
 ) -> None:
-    """Scavenge digest-named bucketed-table dirs left by killed runs."""
+    """Scavenge digest-named bucketed-table dirs left by killed runs.
+
+    LOCAL warehouses only, with a live-owner check: bkt_* tables are
+    written once (mtime never refreshes while a long run reuses them),
+    so the age test alone would evict a live >24h run's table — skip
+    any whose pid suffix is a live process (owner_pid_alive, the
+    diskguard rule). On a remote warehouse (hdfs://, s3a://) pid
+    liveness is meaningless across machines — another driver's pid is
+    invisible here — so pruning is not attempted at all; remote
+    warehouse hygiene belongs to a real catalog/TTL policy."""
+    from urllib.parse import urlparse
+
+    from smallquery_spark.queries.tmpdirs import owner_pid_alive
+
+    if urlparse(wh_uri).scheme not in ("", "file"):
+        return
     cutoff = time.time() - max_age_hours * 3600.0
     for st in fs.list_status(wh_uri):
         if not re.match(r"bkt_[0-9a-f]{12}_\d+$", st["name"]):
+            continue
+        if owner_pid_alive(st["name"]):
             continue
         try:
             if st["is_dir"] and st["mtime"] < cutoff:

@@ -118,7 +118,7 @@ def _normalized(M, np):
 def pq_train(
     corpus: DataFrame,
     centroids: list[list[float]],
-    m: int = 16,
+    m: int | None = None,
     nbits: int = 8,
     corpus_id: str = "c_id",
     vec_col: str = "vec",
@@ -140,15 +140,19 @@ def pq_train(
     sample is empty; ``ksub`` clamps to the sample size when the corpus
     is smaller than 2**nbits (codes stay dense in [0, ksub)).
 
-    ``m=16`` is the measured default (IVFPQ_gen100.json, 2M x 64-dim):
-    it is the coarsest code that still retrieved every planted
+    ``m=None`` derives the measured default (IVFPQ_gen100.json,
+    2M x 64-dim): the largest divisor of dim that is ≤ 16 — at dim 64
+    that is m=16, the coarsest code that still retrieved every planted
     near-dup at rank 1 with NO rerank, at 12x fewer at-rest bytes;
     m=8 (19.3x) needs a x4 rerank and reads 0.92 on the same probe.
-    Drop to m=8 when bytes dominate and a rerank pass is acceptable."""
+    Pass m=8 (or lower) when bytes dominate and a rerank pass is
+    acceptable; an explicit m must divide dim."""
     import numpy as np
 
     C = np.asarray(centroids, dtype=np.float64)
     dim = C.shape[1]
+    if m is None:
+        m = next(d for d in range(min(16, dim), 0, -1) if dim % d == 0)
     if dim % m != 0:
         raise ValueError(f"m={m} must divide vector dim {dim}")
     n_total = corpus.count()

@@ -276,15 +276,23 @@ def _bucketed_tables(spark, sf_dir) -> tuple[str, str]:
 
 
 def _prune_stale_warehouse(fs, wh_uri: str, max_age_hours: float = 24.0) -> None:
-    """Scavenge pid-suffixed bucketed-table dirs left by killed runs."""
+    """Scavenge pid-suffixed bucketed-table dirs left by killed runs —
+    local warehouses only, skipping live owners (same rule and
+    rationale as operators/bucketing._prune_stale_bucketed)."""
     import re
     import time
+    from urllib.parse import urlparse
 
     from smallquery_spark.fsio import join_uri
+    from smallquery_spark.queries.tmpdirs import owner_pid_alive
 
+    if urlparse(wh_uri).scheme not in ("", "file"):
+        return
     cutoff = time.time() - max_age_hours * 3600.0
     for st in fs.list_status(wh_uri):
         if not re.match(r"(orders|lineitem)_bkt_.*_\d+$", st["name"]):
+            continue
+        if owner_pid_alive(st["name"]):
             continue
         try:
             if st["is_dir"] and st["mtime"] < cutoff:

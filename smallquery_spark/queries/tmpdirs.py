@@ -16,11 +16,35 @@ from __future__ import annotations
 
 import atexit
 import os
+import re
 import shutil
 import tempfile
 import time
 
 _registered: set[str] = set()
+
+
+def owner_pid_alive(name: str) -> bool:
+    """True when the artifact name's trailing ``_<pid>`` names a LIVE
+    process. Pid-suffixed scratch artifacts (``smallquery_rollups_<pid>``
+    workdirs, ``bkt_<digest>_<pid>`` bucketed tables) are written ONCE
+    and then reused — their mtime never refreshes — so an age test
+    alone would evict them out from under a >24h run. EPERM from
+    ``kill(pid, 0)`` means the pid EXISTS under another user: on a
+    shared box that is exactly the live-run case the guard protects,
+    so it counts as alive (the ADVICE-r8 diskguard rule; tools/
+    diskguard delegates here). Names without a pid suffix return
+    False — age is then the only signal."""
+    m = re.search(r"_(\d+)$", name.rstrip("/"))
+    if not m:
+        return False
+    try:
+        os.kill(int(m.group(1)), 0)
+        return True
+    except PermissionError:
+        return True
+    except (ProcessLookupError, ValueError, OSError):
+        return False
 
 
 def register_cleanup(path: str) -> str:
@@ -32,11 +56,11 @@ def register_cleanup(path: str) -> str:
 
 
 def prune_stale(prefix: str, max_age_hours: float = 24.0) -> None:
-    """Delete temp dirs matching ``prefix*`` older than ``max_age_hours``.
-
-    Age is judged by the dir's own mtime; a dir in active use by a
-    live concurrent run is hours, not days, old. Errors are ignored —
-    this is scavenging, not correctness.
+    """Delete temp dirs matching ``prefix*`` older than ``max_age_hours``,
+    EXCEPT dirs whose trailing pid suffix names a live process (a
+    written-once workdir's mtime never refreshes, so age alone would
+    evict it from under a long-lived run — see owner_pid_alive).
+    Errors are ignored — this is scavenging, not correctness.
     """
     base = tempfile.gettempdir()
     cutoff = time.time() - max_age_hours * 3600.0
@@ -45,7 +69,7 @@ def prune_stale(prefix: str, max_age_hours: float = 24.0) -> None:
     except OSError:
         return
     for name in entries:
-        if not name.startswith(prefix):
+        if not name.startswith(prefix) or owner_pid_alive(name):
             continue
         full = os.path.join(base, name)
         try:

@@ -1629,3 +1629,63 @@ def test_neardup_compact_aborts_on_concurrent_append(spark, monkeypatch):
         assert spark.table(ndx.bands_table).count() == bands_rows
     finally:
         ndx.drop()
+
+
+def test_prune_stale_skips_live_owner(tmp_path, monkeypatch):
+    """prune_stale must not evict a pid-suffixed workdir whose owner is
+    alive, however old its mtime (written-once dirs never refresh it);
+    dead-owner dirs past the age cutoff still go."""
+    import os
+    import tempfile
+    import time
+
+    from smallquery_spark.queries.tmpdirs import owner_pid_alive, prune_stale
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    live = tmp_path / f"smallquery_prunetest_{os.getpid()}"
+    dead = tmp_path / "smallquery_prunetest_999999999"
+    nopid = tmp_path / "smallquery_prunetest_nosuffix"
+    old = time.time() - 48 * 3600
+    for d in (live, dead, nopid):
+        d.mkdir()
+        os.utime(d, (old, old))
+    assert owner_pid_alive(live.name) and not owner_pid_alive(dead.name)
+    assert not owner_pid_alive(nopid.name)
+    prune_stale("smallquery_prunetest_")
+    assert live.exists()  # live owner: kept despite age
+    assert not dead.exists()  # dead owner + old: scavenged
+    assert not nopid.exists()  # no pid suffix: age rule alone applies
+
+
+def test_warehouse_pruners_guard_live_and_remote(spark, tmp_path):
+    """The warehouse pruners (bucketing/scale) must skip live-owner
+    bkt_* tables and must not prune AT ALL on a non-local warehouse —
+    pid liveness is a single-box concept; another driver's pid is
+    invisible across machines."""
+    import os
+    import time
+
+    from smallquery_spark.fsio import fs_for
+    from smallquery_spark.operators.bucketing import _prune_stale_bucketed
+
+    wh = tmp_path / "wh"
+    live = wh / f"bkt_{'a' * 12}_{os.getpid()}"
+    dead = wh / f"bkt_{'b' * 12}_999999999"
+    live.mkdir(parents=True)
+    dead.mkdir()
+    old = time.time() - 48 * 3600
+    os.utime(live, (old, old))
+    os.utime(dead, (old, old))
+    fs = fs_for(spark, str(wh))
+    _prune_stale_bucketed(fs, str(wh))
+    assert live.exists() and not dead.exists()
+
+    # remote scheme: returns before touching the filesystem at all
+    class Untouchable:
+        def __getattr__(self, name):
+            raise AssertionError("remote warehouse must not be pruned")
+
+    _prune_stale_bucketed(Untouchable(), "s3a://bucket/warehouse")
+    from smallquery_spark.queries.scale import _prune_stale_warehouse
+
+    _prune_stale_warehouse(Untouchable(), "hdfs://nn/warehouse")

@@ -60,6 +60,8 @@ def test_pq_train_contract(spark, corpus):
     assert b1.m == 4 and b1.dsub == 4 and b1.ksub == 256
     # a sample smaller than 2**nbits clamps ksub (codes stay dense)
     assert pq_train(corpus, cents, m=4, nbits=10).ksub == 300
+    # m=None derives the largest divisor of dim that is <= 16
+    assert pq_train(corpus, cents).m == 16  # dim 16 -> m 16, dsub 1
     # empty corpus raises
     with pytest.raises(ValueError):
         pq_train(corpus.filter("c_id < 0"), cents, m=4)

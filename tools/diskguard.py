@@ -57,24 +57,13 @@ def _owner_alive(name: str) -> bool:
     bkt_* tables are content-addressed and written ONCE (their mtime
     never refreshes while a long measurement keeps reusing them), so an
     age test alone could delete a bucketed table out from under a >6h
-    run launched by another preflighted tool. The pid suffix
-    (operators/bucketing.py names tables ``bkt_<digest>_<pid>``) tells
-    us whether the owning session can still be using it.
-    """
-    m = re.search(r"_(\d+)$", name)
-    if not m:
-        return False
-    try:
-        os.kill(int(m.group(1)), 0)
-        return True
-    except PermissionError:
-        # EPERM means the pid EXISTS but belongs to another user — on a
-        # shared box that is exactly the live-run case this guard
-        # protects (treating it as dead would evict a bkt_* table out
-        # from under another user's >24h measurement)
-        return True
-    except (ProcessLookupError, ValueError, OSError):
-        return False
+    run launched by another preflighted tool. The canonical
+    implementation (incl. the EPERM-means-alive rule, ADVICE r8) lives
+    in queries/tmpdirs.owner_pid_alive so the engine's own warehouse
+    pruners apply the identical policy; this delegates."""
+    from smallquery_spark.queries.tmpdirs import owner_pid_alive
+
+    return owner_pid_alive(name)
 
 
 def _evict_stale(max_age_hours: float) -> list[str]:

@@ -488,11 +488,36 @@ def ivfpq_search(
     if n_probe is None:
         n_probe = _default_probe(len(centroids), n_corpus)
 
+    def _empty_result(score: str) -> DataFrame:
+        # derive the empty-result schema from the ACTUAL id types (the
+        # populated path inherits them from the inputs): with string or
+        # int ids a hardcoded `long` would make the empty case union-
+        # incompatible with the non-empty one (ADVICE r9)
+        from pyspark.sql.types import (
+            DoubleType,
+            IntegerType,
+            StructField,
+            StructType,
+        )
+
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField(query_id, queries.schema[query_id].dataType),
+                    StructField(
+                        corpus_id,
+                        spark.table(index_table).schema[corpus_id].dataType,
+                    ),
+                    StructField(score, DoubleType()),
+                    StructField("rnk", IntegerType(), False),
+                ]
+            ),
+        )
+
     qrows = queries.select(query_id, vec_col).collect()
     if not qrows:
-        score = "adc" if rerank_corpus is None else "cos"
-        schema = f"{query_id} long, {corpus_id} long, {score} double, rnk int"
-        return spark.createDataFrame([], schema)
+        return _empty_result("adc" if rerank_corpus is None else "cos")
     q_ids = [r[0] for r in qrows]
     Q = _normalized(
         np.array([[float(x) for x in r[1]] for r in qrows], dtype=np.float64),
@@ -538,8 +563,7 @@ def ivfpq_search(
     # the corpus by id at scale so point fetches prune to buckets)
     cand_ids = [r[0] for r in top.select(corpus_id).distinct().collect()]
     if not cand_ids:  # empty index / all-filtered probe: nothing to rerank
-        schema = f"{query_id} long, {corpus_id} long, cos double, rnk int"
-        return spark.createDataFrame([], schema)
+        return _empty_result("cos")
     vecs = rerank_corpus.select(
         corpus_id, F.col(vec_col).alias("__cvec")
     ).filter(F.col(corpus_id).isin(cand_ids))

@@ -870,11 +870,15 @@ def compact_ivf_cells(spark, index_table: str) -> int:
     Concurrent appends: the staging read is a snapshot, so an
     ``append_ivf`` landing between stage and swap would otherwise be
     silently REPLACED by the staged (pre-append) copy of its cell. The
-    swap therefore re-lists each cell immediately before renaming it
-    and SKIPS any cell whose data-file set changed since the scan
-    (``_swap_safe_cells``) — the skipped cell stays fragmented and the
+    swap therefore re-lists each cell INSIDE the rename loop,
+    immediately before that cell's own rename-aside, and SKIPS any
+    cell whose data-file set changed since the scan
+    (``_cell_swap_safe``) — the skipped cell stays fragmented and the
     next compaction picks it up. This closes the minutes-long staging
-    window; the re-list-to-rename gap that remains is the same
+    window AND the loop-long window a batch safe-list would reopen
+    (for the Nth cell such a list is stale by N-1 renames — on object
+    stores, seconds each); the re-list-to-rename gap that remains is
+    the same
     instant-race every rename-based maintenance protocol has, so a
     deployment with multiple UNCOORDINATED writers still needs external
     serialization of maintenance, as in any table format.
@@ -935,8 +939,16 @@ def compact_ivf_cells(spark, index_table: str) -> int:
     # replace the appended file with the staged pre-append copy
     fs.mkdirs(aside)
     swapped = 0
-    for c in _swap_safe_cells(fs, loc, fragmented, scanned):
+    for c in fragmented:
         cell = f"cell={c}"
+        # the guard runs per-rename, IMMEDIATELY before this cell's
+        # rename-aside — not as a batch list before the loop, which
+        # would be stale by N-1 renames for the Nth cell (on an object
+        # store whose renames are copies, that staleness is the whole
+        # swap loop's wall time, ADVICE r9). The residual window is
+        # one list-to-rename gap per cell.
+        if not _cell_swap_safe(fs, loc, c, scanned[c]):
+            continue
         fs.rename(join_uri(loc, cell), join_uri(aside, cell))
         fs.rename(join_uri(staging, cell), join_uri(loc, cell))
         swapped += 1
@@ -949,24 +961,22 @@ def compact_ivf_cells(spark, index_table: str) -> int:
     return swapped
 
 
-def _swap_safe_cells(fs, loc: str, fragmented, scanned) -> list[int]:
-    """The subset of ``fragmented`` cells whose live data-file set
-    still equals the set recorded at scan time (``scanned``) — only
-    those may be swapped for their staged rewrite without discarding a
-    concurrently appended file. Pure selection over fsio listings, so
-    the guard is unit-testable with a stub filesystem."""
+def _cell_swap_safe(fs, loc: str, c: int, scanned_names: set) -> bool:
+    """True when cell ``c``'s live data-file set still equals the set
+    recorded at scan time — only then may the cell be swapped for its
+    staged rewrite without discarding a concurrently appended file.
+    Called per cell, immediately before that cell's rename-aside (a
+    batch check computed up front is stale by every earlier cell's
+    rename). Pure predicate over one fsio listing, unit-testable with
+    a stub filesystem."""
     from smallquery_spark.fsio import join_uri
 
-    safe = []
-    for c in fragmented:
-        live = {
-            n
-            for n in fs.list_names(join_uri(loc, f"cell={c}"))
-            if n.endswith(".parquet")
-        }
-        if live == scanned[c]:
-            safe.append(c)
-    return safe
+    live = {
+        n
+        for n in fs.list_names(join_uri(loc, f"cell={c}"))
+        if n.endswith(".parquet")
+    }
+    return live == scanned_names
 
 
 def assignment_fit(

@@ -38,12 +38,20 @@ def owner_pid_alive(name: str) -> bool:
     m = re.search(r"_(\d+)$", name.rstrip("/"))
     if not m:
         return False
+    pid = int(m.group(1))
+    if pid <= 0 or pid > 2**31 - 1:
+        # a numeric suffix outside the C pid_t range is not a pid at
+        # all; os.kill would raise OverflowError, and the pruners call
+        # this OUTSIDE their error-swallowing loops — one oddly named
+        # dir must degrade to the age-only rule, not crash the
+        # scavenger (ADVICE r9)
+        return False
     try:
-        os.kill(int(m.group(1)), 0)
+        os.kill(pid, 0)
         return True
     except PermissionError:
         return True
-    except (ProcessLookupError, ValueError, OSError):
+    except (ProcessLookupError, ValueError, OverflowError, OSError):
         return False
 
 

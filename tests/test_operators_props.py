@@ -1485,12 +1485,13 @@ def test_fsio_non_file_scheme_viewfs(spark, tmp_path):
     assert not fs.exists(uri2)
 
 
-def test_swap_safe_cells_guard():
-    """_swap_safe_cells: only cells whose live data-file set still
-    equals the scan-time set may swap — a changed set means a
+def test_cell_swap_safe_guard():
+    """_cell_swap_safe: a cell may swap only while its live data-file
+    set still equals the scan-time set — a changed set means a
     concurrent append landed mid-stage and swapping would discard it.
-    Pure selection over listings, tested with a stub filesystem."""
-    from smallquery_spark.operators.similarity import _swap_safe_cells
+    Per-cell predicate (called inside the rename loop, right before
+    that cell's rename — ADVICE r9), tested with a stub filesystem."""
+    from smallquery_spark.operators.similarity import _cell_swap_safe
 
     class StubFS:
         def __init__(self, listing):
@@ -1508,7 +1509,12 @@ def test_swap_safe_cells_guard():
             "wh/t/cell=1": ["part-c.parquet", "part-d.parquet", ".crc"],
         }
     )
-    assert _swap_safe_cells(fs, "wh/t", [0, 1], scanned) == [1]
+    assert not _cell_swap_safe(fs, "wh/t", 0, scanned[0])
+    assert _cell_swap_safe(fs, "wh/t", 1, scanned[1])
+    # the per-cell shape means a mutation BETWEEN two cells' renames is
+    # seen by the later cell's own check
+    fs.listing["wh/t/cell=1"].append("part-x.parquet")
+    assert not _cell_swap_safe(fs, "wh/t", 1, scanned[1])
 
 
 def test_ivf_compact_skips_concurrently_appended_cell(spark, monkeypatch):
@@ -1651,10 +1657,19 @@ def test_prune_stale_skips_live_owner(tmp_path, monkeypatch):
         os.utime(d, (old, old))
     assert owner_pid_alive(live.name) and not owner_pid_alive(dead.name)
     assert not owner_pid_alive(nopid.name)
+    # a numeric suffix beyond the C int range must degrade to the
+    # age-only rule, not crash the scavenger via OverflowError from
+    # os.kill (prune_stale calls owner_pid_alive OUTSIDE its
+    # error-swallowing loop — ADVICE r9)
+    overflow = tmp_path / "smallquery_prunetest_99999999999999999999"
+    overflow.mkdir()
+    os.utime(overflow, (old, old))
+    assert not owner_pid_alive(overflow.name)
     prune_stale("smallquery_prunetest_")
     assert live.exists()  # live owner: kept despite age
     assert not dead.exists()  # dead owner + old: scavenged
     assert not nopid.exists()  # no pid suffix: age rule alone applies
+    assert not overflow.exists()  # absurd pid suffix: age rule, no crash
 
 
 def test_warehouse_pruners_guard_live_and_remote(spark, tmp_path):

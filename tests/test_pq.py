@@ -273,3 +273,71 @@ def test_ivfpq_table_smaller_than_full_vector_index(spark, corpus, trained):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t_full}")
         spark.sql(f"DROP TABLE IF EXISTS {t_pq}")
+
+
+def test_ivfpq_empty_results_inherit_id_types(spark):
+    """The empty-result early returns must carry the CALLER's id types
+    (string here), matching the populated path's schema: a hardcoded
+    `long` made an empty query batch union-incompatible with non-empty
+    results over the same string-keyed index (ADVICE r9). Exercises
+    both early returns — empty query batch, and empty candidate set
+    via an empty index on the rerank path."""
+    from smallquery_spark.operators.pq import (
+        ivfpq_search,
+        materialize_ivfpq,
+        pq_train,
+    )
+    from smallquery_spark.operators.similarity import (
+        ivf_assign,
+        ivf_build_centroids,
+    )
+
+    X = _clustered(n=40, dim=8, n_modes=2)
+    corpus = spark.createDataFrame(
+        [(f"doc-{i}", [float(v) for v in X[i]]) for i in range(len(X))],
+        "c_id string, vec array<double>",
+    )
+    cents = ivf_build_centroids(corpus, n_cells=2)
+    books = pq_train(corpus, cents, m=2)
+    pid = os.getpid()
+    t = materialize_ivfpq(
+        spark, ivf_assign(corpus, cents), cents, books, f"pqschema_{pid}"
+    )
+    t_empty = materialize_ivfpq(
+        spark,
+        ivf_assign(corpus.limit(0), cents),
+        cents,
+        books,
+        f"pqschema_e_{pid}",
+    )
+    try:
+        qs = corpus.limit(3).select(F.col("c_id").alias("q_id"), "vec")
+        none = corpus.limit(0).select(F.col("c_id").alias("q_id"), "vec")
+
+        def shape(df):
+            return [(f.name, f.dataType) for f in df.schema.fields]
+
+        full = ivfpq_search(spark, qs, t, cents, books, k=3)
+        empty = ivfpq_search(spark, none, t, cents, books, k=3)
+        assert shape(empty) == shape(full)
+        assert full.unionByName(empty).count() == full.count() > 0
+
+        full_rr = ivfpq_search(
+            spark, qs, t, cents, books, k=3, rerank_corpus=corpus
+        )
+        empty_rr = ivfpq_search(
+            spark, none, t, cents, books, k=3, rerank_corpus=corpus
+        )
+        # empty-candidate early return: rerank against an EMPTY index
+        no_cand = ivfpq_search(
+            spark, qs, t_empty, cents, books, k=3, rerank_corpus=corpus
+        )
+        assert shape(empty_rr) == shape(full_rr) == shape(no_cand)
+        assert (
+            full_rr.unionByName(empty_rr).unionByName(no_cand).count()
+            == full_rr.count()
+            > 0
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_empty}")

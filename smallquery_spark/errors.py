@@ -51,3 +51,11 @@ class TableNotFound(EngineError):
     def __init__(self, table: str):
         self.table = table
         super().__init__(f"table not found: {table!r}")
+
+
+class StaleQuantizerError(EngineError):
+    """An IVF/IVF-PQ index was probed (or its metadata loaded) with
+    quantizer state that does not match the index's own generation
+    stamp. Serving such a probe returns silently wrong neighbors
+    (wrong cell assignment, wrong ADC offsets) — the contract is to
+    fail loudly instead (operators/pq.py lifecycle)."""

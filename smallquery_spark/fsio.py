@@ -61,6 +61,7 @@ class HadoopFS:
 
     def __init__(self, spark: SparkSession, uri: str) -> None:
         jvm = spark._jvm
+        self._jvm = jvm
         self._Path = jvm.org.apache.hadoop.fs.Path
         self._fs = self._Path(uri).getFileSystem(
             spark._jsc.hadoopConfiguration()
@@ -117,9 +118,19 @@ class HadoopFS:
 
     def parquet_stats(self, uri: str) -> tuple[int, int]:
         """(n_parquet_files, total_parquet_bytes) under ``uri``,
-        recursive — the sizing input for compaction decisions."""
+        recursive — the sizing input for compaction decisions. Skips
+        hidden paths (any ``_``/``.``-prefixed segment), mirroring
+        Spark's own hiddenFileFilter: files under e.g. an index's
+        ``_meta`` sidecar are metadata, not scannable data, and must
+        not count toward compaction/size decisions about the data."""
         n = total = 0
         for path, size in self.list_files_recursive(uri):
+            # a qualified URI segment never starts with '_' or '.'
+            # except for hidden entries, so the substring test IS the
+            # per-segment prefix test without fragile base-relative
+            # string math
+            if "/_" in path or "/." in path:
+                continue
             if path.endswith(".parquet"):
                 n += 1
                 total += size
@@ -148,6 +159,33 @@ class HadoopFS:
     def mkdirs(self, uri: str) -> None:
         if not self._fs.mkdirs(self._Path(uri)):
             raise IOError(f"hadoop fs mkdirs failed: {uri}")
+
+    # -- small control files ----------------------------------------------
+
+    def write_text(self, uri: str, text: str) -> None:
+        """Create/overwrite a small UTF-8 control file (stamp/marker —
+        bytes are bounded by construction; this is NOT a data path)."""
+        out = self._fs.create(self._Path(uri), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    def read_text(self, uri: str) -> str | None:
+        """Contents of a small UTF-8 control file, or None when the
+        file does not exist (the 'never stamped' case callers branch
+        on)."""
+        p = self._Path(uri)
+        if not self._fs.exists(p):
+            return None
+        stream = self._fs.open(p)
+        try:
+            data = self._jvm.org.apache.commons.io.IOUtils.toByteArray(
+                stream
+            )
+            return bytes(data).decode("utf-8")
+        finally:
+            stream.close()
 
 
 def fs_for(spark: SparkSession, uri: str) -> HadoopFS:

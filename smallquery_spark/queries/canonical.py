@@ -1649,7 +1649,8 @@ def _register_ann_contracts() -> None:
         oracle=(
             "SELECT 'indexed' AS leg, TRUE AS ok, TRUE AS ok2 "
             "UNION ALL SELECT 'ivf', TRUE, TRUE "
-            "UNION ALL SELECT 'pq', TRUE, TRUE"
+            "UNION ALL SELECT 'pq', TRUE, TRUE "
+            "UNION ALL SELECT 'pqmeta', TRUE, TRUE"
         ),
         tags=("C3", "C9", "canonical"),
     )
@@ -1664,12 +1665,23 @@ def _register_ann_contracts() -> None:
             (F.col("same_as_unindexed") & F.col("recall_ok")).alias("ok"),
             F.col("nonempty").alias("ok2"),
         )
-        pq = _fn("c3_ann_ivfpq")(spark, sf_dir).select(
+        # c3_ann_ivfpq returns a LOCAL one-row DataFrame (the heavy
+        # work ran eagerly inside the call), so deriving two legs from
+        # one call is free — pq: recall + compression contracts;
+        # pqmeta (r10): reloaded-meta probe identity post-append +
+        # stale-quantizer probes raise (the lifecycle contract)
+        pqdf = _fn("c3_ann_ivfpq")(spark, sf_dir)
+        pq = pqdf.select(
             F.lit("pq").alias("leg"),
             (F.col("recall_ok") & F.col("adc_recall_ok")).alias("ok"),
             (F.col("compressed") & F.col("route_identical")).alias("ok2"),
         )
-        return ivf.unionByName(indexed).unionByName(pq)
+        pqmeta = pqdf.select(
+            F.lit("pqmeta").alias("leg"),
+            F.col("meta_ok").alias("ok"),
+            F.col("stale_raises").alias("ok2"),
+        )
+        return ivf.unionByName(indexed).unionByName(pq).unionByName(pqmeta)
 
 
 _register_aliases()

@@ -938,7 +938,8 @@ def c3_ann_ivf_append(spark, sf_dir):
     "c3_ann_ivfpq",
     oracle=(
         "SELECT TRUE AS recall_ok, TRUE AS adc_recall_ok,"
-        " TRUE AS compressed, TRUE AS route_identical"
+        " TRUE AS compressed, TRUE AS route_identical,"
+        " TRUE AS meta_ok, TRUE AS stale_raises"
     ),
     tags=("C3", "C9"),
 )
@@ -1018,6 +1019,44 @@ def c3_ann_ivfpq(spark, sf_dir):
         loc_full = table_location(spark, t_full)
         _, bytes_pq = fs_for(spark, loc_pq).parquet_stats(loc_pq)
         _, bytes_full = fs_for(spark, loc_full).parquet_stats(loc_full)
+
+        # lifecycle legs (r10, VERDICT ask #1): (5) after an APPEND, a
+        # probe served from reloaded at-rest meta is bit-identical to
+        # one served from the builder's in-memory quantizer; (6) a
+        # probe with a quantizer that doesn't match the index's
+        # generation stamp RAISES instead of answering wrong.
+        from smallquery_spark.errors import StaleQuantizerError
+        from smallquery_spark.operators.pq import (
+            append_ivfpq,
+            load_index_meta,
+            pq_train as _pq_train,
+        )
+
+        extra = corpus.filter(F.col("c_id") < 50).select(
+            (F.col("c_id") + 10_000_000).alias("c_id"), "vec"
+        )
+        append_ivfpq(spark, t_pq, extra, cents, books)
+        cents_l, books_l = load_index_meta(spark, t_pq)
+        p_mem = ivfpq_search(
+            spark, queries, t_pq, cents, books, k=10, n_probe=n_probe
+        )
+        p_loaded = ivfpq_search(
+            spark, queries, t_pq, cents_l, books_l, k=10, n_probe=n_probe
+        )
+        meta_ok = (
+            p_mem.exceptAll(p_loaded).count() == 0
+            and p_loaded.exceptAll(p_mem).count() == 0
+        )
+
+        stale_books = _pq_train(corpus, cents, seed=99)
+        try:
+            ivfpq_search(
+                spark, queries, t_pq, cents, stale_books, k=10, n_probe=n_probe
+            )
+            stale_raises = False
+        except StaleQuantizerError:
+            stale_raises = True
+
         return spark.createDataFrame(
             [
                 (
@@ -1025,10 +1064,13 @@ def c3_ann_ivfpq(spark, sf_dir):
                     adc_recall >= 0.6,
                     bytes_pq < bytes_full,
                     route_same,
+                    meta_ok,
+                    stale_raises,
                 )
             ],
             "recall_ok boolean, adc_recall_ok boolean,"
-            " compressed boolean, route_identical boolean",
+            " compressed boolean, route_identical boolean,"
+            " meta_ok boolean, stale_raises boolean",
         )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t_pq}")

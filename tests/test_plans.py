@@ -682,6 +682,19 @@ def test_ivfpq_scan_pruned_and_rerank_filter_pushed(spark):
         pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
         assert pf and "cell" in pf.group(1), plan
 
+        # the scan ivfpq_search actually uses (a PATH read, immune to
+        # catalog partition lag after a retrain swap) prunes the same
+        from smallquery_spark.operators.pq import _index_scan
+
+        pruned_path = _index_scan(spark, tname).filter(
+            F.col("cell").isin([0, 3])
+        )
+        plan_path = pruned_path._sc._jvm.PythonSQLUtils.explainString(
+            pruned_path._jdf.queryExecution(), "formatted"
+        )
+        pfp = re.search(r"PartitionFilters: \[([^\]]*)\]", plan_path)
+        assert pfp and "cell" in pfp.group(1), plan_path
+
         fetch = emb.filter(F.col("c_id").isin([1, 5, 9]))
         plan2 = fetch._sc._jvm.PythonSQLUtils.explainString(
             fetch._jdf.queryExecution(), "formatted"

@@ -68,16 +68,33 @@ def test_pq_train_contract(spark, corpus):
 
 
 def test_pq_encode_dense_in_range_codes(spark, corpus, trained):
-    from smallquery_spark.operators.pq import pq_encode
+    from smallquery_spark.operators.pq import pq_encode, pq_train
     from smallquery_spark.operators.similarity import ivf_assign
 
     cents, books = trained
     assigned = ivf_assign(corpus, cents)
-    rows = pq_encode(assigned, cents, books).select("code").collect()
+    rows = pq_encode(
+        assigned, cents, books, code_format="array"
+    ).select("c_id", "code").collect()
     assert len(rows) == 300
     for r in rows:
         assert len(r["code"]) == books.m
         assert all(0 <= c < books.ksub for c in r["code"])
+
+    # binary layout (the measured default): identical codes, m raw
+    # bytes per row
+    arr = {r["c_id"]: [int(c) for c in r["code"]] for r in rows}
+    brows = pq_encode(assigned, cents, books).select("c_id", "code").collect()
+    for r in brows:
+        assert isinstance(r["code"], (bytes, bytearray))
+        assert len(r["code"]) == books.m
+        assert list(r["code"]) == arr[r["c_id"]]
+
+    # one byte per code caps ksub at 256: a wider codebook must refuse
+    wide = pq_train(corpus, cents, m=4, nbits=10)
+    assert wide.ksub == 300
+    with pytest.raises(ValueError):
+        pq_encode(assigned, cents, wide, code_format="binary")
 
 
 def test_ivfpq_rerank_recovers_exact_topk(spark, corpus, trained):
@@ -241,13 +258,29 @@ def test_index_meta_roundtrip_serves_identical_probes(spark, corpus, trained):
         assert r1.exceptAll(r2).count() == 0
         assert r2.exceptAll(r1).count() == 0
 
-        # centroid-only meta (full-vector IVF index shape)
-        save_index_meta(spark, tname, cents)
-        cents3, books3 = load_index_meta(spark, tname)
-        assert cents3 == cents and books3 is None
+        # saving meta that does NOT describe this index (centroid-only
+        # token != the PQ stamp) must refuse — that mismatch is the
+        # exact corruption the lifecycle prevents
+        from smallquery_spark.errors import StaleQuantizerError
+
+        with pytest.raises(StaleQuantizerError):
+            save_index_meta(spark, tname, cents)
+
+        # centroid-only meta on a full-vector index (materialize_ivf
+        # never sees the quantizer, so save is the stamping assertion)
+        from smallquery_spark.operators.similarity import materialize_ivf
+
+        t_full = materialize_ivf(
+            spark, ivf_assign(corpus, cents), f"pqmeta_full_{pid}"
+        )
+        try:
+            save_index_meta(spark, t_full, cents)
+            cents3, books3 = load_index_meta(spark, t_full)
+            assert cents3 == cents and books3 is None
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {t_full}")
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tname}")
-        spark.sql(f"DROP TABLE IF EXISTS {tname}_meta")
 
 
 def test_ivfpq_table_smaller_than_full_vector_index(spark, corpus, trained):
@@ -341,3 +374,271 @@ def test_ivfpq_empty_results_inherit_id_types(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         spark.sql(f"DROP TABLE IF EXISTS {t_empty}")
+
+
+def test_retrain_ivfpq_protocol_and_stale_refusal(spark, corpus, trained):
+    """retrain_ivfpq as ONE protocol (train -> re-encode into a staged
+    table carrying stamp+meta -> rename swap): afterwards (a) the old
+    quantizer is REFUSED at probe and append time (StaleQuantizerError
+    — the silently-wrong-neighbors hole of VERDICT r9), (b) loaded
+    meta equals the returned quantizer and serves bit-identical
+    probes, (c) the retrained table equals a from-scratch materialize
+    under the same quantizer (training is deterministic)."""
+    from smallquery_spark.errors import StaleQuantizerError
+    from smallquery_spark.operators.pq import (
+        append_ivfpq,
+        ivfpq_search,
+        load_index_meta,
+        materialize_ivfpq,
+        retrain_ivfpq,
+    )
+    from smallquery_spark.operators.similarity import ivf_assign
+
+    cents, books = trained
+    pid = os.getpid()
+    t = materialize_ivfpq(
+        spark, ivf_assign(corpus, cents), cents, books, f"pqrt_{pid}"
+    )
+    try:
+        cents2, books2 = retrain_ivfpq(spark, t, corpus, n_cells=4, m=4)
+        assert len(cents2) == 4 and books2.m == 4
+
+        qs = corpus.filter("c_id < 5").select(
+            F.col("c_id").alias("q_id"), "vec"
+        )
+        with pytest.raises(StaleQuantizerError):
+            ivfpq_search(spark, qs, t, cents, books, k=5, n_probe=2)
+        with pytest.raises(StaleQuantizerError):
+            append_ivfpq(spark, t, corpus.limit(3), cents, books)
+
+        cl, bl = load_index_meta(spark, t)
+        assert cl == cents2 and bl is not None
+        assert (bl.books == books2.books).all()
+        r1 = ivfpq_search(spark, qs, t, cents2, books2, k=5, n_probe=2)
+        r2 = ivfpq_search(spark, qs, t, cl, bl, k=5, n_probe=2)
+        assert r1.exceptAll(r2).count() == 0
+        assert r2.exceptAll(r1).count() == 0
+
+        t2 = materialize_ivfpq(
+            spark, ivf_assign(corpus, cents2), cents2, books2, f"pqrt2_{pid}"
+        )
+        try:
+            a = spark.table(t).select("c_id", "cell", "code")
+            b = spark.table(t2).select("c_id", "cell", "code")
+            assert a.exceptAll(b).count() == 0
+            assert b.exceptAll(a).count() == 0
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {t2}")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.sql(f"DROP TABLE IF EXISTS {t}_new")
+        spark.sql(f"DROP TABLE IF EXISTS {t}_old")
+
+
+def test_save_meta_crash_windows_recover(spark, corpus, trained, monkeypatch):
+    """save_index_meta's aside-write+rename protocol, crashed at both
+    interesting points: (1) before any rename — the live meta is
+    untouched and keeps serving; (2) between rename-out and rename-in
+    — the live meta is MISSING and load_index_meta completes the swap
+    from the complete ``_meta_new`` (VERDICT r10 ask #1's crash
+    test)."""
+    from smallquery_spark.fsio import HadoopFS, join_uri, table_location
+    from smallquery_spark.operators.pq import (
+        META_DIR,
+        ivfpq_search,
+        load_index_meta,
+        materialize_ivfpq,
+        save_index_meta,
+    )
+    from smallquery_spark.operators.similarity import ivf_assign
+
+    cents, books = trained
+    pid = os.getpid()
+    t = materialize_ivfpq(
+        spark, ivf_assign(corpus, cents), cents, books, f"pqcw_{pid}"
+    )
+    loc = table_location(spark, t)
+    meta = join_uri(loc, META_DIR)
+    orig_rename = HadoopFS.rename
+    try:
+        # (1) die before ANY rename: _meta_new written, live untouched
+        def die_before_rename(self, src, dst):
+            if src.rstrip("/").endswith("_meta_new"):
+                raise RuntimeError("injected crash before rename")
+            return orig_rename(self, src, dst)
+
+        monkeypatch.setattr(HadoopFS, "rename", die_before_rename)
+        with pytest.raises(RuntimeError, match="injected"):
+            save_index_meta(spark, t, cents, books)
+        monkeypatch.setattr(HadoopFS, "rename", orig_rename)
+        cl, bl = load_index_meta(spark, t)
+        assert cl == cents and (bl.books == books.books).all()
+
+        # (2) die between rename-out and rename-in: live meta missing
+        def die_after_rename_out(self, src, dst):
+            orig_rename(self, src, dst)
+            if dst.rstrip("/").endswith("_meta_old"):
+                raise RuntimeError("injected crash after rename-out")
+
+        monkeypatch.setattr(HadoopFS, "rename", die_after_rename_out)
+        with pytest.raises(RuntimeError, match="injected"):
+            save_index_meta(spark, t, cents, books)
+        monkeypatch.setattr(HadoopFS, "rename", orig_rename)
+        from smallquery_spark.fsio import fs_for
+
+        assert not fs_for(spark, loc).exists(meta)  # the crash window
+        cl, bl = load_index_meta(spark, t)  # recovery completes swap
+        assert cl == cents and (bl.books == books.books).all()
+        assert fs_for(spark, loc).exists(meta)
+        qs = corpus.filter("c_id < 3").select(
+            F.col("c_id").alias("q_id"), "vec"
+        )
+        assert ivfpq_search(spark, qs, t, cl, bl, k=3, n_probe=2).count() > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_retrain_crash_between_swap_renames_recovers(
+    spark, corpus, trained, monkeypatch
+):
+    """A retrain that dies between 'rename live aside' and 'rename
+    staged in' leaves the live DIRECTORY missing with a complete
+    staged tree — the next probe/load recovers via
+    _recover_index_swap, serving the NEW generation (stamp+meta
+    traveled inside the staged directory, so no stale-meta state
+    exists at any point)."""
+    from smallquery_spark.fsio import HadoopFS, fs_for, table_location
+    from smallquery_spark.operators.pq import (
+        ivfpq_search,
+        load_index_meta,
+        materialize_ivfpq,
+        retrain_ivfpq,
+    )
+    from smallquery_spark.operators.similarity import ivf_assign
+
+    cents, books = trained
+    pid = os.getpid()
+    t = materialize_ivfpq(
+        spark, ivf_assign(corpus, cents), cents, books, f"pqswp_{pid}"
+    )
+    loc = table_location(spark, t)
+    orig_rename = HadoopFS.rename
+    try:
+        # die between the two swap renames: the live tree has just
+        # moved aside; the staged tree (complete — stamp written last)
+        # has not yet moved in
+        def die_before_rename_in(self, src, dst):
+            if src.rstrip("/").endswith(".retrain_tmp"):
+                raise RuntimeError("injected crash between swap renames")
+            return orig_rename(self, src, dst)
+
+        monkeypatch.setattr(HadoopFS, "rename", die_before_rename_in)
+        with pytest.raises(RuntimeError, match="injected"):
+            retrain_ivfpq(spark, t, corpus, n_cells=4, m=4)
+        monkeypatch.setattr(HadoopFS, "rename", orig_rename)
+
+        fs = fs_for(spark, loc)
+        assert not fs.exists(loc)  # the rename window
+        assert fs.exists(loc.rstrip("/") + ".retrain_tmp")
+        cl, bl = load_index_meta(spark, t)  # recovers the swap
+        assert fs.exists(loc)
+        assert len(cl) == 4 and bl.m == 4  # the NEW generation
+        qs = corpus.filter("c_id < 3").select(
+            F.col("c_id").alias("q_id"), "vec"
+        )
+        assert ivfpq_search(spark, qs, t, cl, bl, k=3, n_probe=2).count() > 0
+        # catalog coherence restored too (recovery MSCK-syncs)
+        assert spark.table(t).count() == 300
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_tampered_gen_stamp_fails_loudly(spark, corpus, trained):
+    """A gen stamp that no longer matches the meta (manual tamper, or
+    any divergence the protocols didn't produce) must refuse probes
+    AND meta loads — never answer from inconsistent state."""
+    from smallquery_spark.errors import StaleQuantizerError
+    from smallquery_spark.fsio import fs_for, join_uri, table_location
+    from smallquery_spark.operators.pq import (
+        GEN_FILE,
+        ivfpq_search,
+        load_index_meta,
+        materialize_ivfpq,
+    )
+    from smallquery_spark.operators.similarity import ivf_assign
+
+    cents, books = trained
+    pid = os.getpid()
+    t = materialize_ivfpq(
+        spark, ivf_assign(corpus, cents), cents, books, f"pqtamper_{pid}"
+    )
+    try:
+        loc = table_location(spark, t)
+        fs_for(spark, loc).write_text(
+            join_uri(loc, GEN_FILE), "0" * 32
+        )
+        qs = corpus.filter("c_id < 3").select(
+            F.col("c_id").alias("q_id"), "vec"
+        )
+        with pytest.raises(StaleQuantizerError):
+            ivfpq_search(spark, qs, t, cents, books, k=3, n_probe=2)
+        with pytest.raises(StaleQuantizerError):
+            load_index_meta(spark, t)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_binary_and_array_indexes_answer_identically(spark, corpus, trained):
+    """The code layout ('binary' default vs 'array') is storage only:
+    probes against both answer value-identically (format is detected
+    from the stored schema), and appends encode in the table's own
+    layout."""
+    from pyspark.sql.types import BinaryType
+    from smallquery_spark.operators.pq import (
+        _index_scan,
+        append_ivfpq,
+        ivfpq_search,
+        materialize_ivfpq,
+    )
+    from smallquery_spark.operators.similarity import ivf_assign
+
+    cents, books = trained
+    pid = os.getpid()
+    base = corpus.filter("c_id % 2 = 0")
+    arriving = corpus.filter("c_id % 2 = 1")
+    t_b = materialize_ivfpq(
+        spark, ivf_assign(base, cents), cents, books, f"pqfmtb_{pid}"
+    )
+    t_a = materialize_ivfpq(
+        spark, ivf_assign(base, cents), cents, books, f"pqfmta_{pid}",
+        code_format="array",
+    )
+    try:
+        append_ivfpq(spark, t_b, arriving, cents, books)
+        append_ivfpq(spark, t_a, arriving, cents, books)
+        assert isinstance(
+            _index_scan(spark, t_b).schema["code"].dataType, BinaryType
+        )
+        assert not isinstance(
+            _index_scan(spark, t_a).schema["code"].dataType, BinaryType
+        )
+        qs = corpus.filter("c_id < 6").select(
+            F.col("c_id").alias("q_id"), "vec"
+        )
+        rb = ivfpq_search(spark, qs, t_b, cents, books, k=5, n_probe=4)
+        ra = ivfpq_search(spark, qs, t_a, cents, books, k=5, n_probe=4)
+        assert rb.exceptAll(ra).count() == 0
+        assert ra.exceptAll(rb).count() == 0
+        rbr = ivfpq_search(
+            spark, qs, t_b, cents, books, k=5, n_probe=4,
+            rerank=3, rerank_corpus=corpus,
+        )
+        rar = ivfpq_search(
+            spark, qs, t_a, cents, books, k=5, n_probe=4,
+            rerank=3, rerank_corpus=corpus,
+        )
+        assert rbr.exceptAll(rar).count() == 0
+        assert rar.exceptAll(rbr).count() == 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_b}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_a}")

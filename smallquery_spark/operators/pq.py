@@ -214,15 +214,20 @@ def pq_train(
     return PQCodebooks(books)
 
 
-def _encode_udf(centroids, codebooks: PQCodebooks, code_format: str = "binary"):
+def _encode_udf(centroids, codebooks: PQCodebooks, code_format: str = "array"):
     """Arrow-vectorized (vec, cell) -> PQ codes. Centroids + codebooks
     ride the closure as numpy (index metadata); per batch: normalize,
     subtract the row's cell centroid, and argmin each subspace against
     its codebook — three matmuls per subspace.
 
-    ``code_format="binary"`` (the measured default) emits m RAW BYTES
-    per row (BinaryType); ``"array"`` emits array<smallint> — the r9
-    layout, kept for the measured comparison and for ksub > 256."""
+    ``code_format="array"`` (the measured DEFAULT) emits
+    array<smallint>; ``"binary"`` emits m raw bytes (BinaryType) —
+    implemented for the r10 packing study and REJECTED as default by
+    it (IVFPQ_CODEFMT_gen100.json at 2M x 64-dim, m=16: parquet
+    dictionary-encodes the smallint codes to ~1 byte already, while
+    BYTE_ARRAY pays a 4-byte length prefix per value and loses the
+    dictionary — binary lands BIGGER at rest, 11.07x vs 12.02x
+    compression, with ADC wall a wash)."""
     import numpy as np
     import pandas as pd
 
@@ -266,16 +271,17 @@ def pq_encode(
     vec_col: str = "vec",
     cell_col: str = "cell",
     code_col: str = "code",
-    code_format: str = "binary",
+    code_format: str = "array",
 ) -> DataFrame:
     """Add the PQ ``code`` column to an ivf_assign output — a narrow
     partition-local projection (no shuffle), so it composes with both
     the initial materialize and every append batch.
 
-    ``code_format``: "binary" (default — m raw bytes per row; see the
-    measured at-rest/wall comparison in IVFPQ_CODEFMT_gen100.json) or
-    "array" (array<smallint>; required when ksub > 256, where a code
-    no longer fits one byte)."""
+    ``code_format``: "array" (default — parquet dictionary-encodes
+    the codes to ~1 byte, measured SMALLER at rest than raw binary
+    packing, IVFPQ_CODEFMT_gen100.json; also the only layout when
+    ksub > 256) or "binary" (m raw bytes per row — kept as the
+    measured-and-rejected variant)."""
     if code_format not in ("binary", "array"):
         raise ValueError(f"unknown code_format {code_format!r}")
     if code_format == "binary" and codebooks.ksub > 256:
@@ -299,7 +305,7 @@ def materialize_ivfpq(
     name: str,
     corpus_id: str = "c_id",
     vec_col: str = "vec",
-    code_format: str = "binary",
+    code_format: str = "array",
 ) -> str:
     """Persist the PQ-coded corpus as a cell-partitioned table —
     (id, code) per row, the full vector DROPPED — and return the table
@@ -885,7 +891,76 @@ def retrain_ivfpq(
     return cents, books
 
 
-def _adc_udf(q_index: dict, luts, offsets, code_format: str = "binary"):
+def pq_fit_gap(
+    df: DataFrame,
+    centroids: list[list[float]],
+    codebooks: PQCodebooks,
+    vec_col: str = "vec",
+) -> float:
+    """Mean ADC self-score gap of a batch — the CODEBOOK-fit drift
+    signal (third of three, VERDICT r10 #6). For each vector x
+    (unit-normalized, scoring itself): exact cosine is 1.0; the ADC
+    estimate is x·c + Σ_j x_j·B_j[code_j] (the same LUT decomposition
+    ivfpq_search uses), so ``1 − adc_self`` is the quantization error
+    the ADC ranker actually suffers for that row. One Arrow-vectorized
+    pass + one avg — use it on BATCHES (epoch-bounded at append time),
+    exactly like assignment_fit.
+
+    Why a third signal: ``assignment_fit`` watches nearest-centroid
+    cosine and ``ivf_retrain_trigger`` watches the cell histogram —
+    both BLIND to within-cell variance growth (modes staying put but
+    widening: centroid cosine stays high, cell proportions stay flat,
+    while residuals outgrow the codebooks and ADC ranking degrades).
+    Measured in PQ_QERR_gen100.json: the σ-growth scenario moves this
+    gap by >2× at the first drifted batch while both existing signals
+    sit within noise of baseline. Trigger rule (pq_qerr_trigger):
+    batch gap > 2× the build-time gap recorded after pq_train."""
+    import numpy as np
+    import pandas as pd
+
+    Cn = _normalized(np.asarray(centroids, dtype=np.float64), np)
+    books = codebooks.books.astype(np.float64)
+    m, dsub = codebooks.m, codebooks.dsub
+
+    def gap(v):
+        X = _normalized(np.stack(v.to_numpy()).astype(np.float64), np)
+        sims = X @ Cn.T
+        cells = sims.argmax(axis=1)
+        offs = sims[np.arange(len(X)), cells]
+        R = (X - Cn[cells]).reshape(len(X), m, dsub)
+        Xs = X.reshape(len(X), m, dsub)
+        adc = offs.copy()
+        for j in range(m):
+            Xj = R[:, j, :]
+            Bj = books[j]
+            d2 = (
+                (Xj * Xj).sum(1, keepdims=True)
+                - 2 * (Xj @ Bj.T)
+                + (Bj * Bj).sum(1)[None, :]
+            )
+            codes = d2.argmin(axis=1)
+            adc += (Xs[:, j, :] * Bj[codes]).sum(axis=1)
+        return pd.Series(1.0 - adc)
+
+    gap.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    gap_udf = F.pandas_udf(gap, "double")
+    row = df.agg(F.avg(gap_udf(F.col(vec_col))).alias("g")).collect()[0]
+    return float(row["g"]) if row["g"] is not None else 0.0
+
+
+def pq_qerr_trigger(
+    batch_gap: float, baseline_gap: float, ratio: float = 2.0
+) -> bool:
+    """True when a batch's ADC self-score gap exceeds ``ratio`` × the
+    build-time gap — codebook fit has degraded enough that ADC ranking
+    error materially widened; retrain_ivfpq is the response. The 2×
+    default is the measured separation (PQ_QERR_gen100.json: quiet
+    batches within ~5% of baseline, the σ-growth scenario ≥2× at the
+    first drifted batch)."""
+    return baseline_gap > 0 and batch_gap > ratio * baseline_gap
+
+
+def _adc_udf(q_index: dict, luts, offsets, code_format: str = "array"):
     """Arrow-vectorized ADC score: (q_id, cell, code) -> double.
     ``luts`` (n_q, m, ksub) and ``offsets`` (n_q, n_cells) are
     search-batch-bounded driver metadata riding the closure; per batch

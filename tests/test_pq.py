@@ -81,10 +81,17 @@ def test_pq_encode_dense_in_range_codes(spark, corpus, trained):
         assert len(r["code"]) == books.m
         assert all(0 <= c < books.ksub for c in r["code"])
 
-    # binary layout (the measured default): identical codes, m raw
-    # bytes per row
+    # the DEFAULT layout is array (measured smaller at rest than raw
+    # binary packing — IVFPQ_CODEFMT_gen100.json)
+    drow = pq_encode(assigned, cents, books).select("code").first()
+    assert isinstance(drow["code"], list)
+
+    # binary layout (the measured-and-rejected variant, kept working):
+    # identical codes, m raw bytes per row
     arr = {r["c_id"]: [int(c) for c in r["code"]] for r in rows}
-    brows = pq_encode(assigned, cents, books).select("c_id", "code").collect()
+    brows = pq_encode(
+        assigned, cents, books, code_format="binary"
+    ).select("c_id", "code").collect()
     for r in brows:
         assert isinstance(r["code"], (bytes, bytearray))
         assert len(r["code"]) == books.m
@@ -589,7 +596,7 @@ def test_tampered_gen_stamp_fails_loudly(spark, corpus, trained):
 
 
 def test_binary_and_array_indexes_answer_identically(spark, corpus, trained):
-    """The code layout ('binary' default vs 'array') is storage only:
+    """The code layout ('array' default vs 'binary') is storage only:
     probes against both answer value-identically (format is detected
     from the stored schema), and appends encode in the table's own
     layout."""
@@ -607,11 +614,11 @@ def test_binary_and_array_indexes_answer_identically(spark, corpus, trained):
     base = corpus.filter("c_id % 2 = 0")
     arriving = corpus.filter("c_id % 2 = 1")
     t_b = materialize_ivfpq(
-        spark, ivf_assign(base, cents), cents, books, f"pqfmtb_{pid}"
+        spark, ivf_assign(base, cents), cents, books, f"pqfmtb_{pid}",
+        code_format="binary",
     )
     t_a = materialize_ivfpq(
-        spark, ivf_assign(base, cents), cents, books, f"pqfmta_{pid}",
-        code_format="array",
+        spark, ivf_assign(base, cents), cents, books, f"pqfmta_{pid}"
     )
     try:
         append_ivfpq(spark, t_b, arriving, cents, books)
@@ -642,3 +649,36 @@ def test_binary_and_array_indexes_answer_identically(spark, corpus, trained):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t_b}")
         spark.sql(f"DROP TABLE IF EXISTS {t_a}")
+
+
+def test_pq_fit_gap_and_qerr_trigger(spark, corpus, trained):
+    """pq_fit_gap (the codebook-fit drift signal): near-zero on
+    in-distribution data, materially larger on a variance-widened
+    batch (same modes, 3x the jitter — the drift shape both the cell
+    histogram and assignment_fit are blind to); pq_qerr_trigger fires
+    on the widened batch against the quiet baseline and stays quiet
+    on an in-distribution one."""
+    from smallquery_spark.operators.pq import pq_fit_gap, pq_qerr_trigger
+
+    cents, books = trained
+    base = pq_fit_gap(corpus, cents, books)
+    assert base >= 0.0
+
+    rng = np.random.default_rng(7)
+    modes = rng.normal(0, 1, (5, 16))  # the _clustered seed-7 modes
+
+    def batch(sigma, seed):
+        r = np.random.default_rng(seed)
+        labels = r.integers(0, 5, 200)
+        X = modes[labels] + r.normal(0, sigma, (200, 16))
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        return spark.createDataFrame(
+            [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+            "c_id long, vec array<double>",
+        )
+
+    quiet_gap = pq_fit_gap(batch(0.3, 21), cents, books)
+    wide_gap = pq_fit_gap(batch(0.9, 22), cents, books)
+    assert wide_gap > 2.0 * quiet_gap
+    assert pq_qerr_trigger(wide_gap, quiet_gap)
+    assert not pq_qerr_trigger(quiet_gap * 1.1, quiet_gap)

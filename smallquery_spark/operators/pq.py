@@ -67,6 +67,35 @@ probe (17.1s vs 12.5s at 2M) — the byte ratio pays off where reads
 are the cost, i.e. the cold object store a 100 TB index lives on
 (the same storage-tier dependence as the route cutoff in
 ivf_search_indexed). State the regime, don't average over it.
+
+Round-10 additions, all measured:
+
+- **The byte claim is realized IO, not just disk bytes**: executed-
+  plan scan metrics show pruned-route probe bytes at 12.07-12.15x
+  fewer than the full-vector index — matching the 12.02x at-rest
+  ratio (IVFPQ_SCANIO_gen100.json; per-file parquet overhead is
+  noise at one ~42 KB file per cell). Pruning and compression
+  COMPOUND on small/correlated probe batches (5 queries: 17 MB vs
+  207 MB); a 50-query batch's probes cover every cell and pruning
+  buys nothing for either index.
+- **Quantizer lifecycle**: the index directory carries a
+  ``_quantizer_gen`` stamp + ``_meta`` sidecar; probes/appends/meta
+  loads verify against it and raise StaleQuantizerError rather than
+  answer from stale state; ``retrain_ivfpq`` is the one protocol for
+  changing a live index's quantizer (see the function docstrings).
+- **As a dedup-candidate index** (PQ_DEDUP_gen100.json, 500k docs +
+  planted near-dups, both paths in the same incoming-vs-index
+  shape): ADC candidates + exact-cosine verify tie banded MinHash on
+  recall (0.9976 vs 0.9987, zero false drops) at 24.8x fewer index
+  bytes than the MinHash signature tables — but the batch wall is
+  ~38x worse, because ADC scores n_probe/n_cells (~6%) of the corpus
+  per query while banded LSH touches only colliding buckets, and the
+  LUT tensor is query-batch-sized. DEFAULT: text near-dup stays on
+  banded MinHash (operators/dedup.py, neardup_index.py); this index
+  is the candidate generator when the similarity signal IS the
+  embedding (semantic/multimodal dedup — no shingle set exists) or
+  when cold-store index bytes dominate; chunk corpus-sized query
+  batches (bounded LUTs) or use the LSH-bucketed embedding path.
 """
 
 from __future__ import annotations

@@ -1044,6 +1044,7 @@ def ivfpq_search(
     n_corpus: int | None = None,
     route: str = "auto",
     prune_coverage_cutoff: float = 0.25,
+    query_chunk: int = 4096,
 ) -> DataFrame:
     """ANN over a materialized IVF-PQ index: probe the ``n_probe``
     nearest cells (partition-pruned under the same measured route rule
@@ -1062,6 +1063,24 @@ def ivfpq_search(
     The query batch is collected once to build LUTs (n_q x m x ksub
     floats) and centroid offsets (n_q x n_cells) — bounded by the
     search batch exactly like the probe-cell IN-list collect.
+
+    Batches larger than ``query_chunk`` are processed in bounded
+    chunks, each materialized eagerly (results are chunk x k rows) and
+    unioned. Two reasons, one structural and one measured
+    (PQ_CHUNK_gen100.json + _rev.json — the study runs both orderings
+    because warmth confounds a single one): (a) BOUNDEDNESS — the
+    LUT/offset tensors ride the ADC UDF closure, so a monolithic
+    corpus-sized batch ships n_q-proportional closure bytes into
+    every task (25k queries ≈ 460 MB; 1M would be ~18 GB and simply
+    die), while a chunk's closure is ~9 MB at 4096 regardless of
+    batch size, and each chunk's probe prunes to ITS OWN cells;
+    (b) WALL — averaged over both orderings at 25k queries x 500k
+    vectors, chunked runs ~1.25x faster than monolithic (240 s at
+    4096 / 227 s at 8192 vs 299 s), with 4096-8192 the flat region
+    and 1024 already paying per-chunk job overhead (256 s). Results
+    are identical at any chunking (asserted in-study and pinned in
+    tests). Small batches (n_q <= chunk) take the unchunked r9 path
+    byte-identically.
 
     Every search verifies the provided quantizer against the index's
     generation stamp and raises StaleQuantizerError on mismatch — a
@@ -1117,6 +1136,28 @@ def ivfpq_search(
     qrows = queries.select(query_id, vec_col).collect()
     if not qrows:
         return _empty_result("adc" if rerank_corpus is None else "cos")
+    if query_chunk and len(qrows) > query_chunk:
+        schema = queries.select(query_id, vec_col).schema
+        parts = []
+        for lo in range(0, len(qrows), query_chunk):
+            chunk = spark.createDataFrame(
+                qrows[lo : lo + query_chunk], schema
+            )
+            parts.append(
+                ivfpq_search(
+                    spark, chunk, index_table, centroids, codebooks,
+                    k=k, n_probe=n_probe, rerank=rerank,
+                    rerank_corpus=rerank_corpus, query_id=query_id,
+                    corpus_id=corpus_id, vec_col=vec_col,
+                    n_corpus=n_corpus, route=route,
+                    prune_coverage_cutoff=prune_coverage_cutoff,
+                    query_chunk=query_chunk,
+                ).localCheckpoint(eager=True)
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
     q_ids = [r[0] for r in qrows]
     Q = _normalized(
         np.array([[float(x) for x in r[1]] for r in qrows], dtype=np.float64),

@@ -682,3 +682,44 @@ def test_pq_fit_gap_and_qerr_trigger(spark, corpus, trained):
     assert wide_gap > 2.0 * quiet_gap
     assert pq_qerr_trigger(wide_gap, quiet_gap)
     assert not pq_qerr_trigger(quiet_gap * 1.1, quiet_gap)
+
+
+def test_ivfpq_search_chunked_equals_monolithic(spark, corpus, trained):
+    """query_chunk is an execution-shape knob only: a batch processed
+    in many chunks returns exactly the rows the monolithic pass
+    returns, on both the ADC and rerank paths (the chunking exists
+    because LUT closures are n_q-proportional — see the r10 chunk
+    study)."""
+    from smallquery_spark.operators.pq import ivfpq_search, materialize_ivfpq
+    from smallquery_spark.operators.similarity import ivf_assign
+
+    cents, books = trained
+    pid = os.getpid()
+    t = materialize_ivfpq(
+        spark, ivf_assign(corpus, cents), cents, books, f"pqchunk_{pid}"
+    )
+    try:
+        qs = corpus.filter("c_id < 20").select(
+            F.col("c_id").alias("q_id"), "vec"
+        )
+        mono = ivfpq_search(
+            spark, qs, t, cents, books, k=5, n_probe=4, query_chunk=0
+        )
+        chunked = ivfpq_search(
+            spark, qs, t, cents, books, k=5, n_probe=4, query_chunk=3
+        )
+        assert mono.exceptAll(chunked).count() == 0
+        assert chunked.exceptAll(mono).count() == 0
+
+        mono_rr = ivfpq_search(
+            spark, qs, t, cents, books, k=5, n_probe=4,
+            rerank=3, rerank_corpus=corpus, query_chunk=0,
+        )
+        chunked_rr = ivfpq_search(
+            spark, qs, t, cents, books, k=5, n_probe=4,
+            rerank=3, rerank_corpus=corpus, query_chunk=3,
+        )
+        assert mono_rr.exceptAll(chunked_rr).count() == 0
+        assert chunked_rr.exceptAll(mono_rr).count() == 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -671,6 +671,7 @@ def materialize_ivf(
     spark,
     assigned_corpus: DataFrame,
     name: str,
+    centroids: list[list[float]] | None = None,
 ) -> str:
     """Persist an ivf_assign output as a managed table PARTITIONED BY
     CELL (one directory per inverted list — the FAISS layout) and
@@ -689,7 +690,20 @@ def materialize_ivf(
     cardinality is bounded by ivf_defaults (≤ 4096 directories);
     one file per cell via the pre-repartition. Pay ivf_assign + one
     clustered write once; every query batch reads only its probed
-    cells."""
+    cells.
+
+    Pass ``centroids`` (r10) to STAMP the index with the quantizer
+    lifecycle the IVF-PQ table carries: a ``_quantizer_gen`` file and
+    a centroid meta sidecar written inside the table directory, so
+    any session can ``pq.load_index_meta`` the centroids, and
+    ``ivf_search_indexed``/``append_ivf`` verify their centroid
+    argument against the stamp (StaleQuantizerError on mismatch —
+    probing with pre-retrain centroids picks the wrong cells and
+    returns silently wrong neighbors, the exact PQ hazard of VERDICT
+    r9 which exists identically here). ``centroids=None`` keeps the
+    pre-r10 unstamped shape: searches and appends run UNVERIFIED
+    (pinned in tests) — the assignment already happened, so this
+    function cannot conjure the quantizer itself."""
     tname = f"ivfx_{name}"
     spark.sql(f"DROP TABLE IF EXISTS {tname}")
     (
@@ -698,7 +712,41 @@ def materialize_ivf(
         .partitionBy("cell")
         .saveAsTable(tname)
     )
+    if centroids is not None:
+        from smallquery_spark.fsio import table_location
+        from smallquery_spark.operators.pq import (
+            _meta_rows,
+            _write_meta_fresh,
+            quantizer_token,
+        )
+
+        _write_meta_fresh(
+            spark,
+            table_location(spark, tname),
+            _meta_rows(centroids, None, quantizer_token(centroids)),
+        )
     return tname
+
+
+def _verify_centroid_stamp(
+    spark, index_table: str, centroids: list[list[float]], op: str
+) -> None:
+    """Raise StaleQuantizerError when the index carries a quantizer
+    stamp that does not match ``centroids``; unstamped indexes (built
+    without the centroids argument, or pre-r10) pass unverified — the
+    stamp is opt-in at materialize time, but once present it is
+    enforced everywhere."""
+    from smallquery_spark.errors import StaleQuantizerError
+    from smallquery_spark.operators.pq import index_gen, quantizer_token
+
+    stamp = index_gen(spark, index_table)
+    if stamp is not None and stamp != quantizer_token(centroids):
+        raise StaleQuantizerError(
+            f"{op}: centroids do not match index {index_table!r}'s"
+            f" quantizer stamp — the index was retrained/rebuilt under"
+            " different centroids; pq.load_index_meta for the current"
+            " ones"
+        )
 
 
 def _use_pruned_scan(
@@ -756,11 +804,22 @@ def ivf_search_indexed(
     decision rule (see _use_pruned_scan — point/small-batch lookups
     prune, large batches whose probes blanket the cells scan flat);
     ``"pruned"`` / ``"full"`` force a side (both value-identical —
-    the cell equi-join restricts candidates either way)."""
+    the cell equi-join restricts candidates either way).
+
+    When the index is stamped (materialize_ivf with ``centroids``),
+    the centroid argument is verified against the stamp per search
+    batch and a mismatch raises StaleQuantizerError — probing with
+    pre-retrain centroids picks the wrong cells and returns silently
+    wrong neighbors (the PQ lifecycle hazard, identical here).
+    Unstamped (pre-r10 / centroid-less) indexes run unverified, as
+    before."""
     from pyspark.sql import Window
 
     if route not in ("auto", "pruned", "full"):
         raise ValueError(f"unknown route {route!r}")
+    _verify_centroid_stamp(
+        spark, index_table, centroids, "ivf_search_indexed"
+    )
     if n_probe is None:
         n_probe = _default_probe(len(centroids), n_corpus)
     probes = ivf_probe_cells(
@@ -826,7 +885,14 @@ def append_ivf(
     rewrites — the continuous-ingest shape that keeps a 100 TB
     embedding store's ingest epoch-bounded (same posture as the
     near-dup NearDupIndex.append path).
+
+    When the index is stamped (materialize_ivf with ``centroids``),
+    the centroid argument is verified against the stamp and a
+    mismatch raises StaleQuantizerError — appending rows assigned
+    under DIFFERENT centroids than the index's would corrupt it
+    silently (wrong inverted lists).
     """
+    _verify_centroid_stamp(spark, index_table, centroids, "append_ivf")
     assigned = ivf_assign(
         new_corpus, centroids, corpus_id=corpus_id, vec_col=vec_col
     )

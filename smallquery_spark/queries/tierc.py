@@ -795,7 +795,9 @@ def c3_ann_ivf_indexed(spark, sf_dir):
     n_cells, n_probe = ivf_defaults(corpus.count())
     cents = ivf_build_centroids(corpus, n_cells=n_cells)
     assigned = ivf_assign(corpus, cents)
-    tname = materialize_ivf(spark, assigned, f"c3q_{os.getpid()}")
+    tname = materialize_ivf(
+        spark, assigned, f"c3q_{os.getpid()}", centroids=cents
+    )  # stamped: probes verify centroids against the index (r10)
     try:
         indexed = ivf_search_indexed(
             spark, queries, tname, cents, k=10, n_probe=n_probe
@@ -885,7 +887,10 @@ def c3_ann_ivf_append(spark, sf_dir):
     tname = f"ivfx_c3app_{os.getpid()}"
     tname_rb = f"ivfx_c3app_rb_{os.getpid()}"
     try:
-        materialize_ivf(spark, ivf_assign(base, cents), f"c3app_{os.getpid()}")
+        materialize_ivf(
+            spark, ivf_assign(base, cents), f"c3app_{os.getpid()}",
+            centroids=cents,
+        )
         base_fit = assignment_fit(spark.table(tname), cents)
         quiet_fit = assignment_fit(base, cents)
         drifted = base.withColumn("vec", F.transform("vec", lambda x: -x))
@@ -894,7 +899,8 @@ def c3_ann_ivf_append(spark, sf_dir):
         fit_fires = base_fit > 0 and drift_fit / base_fit < 0.9
         append_ivf(spark, tname, arriving, cents)
         materialize_ivf(
-            spark, ivf_assign(corpus, cents), f"c3app_rb_{os.getpid()}"
+            spark, ivf_assign(corpus, cents), f"c3app_rb_{os.getpid()}",
+            centroids=cents,
         )
 
         def probe(table):
@@ -982,7 +988,7 @@ def c3_ann_ivfpq(spark, sf_dir):
     assigned = ivf_assign(corpus, cents)
     name = f"c3pq_{os.getpid()}"
     t_pq = materialize_ivfpq(spark, assigned, cents, books, name)
-    t_full = materialize_ivf(spark, assigned, name)
+    t_full = materialize_ivf(spark, assigned, name, centroids=cents)
     try:
         exact = knn_bruteforce(
             queries.select("q_id", F.col("vec").alias("q_vec")),

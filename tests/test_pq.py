@@ -723,3 +723,61 @@ def test_ivfpq_search_chunked_equals_monolithic(spark, corpus, trained):
         assert chunked_rr.exceptAll(mono_rr).count() == 0
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_full_vector_ivf_stamp_lifecycle(spark, corpus, trained):
+    """The quantizer lifecycle extended to the FULL-VECTOR index
+    (r10): materialize_ivf(centroids=...) stamps the table (stamp +
+    centroid meta inside the directory); ivf_search_indexed/append_ivf
+    then verify their centroid argument and raise StaleQuantizerError
+    on mismatch — the same silently-wrong-neighbors hazard as PQ.
+    Unstamped indexes (no centroids argument) keep the pre-r10
+    unverified behavior, pinned here."""
+    from smallquery_spark.errors import StaleQuantizerError
+    from smallquery_spark.operators.pq import load_index_meta
+    from smallquery_spark.operators.similarity import (
+        append_ivf,
+        ivf_assign,
+        ivf_build_centroids,
+        ivf_search_indexed,
+        materialize_ivf,
+    )
+
+    cents, _ = trained
+    other = ivf_build_centroids(corpus, n_cells=4)
+    pid = os.getpid()
+    qs = corpus.filter("c_id < 5").select(F.col("c_id").alias("q_id"), "vec")
+
+    t = materialize_ivf(
+        spark, ivf_assign(corpus, cents), f"fvstamp_{pid}", centroids=cents
+    )
+    try:
+        # right centroids: serves; meta loadable by any session
+        assert ivf_search_indexed(
+            spark, qs, t, cents, k=3, n_probe=4
+        ).count() > 0
+        cl, bl = load_index_meta(spark, t)
+        assert cl == cents and bl is None
+        # wrong centroids: refuses instead of answering wrong
+        with pytest.raises(StaleQuantizerError):
+            ivf_search_indexed(spark, qs, t, other, k=3, n_probe=2)
+        with pytest.raises(StaleQuantizerError):
+            append_ivf(spark, t, corpus.limit(3), other)
+        # right centroids still append fine
+        extra = corpus.limit(3).select(
+            (F.col("c_id") + 1000).alias("c_id"), "vec"
+        )
+        append_ivf(spark, t, extra, cents)
+        assert spark.table(t).count() == 303
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    # unstamped legacy index: unverified (wrong centroids answer —
+    # the documented pre-r10 contract for centroid-less materialize)
+    t2 = materialize_ivf(spark, ivf_assign(corpus, cents), f"fvleg_{pid}")
+    try:
+        assert ivf_search_indexed(
+            spark, qs, t2, other, k=3, n_probe=2
+        ).count() > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t2}")

@@ -119,17 +119,30 @@ class HadoopFS:
     def parquet_stats(self, uri: str) -> tuple[int, int]:
         """(n_parquet_files, total_parquet_bytes) under ``uri``,
         recursive — the sizing input for compaction decisions. Skips
-        hidden paths (any ``_``/``.``-prefixed segment), mirroring
-        Spark's own hiddenFileFilter: files under e.g. an index's
+        hidden paths (any ``_``/``.``-prefixed segment BELOW ``uri``),
+        mirroring Spark's own hiddenFileFilter, which is likewise
+        relative to the listing root: files under e.g. an index's
         ``_meta`` sidecar are metadata, not scannable data, and must
-        not count toward compaction/size decisions about the data."""
+        not count toward compaction/size decisions about the data.
+
+        The hidden test is applied to the path RELATIVE to the queried
+        base, not the full qualified path (ADVICE r10): a warehouse
+        under a dot- or underscore-prefixed ANCESTOR (``~/.local/
+        share/wh``, an ``/_staging`` mount) would otherwise match every
+        file and silently report (0, 0) — compaction then no-ops and
+        size contracts compare zeros. The base is qualified through the
+        same FileSystem as the listing, so both sides carry the same
+        scheme/authority and the prefix strip is exact (pinned with a
+        dotted-ancestor warehouse in tests/test_operators_props.py)."""
+        base = self._fs.makeQualified(self._Path(uri)).toString().rstrip("/")
         n = total = 0
         for path, size in self.list_files_recursive(uri):
-            # a qualified URI segment never starts with '_' or '.'
-            # except for hidden entries, so the substring test IS the
-            # per-segment prefix test without fragile base-relative
-            # string math
-            if "/_" in path or "/." in path:
+            rel = path[len(base):] if path.startswith(base + "/") else path
+            if any(
+                seg.startswith(("_", "."))
+                for seg in rel.split("/")
+                if seg
+            ):
                 continue
             if path.endswith(".parquet"):
                 n += 1

@@ -609,7 +609,16 @@ def _write_meta_fresh(spark, loc: str, rows: list[tuple]) -> None:
 
 
 def _meta_gen_of(spark, path: str) -> str | None:
-    row = spark.read.parquet(path).select("gen").limit(1).collect()
+    """Generation token of a meta directory, or None when it is absent
+    OR unreadable — a save that crashed mid-write of ``_meta_new``
+    leaves a directory with no complete parquet footer, and recovery
+    must treat that exactly like 'no aside copy' (fall through to the
+    ``_meta_old`` rollback / re-save guidance) rather than surface an
+    unrelated schema-inference error (ADVICE r10)."""
+    try:
+        row = spark.read.parquet(path).select("gen").limit(1).collect()
+    except Exception:
+        return None
     return row[0][0] if row else None
 
 
@@ -818,6 +827,31 @@ def _sync_partitions(spark, index_table: str) -> None:
         pass
 
 
+def drop_index(spark, index_table: str) -> None:
+    """Drop an IVF / IVF-PQ index table AND any retrain scratch trees
+    parked beside its location. The staged/old trees live at
+    ``<location>.retrain_tmp`` / ``.retrain_old`` — siblings inside the
+    warehouse, NOT under the table directory — so a plain DROP TABLE
+    after a crashed staging orphans them forever: recovery/cleanup is
+    keyed to the live table, and the table no longer exists (ADVICE
+    r10). This is the blessed drop for lifecycle-managed indexes;
+    dropping an absent table is a no-op (the scratch sweep still
+    runs, so a drop retried after a partial failure converges)."""
+    from smallquery_spark.fsio import fs_for
+
+    try:
+        loc, staged, old = _retrain_paths(spark, index_table)
+    except Exception:
+        # table already gone from the catalog: its location (and the
+        # sibling scratch naming) is unrecoverable — nothing to sweep
+        spark.sql(f"DROP TABLE IF EXISTS {index_table}")
+        return
+    fs = fs_for(spark, loc)
+    fs.delete(staged)
+    fs.delete(old)
+    spark.sql(f"DROP TABLE IF EXISTS {index_table}")
+
+
 def retrain_ivfpq(
     spark,
     index_table: str,
@@ -837,8 +871,10 @@ def retrain_ivfpq(
     the table's CONSTANT location. The catalog is never renamed:
     ALTER TABLE RENAME + DROP on a partitioned managed table follows
     the old entry's stale per-partition pointers and DELETES the new
-    data (measured in tests — the neardup catalog-rename compact
-    pattern is safe only for unpartitioned tables). This is the
+    data (reproduced and pinned in tests/test_operators_props.py::
+    test_partitioned_catalog_rename_swap_loses_data — the neardup
+    catalog-rename compact pattern is safe only for unpartitioned
+    tables). This is the
     blessed answer to a fired drift signal (assignment_fit /
     ivf_retrain_trigger): a retrain that replaces centroids MUST
     re-encode, because every stored code is a residual against the
@@ -912,8 +948,28 @@ def retrain_ivfpq(
     # the swap: commit point is the second rename; the window between
     # the two is closed by _recover_index_swap (staged preferred)
     fs.rename(loc, old)
-    fs.rename(staged, loc)
+    try:
+        fs.rename(staged, loc)
+    # a missing source surfaces as a JVM exception on some schemes and
+    # as a False return (-> IOError) on others; both mean the same
+    # thing here, so the committed-check below decides, not the shape
+    # of the failure
+    except Exception:
+        # a concurrent probe's _recover_index_swap can land inside the
+        # sub-second window between the two renames and itself complete
+        # the swap (staged -> loc, delete old). That is the COMMITTED
+        # outcome, not a failure: when the live dir exists and carries
+        # this retrain's token, finish the protocol (cleanup + sync)
+        # instead of raising mid-commit — raising here skipped
+        # delete(old) + _sync_partitions and reported failure for a
+        # retrain that had effectively landed (ADVICE r10; pinned in
+        # tests/test_pq.py::test_retrain_tolerates_probe_completed_swap)
+        from smallquery_spark.fsio import join_uri
+
+        if fs.read_text(join_uri(loc, GEN_FILE)) != token:
+            raise
     fs.delete(old)
+    fs.delete(staged)
     # catalog coherence for spark.table()/compaction consumers; probes
     # are immune to a crash landing before this line (they path-scan)
     _sync_partitions(spark, index_table)
@@ -1087,7 +1143,18 @@ def ivfpq_search(
     probe with pre-retrain centroids/codebooks picks the wrong cells
     AND computes wrong ADC offsets, returning plausible-but-wrong
     neighbors with no other symptom. One stamp read per search batch
-    (driver-side, amortized over the batch like the LUT build)."""
+    (driver-side, amortized over the batch like the LUT build), plus a
+    post-scan re-read wherever the search MATERIALIZES index bytes
+    (the rerank path's checkpointed top-k; the chunk loop's eager
+    checkpoints) so the two reads bracket the scan — a retrain
+    committing inside the window raises StaleQuantizerError instead of
+    answering (ADVICE r10). Residual, stated: the small-batch pure-ADC
+    path returns a LAZY plan, and executing it after a later retrain
+    commits re-reads the swapped directory with the old LUTs — per-
+    batch TOCTOU accepted under the single-writer maintenance
+    assumption every fsio swap protocol here carries; callers that
+    outlive retrains should checkpoint the result or use the rerank
+    path."""
     import numpy as np
 
     from smallquery_spark.operators.similarity import (
@@ -1157,6 +1224,14 @@ def ivfpq_search(
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        # every chunk's index bytes are fully read (eager checkpoints
+        # above); one post-scan stamp re-read brackets them all — a
+        # retrain committing mid-batch raises here instead of letting
+        # later chunks silently score a different index than earlier
+        # ones (ADVICE r10 TOCTOU)
+        _verify_quantizer(
+            spark, index_table, centroids, codebooks, "ivfpq_search post-scan"
+        )
         return out
     q_ids = [r[0] for r in qrows]
     Q = _normalized(
@@ -1207,7 +1282,20 @@ def ivfpq_search(
 
     # bounded exact rerank: n_q x (rerank*k) candidate ids, pushed into
     # the full-vector scan as an IN-filter (row-group pruning; bucket
-    # the corpus by id at scale so point fetches prune to buckets)
+    # the corpus by id at scale so point fetches prune to buckets).
+    # The eager checkpoint (bounded: keep rows per query) makes the ADC
+    # scan execute exactly once — the cand-id collect and the returned
+    # plan both read the checkpointed rows instead of re-scanning the
+    # index — and lets the stamp re-read BRACKET the scan: verify ran
+    # before, the scan is now done, so a retrain committing in between
+    # raises here rather than returning neighbors scored with stale
+    # LUTs (the check-then-scan TOCTOU of ADVICE r10, closed for every
+    # path that materializes; the pure-ADC unchunked return stays a
+    # lazy plan and carries the documented residual below)
+    top = top.localCheckpoint(eager=True)
+    _verify_quantizer(
+        spark, index_table, centroids, codebooks, "ivfpq_search post-scan"
+    )
     cand_ids = [r[0] for r in top.select(corpus_id).distinct().collect()]
     if not cand_ids:  # empty index / all-filtered probe: nothing to rerank
         return _empty_result("cos")

@@ -1079,8 +1079,12 @@ def c3_ann_ivfpq(spark, sf_dir):
             " meta_ok boolean, stale_raises boolean",
         )
     finally:
-        spark.sql(f"DROP TABLE IF EXISTS {t_pq}")
-        spark.sql(f"DROP TABLE IF EXISTS {t_full}")
+        # drop_index (not plain DROP TABLE): sweeps any .retrain_tmp/_old
+        # scratch a crashed maintenance op parked beside the location
+        from smallquery_spark.operators.pq import drop_index
+
+        drop_index(spark, t_pq)
+        drop_index(spark, t_full)
 
 
 @query(

@@ -1704,3 +1704,76 @@ def test_warehouse_pruners_guard_live_and_remote(spark, tmp_path):
     from smallquery_spark.queries.scale import _prune_stale_warehouse
 
     _prune_stale_warehouse(Untouchable(), "hdfs://nn/warehouse")
+
+
+def test_parquet_stats_under_hidden_ancestor(spark, tmp_path):
+    """parquet_stats' hidden-segment filter is RELATIVE to the queried
+    base: a warehouse under a dot- or underscore-prefixed ANCESTOR
+    (``~/.local/share/wh``, an ``/_staging`` mount) must still count its
+    data files — the full-path substring test matched the ancestor and
+    silently returned (0, 0), no-opping compaction sizing (ADVICE r10).
+    Hidden segments BELOW the base (an index's ``_meta`` sidecar) stay
+    excluded."""
+    from smallquery_spark.fsio import fs_for, join_uri
+
+    root = tmp_path / ".hidden_ancestor" / "_staging" / "wh"
+    uri = "file://" + str(root / "t")
+    spark.range(100).repartition(2).write.parquet(uri)
+    fs = fs_for(spark, uri)
+    n, total = fs.parquet_stats(uri)
+    assert n == 2 and total > 0
+
+    # hidden child below the base is still metadata, not data
+    spark.range(5).coalesce(1).write.parquet(join_uri(uri, "_meta"))
+    n2, total2 = fs.parquet_stats(uri)
+    assert (n2, total2) == (n, total)
+
+    # dotted child dir likewise
+    spark.range(5).coalesce(1).write.parquet(join_uri(uri, ".scratch"))
+    assert fs.parquet_stats(uri) == (n, total)
+
+
+def test_partitioned_catalog_rename_swap_loses_data(spark):
+    """The measured trap behind retrain_ivfpq's directory-swap design
+    (operators/pq.py): the catalog-rename compact pattern (stage a new
+    table, ALTER TABLE RENAME the live one aside, rename the staged one
+    in, DROP the aside) — safe for UNPARTITIONED tables (NearDupIndex
+    uses it, recovery pinned above) — LOSES DATA on a PARTITIONED
+    managed table. Two failures, both pinned: (1) the renamed-in
+    table's per-partition pointers still name its pre-rename directory,
+    so it reads 0 rows; (2) DROP of the aside table follows ITS stale
+    per-partition pointers — which now point at the renamed-in data —
+    and deletes the new generation's files. This is why the retrain
+    protocol swaps directory CONTENTS under a constant location via
+    fsio and never renames the catalog entry."""
+    import glob
+    import os
+
+    from smallquery_spark.fsio import table_location
+
+    pid = os.getpid()
+    t, t_new, t_old = f"rtrap_{pid}", f"rtrap_{pid}__new", f"rtrap_{pid}__old"
+    for name in (t, t_new, t_old):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    try:
+        spark.range(20).selectExpr("id", "id % 4 AS cell").write.partitionBy(
+            "cell"
+        ).saveAsTable(t)
+        spark.range(40).selectExpr("id", "id % 4 AS cell").write.partitionBy(
+            "cell"
+        ).saveAsTable(t_new)
+        spark.sql(f"ALTER TABLE {t} RENAME TO {t_old}")
+        spark.sql(f"ALTER TABLE {t_new} RENAME TO {t}")
+        loc = table_location(spark, t).replace("file:", "")
+        # the new generation's FILES moved in with the directory rename…
+        assert len(glob.glob(os.path.join(loc, "**", "*.parquet"),
+                             recursive=True)) > 0
+        # …but failure (1): stale partition pointers read zero of them
+        assert spark.table(t).count() == 0
+        # failure (2): dropping the aside entry deletes the new data
+        spark.sql(f"DROP TABLE {t_old}")
+        assert len(glob.glob(os.path.join(loc, "**", "*.parquet"),
+                             recursive=True)) == 0
+    finally:
+        for name in (t, t_new, t_old):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -781,3 +781,177 @@ def test_full_vector_ivf_stamp_lifecycle(spark, corpus, trained):
         ).count() > 0
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t2}")
+
+
+def test_meta_gen_of_tolerates_corrupt_meta_new(spark, corpus, trained):
+    """A save that crashed MID-WRITE of ``_meta_new`` leaves a directory
+    with no complete parquet footer. Recovery must treat it exactly like
+    'no aside copy' — restore ``_meta_old`` — rather than surface an
+    unrelated schema-inference AnalysisException without attempting the
+    documented rollback (ADVICE r10)."""
+    from smallquery_spark.fsio import fs_for, join_uri, table_location
+    from smallquery_spark.operators.pq import (
+        META_DIR,
+        load_index_meta,
+        materialize_ivfpq,
+    )
+    from smallquery_spark.operators.similarity import ivf_assign
+
+    cents, books = trained
+    pid = os.getpid()
+    t = materialize_ivfpq(
+        spark, ivf_assign(corpus, cents), cents, books, f"pqcorrupt_{pid}"
+    )
+    try:
+        loc = table_location(spark, t)
+        fs = fs_for(spark, loc)
+        meta = join_uri(loc, META_DIR)
+        # construct the crash state: live meta renamed aside, and a
+        # HALF-WRITTEN _meta_new (one truncated non-parquet file)
+        fs.rename(meta, meta + "_old")
+        fs.mkdirs(meta + "_new")
+        fs.write_text(
+            join_uri(meta + "_new", "part-00000.parquet"), "not parquet"
+        )
+        cl, bl = load_index_meta(spark, t)  # rollback, not AnalysisException
+        assert cl == cents and (bl.books == books.books).all()
+        assert fs.exists(meta)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_retrain_tolerates_probe_completed_swap(
+    spark, corpus, trained, monkeypatch
+):
+    """A probe's _recover_index_swap landing INSIDE retrain's sub-second
+    swap window (after rename(loc, old), before rename(staged, loc))
+    itself completes the swap. Retrain must treat 'staged missing but
+    the live dir carries my token' as COMMITTED — finish cleanup + the
+    partition sync and return — instead of raising mid-protocol and
+    leaking the old tree + stale catalog partitions (ADVICE r10)."""
+    from smallquery_spark.fsio import HadoopFS, fs_for, table_location
+    from smallquery_spark.operators.pq import (
+        _recover_index_swap,
+        ivfpq_search,
+        load_index_meta,
+        materialize_ivfpq,
+        retrain_ivfpq,
+    )
+    from smallquery_spark.operators.similarity import ivf_assign
+
+    cents, books = trained
+    pid = os.getpid()
+    t = materialize_ivfpq(
+        spark, ivf_assign(corpus, cents), cents, books, f"pqrace_{pid}"
+    )
+    loc = table_location(spark, t)
+    orig_rename = HadoopFS.rename
+    state = {"fired": False}
+
+    def probe_wins_race(self, src, dst):
+        orig_rename(self, src, dst)
+        if dst.rstrip("/").endswith(".retrain_old") and not state["fired"]:
+            # the concurrent probe recovers the swap inside the window
+            state["fired"] = True
+            monkeypatch.setattr(HadoopFS, "rename", orig_rename)
+            assert _recover_index_swap(spark, t) is True
+
+    monkeypatch.setattr(HadoopFS, "rename", probe_wins_race)
+    try:
+        cents2, books2 = retrain_ivfpq(spark, t, corpus, n_cells=4, m=4)
+        assert state["fired"]  # the race actually happened
+        fs = fs_for(spark, loc)
+        # retrain finished its protocol: no leaked trees, catalog synced
+        assert not fs.exists(loc.rstrip("/") + ".retrain_old")
+        assert not fs.exists(loc.rstrip("/") + ".retrain_tmp")
+        assert spark.table(t).count() == 300
+        cl, bl = load_index_meta(spark, t)
+        assert cl == cents2 and (bl.books == books2.books).all()
+        qs = corpus.filter("c_id < 3").select(
+            F.col("c_id").alias("q_id"), "vec"
+        )
+        assert ivfpq_search(spark, qs, t, cents2, books2, k=3, n_probe=2).count() > 0
+    finally:
+        monkeypatch.setattr(HadoopFS, "rename", orig_rename)
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_drop_index_sweeps_retrain_scratch(spark, corpus, trained):
+    """drop_index removes the ``.retrain_tmp``/``.retrain_old`` sibling
+    trees a crashed staging parked beside the table location — a plain
+    DROP TABLE orphans them forever because recovery is keyed to the
+    live table (ADVICE r10). Dropping an absent table is a no-op."""
+    from smallquery_spark.fsio import fs_for, table_location
+    from smallquery_spark.operators.pq import drop_index, materialize_ivfpq
+    from smallquery_spark.operators.similarity import ivf_assign
+
+    cents, books = trained
+    pid = os.getpid()
+    t = materialize_ivfpq(
+        spark, ivf_assign(corpus, cents), cents, books, f"pqdrop_{pid}"
+    )
+    loc = table_location(spark, t)
+    fs = fs_for(spark, loc)
+    # park fake crashed-staging scratch beside the table
+    fs.mkdirs(loc.rstrip("/") + ".retrain_tmp")
+    fs.mkdirs(loc.rstrip("/") + ".retrain_old")
+    drop_index(spark, t)
+    assert not fs.exists(loc)
+    assert not fs.exists(loc.rstrip("/") + ".retrain_tmp")
+    assert not fs.exists(loc.rstrip("/") + ".retrain_old")
+    assert not spark.catalog.tableExists(t)
+    drop_index(spark, t)  # absent table: converges, no raise
+
+
+def test_search_post_scan_verify_raises_on_mid_batch_retrain(
+    spark, corpus, trained, monkeypatch
+):
+    """The stamp check brackets every materializing scan: when the
+    stamp CHANGES between the pre-verify and the post-scan re-read (a
+    retrain committing mid-batch), the rerank path raises
+    StaleQuantizerError instead of returning neighbors scored with the
+    old LUTs (the check-then-scan TOCTOU of ADVICE r10, closed for
+    materializing paths)."""
+    from smallquery_spark.errors import StaleQuantizerError
+    from smallquery_spark.fsio import HadoopFS, join_uri, table_location
+    from smallquery_spark.operators.pq import (
+        GEN_FILE,
+        ivfpq_search,
+        materialize_ivfpq,
+    )
+    from smallquery_spark.operators.similarity import ivf_assign
+
+    cents, books = trained
+    pid = os.getpid()
+    t = materialize_ivfpq(
+        spark, ivf_assign(corpus, cents), cents, books, f"pqtoctou_{pid}"
+    )
+    loc = table_location(spark, t)
+    gen_uri = join_uri(loc, GEN_FILE)
+    orig_read = HadoopFS.read_text
+    orig_write = HadoopFS.write_text
+    state = {"reads": 0}
+
+    def tamper_after_first_read(self, uri):
+        out = orig_read(self, uri)
+        if uri == gen_uri:
+            state["reads"] += 1
+            if state["reads"] == 1:
+                # a retrain commits right after the pre-verify passes
+                orig_write(self, gen_uri, "f" * 32)
+        return out
+
+    monkeypatch.setattr(HadoopFS, "read_text", tamper_after_first_read)
+    try:
+        qs = corpus.filter("c_id < 3").select(
+            F.col("c_id").alias("q_id"), "vec"
+        )
+        with pytest.raises(StaleQuantizerError):
+            ivfpq_search(
+                spark, qs, t, cents, books,
+                k=3, n_probe=2, rerank=2, rerank_corpus=corpus,
+            )
+        assert state["reads"] >= 2  # pre-verify AND post-scan re-read ran
+    finally:
+        monkeypatch.setattr(HadoopFS, "read_text", orig_read)
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -1650,9 +1650,10 @@ def _register_ann_contracts() -> None:
             "SELECT 'indexed' AS leg, TRUE AS ok, TRUE AS ok2 "
             "UNION ALL SELECT 'ivf', TRUE, TRUE "
             "UNION ALL SELECT 'pq', TRUE, TRUE "
-            "UNION ALL SELECT 'pqmeta', TRUE, TRUE"
+            "UNION ALL SELECT 'pqmeta', TRUE, TRUE "
+            "UNION ALL SELECT 'stream', TRUE, TRUE"
         ),
-        tags=("C3", "C9", "canonical"),
+        tags=("C3", "C9", "B50", "B59", "canonical"),
     )
     def a_c03_ann_ivf(spark, sf_dir):
         ivf = _fn("c3_ann_ivf")(spark, sf_dir).select(
@@ -1681,7 +1682,27 @@ def _register_ann_contracts() -> None:
             F.col("meta_ok").alias("ok"),
             F.col("stale_raises").alias("ok2"),
         )
-        return ivf.unionByName(indexed).unionByName(pq).unionByName(pqmeta)
+        # stream (r11): the C3 streaming-ingest leg — foreachBatch
+        # epochs appending into the stamped at-rest index with all
+        # three drift signals evaluated per epoch, streamed index
+        # value-identical to a batch rebuild over the union
+        stream = _fn("c3_streaming_ann")(spark, sf_dir).select(
+            F.lit("stream").alias("leg"),
+            (
+                F.col("streamed_equals_rebuild") & F.col("nonempty")
+            ).alias("ok"),
+            (
+                F.col("signals_quiet")
+                & F.col("drift_fires")
+                & F.col("stale_raises")
+            ).alias("ok2"),
+        )
+        return (
+            ivf.unionByName(indexed)
+            .unionByName(pq)
+            .unionByName(pqmeta)
+            .unionByName(stream)
+        )
 
 
 _register_aliases()

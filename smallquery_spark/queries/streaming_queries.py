@@ -737,9 +737,9 @@ def b68_state_store_reader(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _stage_doc_slices(spark, df, k: int, prefix: str):
-    """Write a documents frame as k id-ordered parquet slices; return
-    (work_root, slices_dir). Slice i holds a contiguous doc_id range
+def _stage_doc_slices(spark, df, k: int, prefix: str, id_col: str = "doc_id"):
+    """Write a frame as k id-ordered parquet slices; return
+    (work_root, slices_dir). Slice i holds a contiguous ``id_col`` range
     and mtimes ascend with i, so the file-stream source consumes the
     corpus chronologically one slice per micro-batch."""
     import glob
@@ -755,8 +755,8 @@ def _stage_doc_slices(spark, df, k: int, prefix: str):
     root = register_cleanup(tempfile.mkdtemp(prefix=prefix))
     out = os.path.join(root, "slices")
     (
-        df.repartitionByRange(k, "doc_id")
-        .sortWithinPartitions("doc_id")
+        df.repartitionByRange(k, id_col)
+        .sortWithinPartitions(id_col)
         .write.mode("overwrite")
         .parquet(out)
     )
@@ -1030,3 +1030,233 @@ def c2_streaming_neardup(spark, sf_dir):
         ],
         "sets_equal boolean, nonempty boolean, dropped_some boolean",
     )
+
+
+@query(
+    "c3_streaming_ann",
+    oracle=(
+        "SELECT TRUE AS streamed_equals_rebuild, TRUE AS nonempty,"
+        " TRUE AS signals_quiet, TRUE AS drift_fires, TRUE AS stale_raises"
+    ),
+    tags=("C3", "B50", "B59"),
+)
+def c3_streaming_ann(spark, sf_dir):
+    """Continuous ANN ingest as a REAL stream (VERDICT r10 #1 — the
+    streaming leg C2/C11 already had): the IVF-PQ index is built on the
+    head of the embeddings corpus, then 3 id-ordered micro-batches run
+    `append_ivfpq` inside foreachBatch — each epoch reloading the
+    quantizer FROM THE INDEX (`load_index_meta`, which verifies the
+    generation stamp; a retrain landing mid-stream is picked up by the
+    next epoch, and an epoch holding pre-retrain state fails loudly at
+    its append instead of corrupting — `stale_raises` pins that) and
+    evaluating all three drift signals per epoch against recorded
+    baselines: `assignment_fit` (diffuse drift), `pq_fit_gap` (codebook
+    misfit), and `ivf_retrain_trigger` (concentrated skew, post-append).
+
+    Contracts: (1) the streamed index answers probes EXACTLY like a
+    `materialize_ivfpq` rebuild over the union — epoch appends are the
+    same pure (vector, quantizer) function, so the parity is structural
+    and survives the streaming plumbing (epoch ordering, per-epoch
+    at-rest meta reloads, commit markers); (2) the signals stay QUIET on
+    these in-distribution epochs — fit and gap relative to the FIRST
+    epoch (the calibration epoch: at 500 fixture rows the build corpus
+    is memorized by the codebooks, so build-time gap is not an honest
+    reference for held-out batches; at real scale PQ_QERR_gen100.json
+    shows build-time baselines work directly), imbalance relative to
+    the build-time histogram; (3) the same signals FIRE on the negated
+    indexed corpus (maximal drift, judged against the corpus's own
+    build baselines — see the in-body note on why held-out controls
+    are geometrically impossible on this near-isotropic fixture) —
+    quiet is an assertion, not a vacuous default; (4) a post-stream
+    append with a stale quantizer
+    raises StaleQuantizerError. Per-epoch ingest cost stays flat as the
+    index grows (the C2 curve's analogue, measured at 600k x 64-dim in
+    C3_STREAM_CURVE_gen100.json).
+
+    At-least-once residual, stated: the epoch commit marker makes
+    COMPLETED epochs replay-safe, but a crash between `append_ivfpq`
+    and the marker would replay the epoch and append its rows twice
+    (same values, duplicate rows — caught by this query's rebuild
+    parity, bounded by one epoch). C2's anti-join ingest is naturally
+    self-healing under replay; ANN appends are not — the production
+    close is epoch-keyed staging + rename, the same protocol
+    retrain_ivfpq uses."""
+    from smallquery_spark.errors import StaleQuantizerError
+    from smallquery_spark.operators.pq import (
+        append_ivfpq,
+        drop_index,
+        ivfpq_search,
+        load_index_meta,
+        materialize_ivfpq,
+        pq_fit_gap,
+        pq_qerr_trigger,
+        pq_train,
+    )
+    from smallquery_spark.operators.similarity import (
+        assignment_fit,
+        ivf_assign,
+        ivf_build_centroids,
+        ivf_defaults,
+        ivf_retrain_trigger,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    base = emb.filter(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec")
+    )
+    arriving_raw = emb.filter(F.col("vec_id") >= 200)
+    n_cells, n_probe = ivf_defaults(base.count())
+    cents = ivf_build_centroids(base, n_cells=n_cells)
+    books = pq_train(base, cents)
+    pid = os.getpid()
+    tname = materialize_ivfpq(
+        spark, ivf_assign(base, cents), cents, books, f"c3sann_{pid}"
+    )
+    tname_rb = None
+    root, slices = _stage_doc_slices(
+        spark, arriving_raw, 3, "smallquery_sann_", id_col="vec_id"
+    )
+    signals_dir = os.path.join(root, "signals")
+    _, build_stats = ivf_retrain_trigger(spark, tname, n_cells=n_cells)
+    build_imb = build_stats["imbalance"]
+    build_fit = assignment_fit(base, cents)
+    build_gap = pq_fit_gap(base, cents, books)
+    schema = spark.read.parquet(slices).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(slices)
+    )
+
+    def _ingest(batch_df, epoch_id):
+        sess = batch_df.sparkSession
+        epoch_dir = os.path.join(signals_dir, f"epoch_{epoch_id:010d}")
+        if os.path.exists(os.path.join(epoch_dir, "_SUCCESS")):
+            return  # replayed epoch after restart: already committed
+        batch = batch_df.select(
+            F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec")
+        ).localCheckpoint(eager=True)
+        # the quantizer comes from the INDEX, not the builder process:
+        # stamp-verified at-rest reload per epoch (retrain-aware ingest)
+        cl, bl = load_index_meta(sess, tname)
+        fit = assignment_fit(batch, cl)
+        gap = pq_fit_gap(batch, cl, bl)
+        append_ivfpq(sess, tname, batch, cl, bl)
+        trig, stats = ivf_retrain_trigger(
+            sess, tname, baseline_imbalance=build_imb, n_cells=len(cl)
+        )
+        rec = sess.createDataFrame(
+            [(int(epoch_id), float(fit), float(gap),
+              float(stats["imbalance"]), bool(trig))],
+            "epoch long, fit double, gap double, imbalance double,"
+            " imb_trigger boolean",
+        )
+        _epoch_commit(rec, signals_dir, epoch_id)
+        batch.unpersist()
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        _drain(
+            sdf.writeStream.foreachBatch(_ingest)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(root, "ckpt")),
+            "c3_streaming_ann",
+        )
+        recs = sorted(
+            spark.read.parquet(*_committed_epochs(signals_dir)).collect(),
+            key=lambda r: r["epoch"],
+        )
+        cal, later = recs[0], recs[1:]
+        signals_quiet = (
+            len(recs) == 3
+            and all(not r["imb_trigger"] for r in recs)
+            and all(not pq_qerr_trigger(r["gap"], cal["gap"]) for r in later)
+            and all(
+                cal["fit"] > 0 and r["fit"] / cal["fit"] >= 0.9
+                for r in later
+            )
+        )
+
+        # fires control — scale-independent geometry, the
+        # c3_ann_ivf_append pattern: the fixture embeddings are near-
+        # isotropic, so for HELD-OUT data every unit-norm transform
+        # (negation included) is distribution-preserving and no control
+        # can move fit/gap vs the calibration epoch (measured: negated
+        # held-out gap 0.1534 vs quiet 0.1531). The batch signals'
+        # fire side is therefore pinned against the INDEXED corpus's
+        # own baselines, where the geometry is decisive: the negated
+        # base flips every centroid cosine (fit craters vs the
+        # memorized build fit) and presents residuals the codebooks
+        # never saw (gap ~0.15 vs the memorized ~2e-10 — ratio ~1e9).
+        # The held-out-scale fire separation is the gen100 artifact's
+        # claim (PQ_QERR_gen100.json: σ-growth 41x at 600k), not this
+        # fixture's.
+        arriving = arriving_raw.select(
+            F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec")
+        )
+        negated_base = base.withColumn(
+            "vec", F.transform("vec", lambda x: -x)
+        )
+        cl, bl = load_index_meta(spark, tname)
+        drift_fires = pq_qerr_trigger(
+            pq_fit_gap(negated_base, cl, bl), build_gap
+        ) and (
+            build_fit > 0
+            and assignment_fit(negated_base, cl) / build_fit < 0.9
+        )
+
+        # value gate: streamed index == batch rebuild over the union,
+        # probe-for-probe (ADC path; candidate sets AND scores equal)
+        tname_rb = materialize_ivfpq(
+            spark,
+            ivf_assign(base.unionByName(arriving), cents),
+            cents,
+            books,
+            f"c3sann_rb_{pid}",
+        )
+        queries = emb.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")
+        )
+        streamed = ivfpq_search(
+            spark, queries, tname, cents, books, k=10, n_probe=n_probe
+        ).localCheckpoint(eager=True)
+        rebuilt = ivfpq_search(
+            spark, queries, tname_rb, cents, books, k=10, n_probe=n_probe
+        )
+        same = (
+            streamed.exceptAll(rebuilt).count() == 0
+            and rebuilt.exceptAll(streamed).count() == 0
+        )
+
+        # a retrain landing mid-stream: the next epoch's state is stale
+        # and its append must fail loudly, never corrupt
+        stale_books = pq_train(base, cents, seed=99)
+        try:
+            append_ivfpq(spark, tname, arriving.limit(3), cents, stale_books)
+            stale_raises = False
+        except StaleQuantizerError:
+            stale_raises = True
+
+        return spark.createDataFrame(
+            [
+                (
+                    same,
+                    streamed.count() > 0,
+                    signals_quiet,
+                    drift_fires,
+                    stale_raises,
+                )
+            ],
+            "streamed_equals_rebuild boolean, nonempty boolean,"
+            " signals_quiet boolean, drift_fires boolean,"
+            " stale_raises boolean",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        drop_index(spark, tname)
+        if tname_rb is not None:
+            drop_index(spark, tname_rb)

@@ -28,7 +28,11 @@ def _setup_repo(tmp_path):
 
 
 def _write_gates(repo, content="50 ok\n"):
-    for name in ("CHECKRUN_r1_sf0.01.txt", "PYTEST_r1.txt"):
+    for name in (
+        "CHECKRUN_r1_sf0.01.txt",
+        "PYTEST_r1.txt",
+        "BENCH_r1_local.json",
+    ):
         with open(os.path.join(repo, name), "w") as f:
             f.write(content)
     _git(repo, "add", "-A")
@@ -43,18 +47,21 @@ def test_gatecheck_fresh_stale_empty_dirty(tmp_path):
     probs = check(repo, quiet=True)
     assert any("CHECKRUN" in p for p in probs)
     assert any("PYTEST" in p for p in probs)
+    assert any("BENCH" in p for p in probs)
 
     # records cut after the engine commit: fresh
     _write_gates(repo)
     assert check(repo, quiet=True) == []
 
-    # engine changes after the cut: stale
+    # engine changes after the cut: stale — ALL THREE records flagged
+    # (the bench record is covered by the same ancestry rule, r11)
     with open(os.path.join(repo, "smallquery_spark", "x.py"), "w") as f:
         f.write("x = 2\n")
     _git(repo, "add", "-A")
     _git(repo, "commit", "-qm", "engine v2")
     probs = check(repo, quiet=True)
-    assert sum("re-cut" in p for p in probs) == 2
+    assert sum("re-cut" in p for p in probs) == 3
+    assert any(p.startswith("BENCH") for p in probs)
 
     # re-cut: fresh again, but an EMPTY record is flagged
     _write_gates(repo, "50 ok, second cut\n")

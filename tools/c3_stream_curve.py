@@ -1,0 +1,285 @@
+"""Streaming ANN ingest cost curve (VERDICT r10 #1's perf half).
+
+c3_streaming_ann proves the VALUE contract at gate scale (streamed
+IVF-PQ index == batch rebuild, drift signals per epoch, stamp-verified
+at-rest reloads). The scale question is the C2 curve's analogue: as the
+at-rest index GROWS, does per-epoch ingest stay bounded by the EPOCH
+(one assignment+encode projection over the batch + a batch-sized
+clustered append + driver-bounded signal passes) or creep toward
+index-sized work? Two components scale with the INDEX, both bounded by
+construction and measured here so the claim is a curve, not an
+assertion: `load_index_meta` (n_cells + m*ksub rows — constant per
+epoch) and `ivf_retrain_trigger`'s cell histogram (a full index scan
+reduced to <= n_cells rows; grows with index ROWS but is one
+agg-before-collect pass — the one index-sized term, reported
+separately so its growth is visible).
+
+Per epoch through a REAL file-source stream (maxFilesPerTrigger=1 →
+one epoch per micro-batch) with foreachBatch running the exact
+c3_streaming_ann ingest body: reload wall, batch-signal wall
+(assignment_fit + pq_fit_gap), append wall, histogram wall, and the
+three signal values — on in-distribution batches at this scale the
+BUILD-time baselines must hold quiet (the gate query needs
+calibration-epoch baselines only because its 200-row fixture corpus is
+memorized; here train gap is a sample statistic and held-out batches
+sit within noise of it — the same separation PQ_QERR_gen100.json
+measured for the drift side).
+
+After the drain, the value gate at scale: a probe batch over the
+streamed index must return exactly the rows a materialize_ivfpq
+rebuild over the union returns, and ADC recall@10 vs brute force is
+recorded.
+
+Usage:
+    python -m tools.c3_stream_curve [--n 600000] [--batch 50000]
+        [--epochs 8] [--dim 64] [--out C3_STREAM_CURVE_gen100.json]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from smallquery_spark.queries.registry import ensure_driver_confs
+from smallquery_spark.session import get_session
+
+
+def _gen(rng, modes, n, sigma=0.10):
+    labels = rng.integers(0, len(modes), n)
+    X = modes[labels] + rng.normal(0, sigma, (n, modes.shape[1]))
+    return X / np.linalg.norm(X, axis=1, keepdims=True)
+
+
+def main() -> None:
+    argv = sys.argv[1:]
+
+    def opt(flag, default, cast):
+        if flag in argv:
+            i = argv.index(flag)
+            v = cast(argv[i + 1])
+            del argv[i : i + 2]
+            return v
+        return default
+
+    n = opt("--n", 600_000, int)
+    batch_n = opt("--batch", 50_000, int)
+    k_epochs = opt("--epochs", 8, int)
+    dim = opt("--dim", 64, int)
+    out_path = opt("--out", "C3_STREAM_CURVE_gen100.json", str)
+
+    from tools.diskguard import preflight
+
+    disk = preflight(10)
+
+    from smallquery_spark.operators.pq import (
+        append_ivfpq,
+        drop_index,
+        ivfpq_search,
+        load_index_meta,
+        materialize_ivfpq,
+        pq_fit_gap,
+        pq_qerr_trigger,
+        pq_train,
+    )
+    from smallquery_spark.operators.similarity import (
+        assignment_fit,
+        ivf_assign,
+        ivf_build_centroids,
+        ivf_defaults,
+        ivf_retrain_trigger,
+        knn_bruteforce,
+    )
+
+    spark = get_session("smallquery-c3-stream-curve")
+    ensure_driver_confs(spark)
+
+    rng = np.random.default_rng(42)
+    modes = rng.normal(0, 1, (10, dim))
+
+    def to_df(X, id0):
+        return spark.createDataFrame(
+            [(id0 + i, [float(x) for x in X[i]]) for i in range(len(X))],
+            "c_id long, vec array<double>",
+        )
+
+    out: dict = {
+        "n_corpus": n,
+        "batch_n": batch_n,
+        "epochs": k_epochs,
+        "dim": dim,
+        "disk_preflight": disk,
+        "per_epoch": [],
+    }
+
+    corpus = to_df(_gen(rng, modes, n), 0).repartition(32).localCheckpoint(
+        eager=True
+    )
+    n_cells, n_probe = ivf_defaults(n)
+    out["n_cells"], out["n_probe"] = n_cells, n_probe
+
+    t0 = time.time()
+    cents = ivf_build_centroids(corpus, n_cells=n_cells)
+    books = pq_train(corpus, cents, m=16)
+    out["train_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    tname = materialize_ivfpq(
+        spark, ivf_assign(corpus, cents), cents, books, f"c3sc_{os.getpid()}"
+    )
+    out["initial_materialize_sec"] = round(time.time() - t0, 3)
+
+    out["build_gap"] = round(pq_fit_gap(corpus, cents, books), 6)
+    out["build_fit"] = round(assignment_fit(corpus, cents), 5)
+    _, stats0 = ivf_retrain_trigger(spark, tname, n_cells=n_cells)
+    out["build_imbalance"] = round(stats0["imbalance"], 3)
+
+    # stage the arriving batches as id-ordered parquet slices for the
+    # file-source stream (one slice per micro-batch)
+    work = tempfile.mkdtemp(prefix="smallquery_c3curve_")
+    slices = os.path.join(work, "slices")
+    arriving_frames = []
+    id0 = n
+    for i in range(k_epochs):
+        Xb = _gen(rng, modes, batch_n)
+        bdf = to_df(Xb, id0)
+        bdf.coalesce(1).write.mode("append").parquet(slices)
+        arriving_frames.append(bdf)
+        id0 += batch_n
+    parts = sorted(glob.glob(os.path.join(slices, "part-*.parquet")))
+    base_t = time.time() - 10 * len(parts)
+    for i, p in enumerate(parts):
+        os.utime(p, (base_t + 10 * i, base_t + 10 * i))
+
+    schema = spark.read.parquet(slices).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(slices)
+    )
+
+    index_rows = [n]
+
+    def _ingest(batch_df, epoch_id):
+        sess = batch_df.sparkSession
+        e0 = time.time()
+        batch = batch_df.localCheckpoint(eager=True)
+        nb = batch.count()
+        t1 = time.time()
+        cl, bl = load_index_meta(sess, tname)
+        reload_sec = time.time() - t1
+        t1 = time.time()
+        fit = assignment_fit(batch, cl)
+        gap = pq_fit_gap(batch, cl, bl)
+        signals_sec = time.time() - t1
+        t1 = time.time()
+        append_ivfpq(sess, tname, batch, cl, bl)
+        append_sec = time.time() - t1
+        t1 = time.time()
+        trig, stats = ivf_retrain_trigger(
+            sess, tname,
+            baseline_imbalance=out["build_imbalance"], n_cells=len(cl),
+        )
+        hist_sec = time.time() - t1
+        out["per_epoch"].append(
+            {
+                "epoch": int(epoch_id),
+                "batch_rows": nb,
+                "index_rows_before": index_rows[0],
+                "epoch_sec": round(time.time() - e0, 3),
+                "reload_sec": round(reload_sec, 3),
+                "signals_sec": round(signals_sec, 3),
+                "append_sec": round(append_sec, 3),
+                "histogram_sec": round(hist_sec, 3),
+                "fit_ratio_vs_build": round(fit / out["build_fit"], 4),
+                "gap_ratio_vs_build": round(
+                    gap / max(out["build_gap"], 1e-12), 3
+                ),
+                "qerr_trigger_fires": pq_qerr_trigger(gap, out["build_gap"]),
+                "fit_trigger_fires(<0.9)": fit / out["build_fit"] < 0.9,
+                "imbalance": round(stats["imbalance"], 3),
+                "imb_trigger_fires": bool(trig),
+            }
+        )
+        index_rows[0] = stats["n_rows"]
+        batch.unpersist()
+        print(f"  {out['per_epoch'][-1]}", file=sys.stderr, flush=True)
+
+    tname_rb = None
+    try:
+        q = (
+            sdf.writeStream.foreachBatch(_ingest)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(3600):
+            q.stop()
+            raise TimeoutError("c3 stream curve did not drain in 3600s")
+
+        walls = [e["epoch_sec"] for e in out["per_epoch"]]
+        out["epoch_wall_drift"] = (
+            round(walls[-1] / walls[0], 2) if len(walls) >= 2 else None
+        )
+        out["signals_all_quiet"] = all(
+            not e["qerr_trigger_fires"]
+            and not e["fit_trigger_fires(<0.9)"]
+            and not e["imb_trigger_fires"]
+            for e in out["per_epoch"]
+        )
+
+        # value gate at scale: streamed == rebuild, probe-for-probe
+        union = corpus
+        for bdf in arriving_frames:
+            union = union.unionByName(bdf)
+        union = union.repartition(32).localCheckpoint(eager=True)
+        t0 = time.time()
+        tname_rb = materialize_ivfpq(
+            spark, ivf_assign(union, cents), cents, books,
+            f"c3sc_rb_{os.getpid()}",
+        )
+        out["rebuild_sec"] = round(time.time() - t0, 3)
+        queries = union.filter(F.col("c_id") < 50).select(
+            F.col("c_id").alias("q_id"), "vec"
+        )
+        t0 = time.time()
+        streamed = ivfpq_search(
+            spark, queries, tname, cents, books, k=10, n_probe=n_probe
+        ).localCheckpoint(eager=True)
+        out["probe_sec"] = round(time.time() - t0, 3)
+        rebuilt = ivfpq_search(
+            spark, queries, tname_rb, cents, books, k=10, n_probe=n_probe
+        )
+        out["same_as_rebuild"] = (
+            streamed.exceptAll(rebuilt).count() == 0
+            and rebuilt.exceptAll(streamed).count() == 0
+        )
+        exact = knn_bruteforce(
+            queries.select("q_id", F.col("vec").alias("q_vec")),
+            union.select("c_id", F.col("vec").alias("c_vec")),
+            k=10,
+        ).select("q_id", "c_id").localCheckpoint(eager=True)
+        res = streamed.select("q_id", "c_id")
+        n_exact = exact.count()
+        hits = exact.join(res, ["q_id", "c_id"], "left_semi").count()
+        out["adc_recall_at_10"] = round(hits / max(n_exact, 1), 4)
+    finally:
+        drop_index(spark, tname)
+        if tname_rb is not None:
+            drop_index(spark, tname_rb)
+
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

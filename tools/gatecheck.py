@@ -3,7 +3,8 @@ of every round.
 
 The rule this automates (VERDICT r9 #1, after PYTEST_r9.txt went stale
 AND 0-byte at HEAD while README still cited it): the round's gate
-records — the newest ``CHECKRUN_r*`` and ``PYTEST_r*`` files — must be
+records — the newest ``CHECKRUN_r*``, ``PYTEST_r*`` and
+``BENCH_r*_local.json`` files — must be
 (a) non-empty, (b) committed with no uncommitted drift, and (c) cut
 AT-OR-AFTER the last commit that touched the engine (``
 smallquery_spark/``, ``__spark_entry__.py``, ``bench.py``,
@@ -79,6 +80,11 @@ def check(repo: str, quiet: bool = False) -> list[str]:
     for pattern, kind in (
         ("CHECKRUN_r*", "CHECKRUN"),
         ("PYTEST_r*", "PYTEST"),
+        # the local bench record (VERDICT r10 #7): same ancestry rule.
+        # A documented host-drift note may ACCOMPANY a fresh cut (in
+        # README/SCALE.md prose), but never replaces one — a stale
+        # BENCH_r*_local.json fails here exactly like a stale CHECKRUN.
+        ("BENCH_r*_local.json", "BENCH"),
     ):
         rec = _newest_record(repo, pattern)
         if rec is None:

@@ -395,7 +395,11 @@ def append_ivfpq(
     ivf_retrain_trigger for concentrated skew — a retrain that replaces
     centroids must re-encode, i.e. re-materialize, since residuals
     move); file-count growth is bounded by the same
-    compact_ivf_cells (the code table shares the cell= layout).
+    compact_ivf_cells (the code table shares the cell= layout —
+    pinned on an ``ivfpqx_`` table in tests/test_pq.py::
+    test_compact_ivf_cells_on_pq_table: files drop, the per-cell swaps
+    never touch the table-root stamp/_meta, and the post-compact probe
+    still verifies and answers identically).
 
     Verified: the provided quantizer must match the index's generation
     stamp (StaleQuantizerError otherwise) — appending codes encoded
@@ -1136,7 +1140,11 @@ def ivfpq_search(
     and 1024 already paying per-chunk job overhead (256 s). Results
     are identical at any chunking (asserted in-study and pinned in
     tests). Small batches (n_q <= chunk) take the unchunked r9 path
-    byte-identically.
+    byte-identically. Chunk assembly is toLocalIterator-driven (r11):
+    the driver holds ONE chunk of query Rows at a time instead of the
+    whole batch, so peak driver residency is chunk-bounded too
+    (measured at 100k queries in PQ_ITER_gen100.json — RSS and wall
+    vs the r10 collect-then-slice path).
 
     Every search verifies the provided quantizer against the index's
     generation stamp and raises StaleQuantizerError on mismatch — a
@@ -1200,16 +1208,42 @@ def ivfpq_search(
             ),
         )
 
-    qrows = queries.select(query_id, vec_col).collect()
+    qsel = queries.select(query_id, vec_col)
+    if query_chunk:
+        # the query batch is DRIVEN off toLocalIterator, not collected
+        # up front: peak driver residency is ONE chunk of Rows (plus
+        # the partition the iterator is prefetching) regardless of
+        # batch size — the r10 chunking bounded the executor-side LUT
+        # closures but still materialized every query row on the
+        # driver before the first chunk ran (a 10M-query batch ≈ 5+ GB
+        # of Rows; ADVICE r10 / VERDICT #3). Wall parity with the
+        # collect-then-slice path measured in PQ_ITER_gen100.json;
+        # the first fetch peeks chunk+1 rows so batches that fit in
+        # one chunk take the unchunked path below unchanged.
+        from itertools import islice
+
+        it = qsel.toLocalIterator(prefetchPartitions=True)
+        qrows = list(islice(it, query_chunk + 1))
+    else:
+        qrows = qsel.collect()
     if not qrows:
         return _empty_result("adc" if rerank_corpus is None else "cos")
     if query_chunk and len(qrows) > query_chunk:
-        schema = queries.select(query_id, vec_col).schema
+        schema = qsel.schema
+
+        def _chunks():
+            buf = qrows
+            while buf:
+                if len(buf) < query_chunk:
+                    buf = buf + list(islice(it, query_chunk - len(buf)))
+                head, buf = buf[:query_chunk], buf[query_chunk:]
+                yield head
+                if not buf:
+                    buf = list(islice(it, query_chunk))
+
         parts = []
-        for lo in range(0, len(qrows), query_chunk):
-            chunk = spark.createDataFrame(
-                qrows[lo : lo + query_chunk], schema
-            )
+        for chunk_rows in _chunks():
+            chunk = spark.createDataFrame(chunk_rows, schema)
             parts.append(
                 ivfpq_search(
                     spark, chunk, index_table, centroids, codebooks,

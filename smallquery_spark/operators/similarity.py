@@ -1087,12 +1087,40 @@ def assignment_fit(
     return float(row["fit"]) if row["fit"] is not None else 0.0
 
 
+def cell_counts(
+    df: DataFrame, cell_col: str = "cell"
+) -> dict[int, int]:
+    """Per-cell row counts of an ivf_assign output (or any cell-tagged
+    batch) as a driver dict — bounded by n_cells. The batch-sized
+    input to an ingest loop's RUNNING histogram: fold each append's
+    counts with :func:`merge_cell_counts` and pass the running dict to
+    :func:`ivf_retrain_trigger` via ``cell_hist`` — per-epoch drift
+    checks at batch cost, no index scan (the one index-sized term in
+    C3_STREAM_CURVE_gen100.json's per-epoch decomposition)."""
+    return {
+        r[cell_col]: r["count"]
+        for r in df.groupBy(cell_col).count().collect()
+    }
+
+
+def merge_cell_counts(
+    running: dict[int, int], batch: dict[int, int]
+) -> dict[int, int]:
+    """Fold a batch histogram into a running one (pure, returns the
+    merged dict — callers keep the running copy they own)."""
+    out = dict(running)
+    for cell, n in batch.items():
+        out[cell] = out.get(cell, 0) + n
+    return out
+
+
 def ivf_retrain_trigger(
     spark,
     index_table: str,
     imbalance_bound: float = 8.0,
     baseline_imbalance: float | None = None,
     n_cells: int | None = None,
+    cell_hist: dict[int, int] | None = None,
 ) -> tuple[bool, dict]:
     """Decide whether the frozen coarse quantizer has drifted enough to
     retrain, from the one statistic the index itself exposes: the cell
@@ -1136,14 +1164,28 @@ def ivf_retrain_trigger(
     while its recall craters (measured — see :func:`assignment_fit`,
     the complementary batch-time signal for that drift shape; the
     production posture checks BOTH: this trigger per maintenance tick,
-    fit per append batch)."""
-    hist = (
-        spark.table(index_table)
-        .groupBy("cell")
-        .count()
-        .collect()
-    )
-    counts = [r["count"] for r in hist]
+    fit per append batch).
+
+    ``cell_hist`` (r11): a maintained ``{cell: rows}`` histogram —
+    when provided, the trigger is evaluated on IT and the index is
+    never scanned. This is the ingest-path variant: an append already
+    knows its own batch histogram (:func:`cell_counts` — one
+    batch-sized agg), so an ingest loop folds batch counts into a
+    running histogram and gets per-epoch drift checks at batch cost;
+    the scan-based form stays the MAINTENANCE-TICK posture (the
+    running histogram lives in the ingest process — re-seed it from
+    one scan when a new process takes over, exactly like the
+    baselines). Decision-identical by construction (same statistic
+    from the same numbers; pinned against the scan in tests and
+    measured in C3_STREAM_CURVE_gen100.json, where the per-epoch scan
+    was the one index-sized ingest term)."""
+    if cell_hist is not None:
+        counts = [c for c in cell_hist.values() if c > 0]
+    else:
+        counts = [
+            r["count"]
+            for r in spark.table(index_table).groupBy("cell").count().collect()
+        ]
     n_rows = sum(counts)
     n_nonempty = len(counts)
     denom = n_cells if n_cells else n_nonempty

@@ -1777,3 +1777,66 @@ def test_partitioned_catalog_rename_swap_loses_data(spark):
     finally:
         for name in (t, t_new, t_old):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_retrain_trigger_incremental_histogram(spark):
+    """ivf_retrain_trigger(cell_hist=...) — the ingest-path variant
+    fed by a running histogram folded from per-batch cell_counts —
+    must produce the IDENTICAL stats and decision as the scan-based
+    maintenance-tick form, after multiple appends (r11: removes the
+    one index-sized term from the per-epoch ingest decomposition,
+    C3_STREAM_CURVE_gen100.json)."""
+    import os
+
+    import numpy as np
+
+    from smallquery_spark.operators.similarity import (
+        append_ivf,
+        cell_counts,
+        ivf_assign,
+        ivf_build_centroids,
+        ivf_retrain_trigger,
+        materialize_ivf,
+        merge_cell_counts,
+    )
+
+    rng = np.random.default_rng(3)
+    modes = rng.normal(0, 1, (4, 8))
+
+    def df(n, seed, id0):
+        r = np.random.default_rng(seed)
+        X = modes[r.integers(0, 4, n)] + r.normal(0, 0.2, (n, 8))
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        return spark.createDataFrame(
+            [(id0 + i, [float(v) for v in X[i]]) for i in range(n)],
+            "c_id long, vec array<double>",
+        )
+
+    base = df(120, 1, 0)
+    cents = ivf_build_centroids(base, n_cells=4)
+    t = materialize_ivf(
+        spark, ivf_assign(base, cents), f"inchist_{os.getpid()}",
+        centroids=cents,
+    )
+    try:
+        running = cell_counts(ivf_assign(base, cents))
+        for seed in (2, 3):
+            batch = df(60, seed, 1000 * seed)
+            running = merge_cell_counts(
+                running, cell_counts(ivf_assign(batch, cents))
+            )
+            append_ivf(spark, t, batch, cents)
+
+        for kwargs in (
+            {"n_cells": len(cents)},
+            {"n_cells": len(cents), "baseline_imbalance": 1.1},
+            {},
+        ):
+            trig_scan, stats_scan = ivf_retrain_trigger(spark, t, **kwargs)
+            trig_inc, stats_inc = ivf_retrain_trigger(
+                spark, t, cell_hist=running, **kwargs
+            )
+            assert trig_scan == trig_inc
+            assert stats_scan == stats_inc
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

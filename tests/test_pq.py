@@ -955,3 +955,74 @@ def test_search_post_scan_verify_raises_on_mid_batch_retrain(
     finally:
         monkeypatch.setattr(HadoopFS, "read_text", orig_read)
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_compact_ivf_cells_on_pq_table(spark, corpus, trained):
+    """compact_ivf_cells on the PQ CODE table (every prior compaction
+    test ran the full-vector ``ivfx_`` layout only — VERDICT r10 #5):
+    appends fragment the cell directories, compaction (a) drops the
+    data-file count, (b) never touches the table-root ``_quantizer_gen``
+    stamp or ``_meta`` sidecar — the per-cell swaps operate strictly
+    below them, which is the structural fact that makes compaction and
+    the quantizer lifecycle composable — and (c) a post-compact probe
+    still stamp-verifies and answers exactly like the pre-compact
+    one."""
+    from smallquery_spark.fsio import fs_for, join_uri, table_location
+    from smallquery_spark.operators.pq import (
+        GEN_FILE,
+        META_DIR,
+        append_ivfpq,
+        drop_index,
+        ivfpq_search,
+        materialize_ivfpq,
+    )
+    from smallquery_spark.operators.similarity import (
+        compact_ivf_cells,
+        ivf_assign,
+    )
+
+    cents, books = trained
+    pid = os.getpid()
+    base = corpus.filter("c_id % 3 = 0")
+    t = materialize_ivfpq(
+        spark, ivf_assign(base, cents), cents, books, f"pqcomp_{pid}"
+    )
+    try:
+        # fragment: two appends -> up to 3 files per touched cell
+        append_ivfpq(spark, t, corpus.filter("c_id % 3 = 1"), cents, books)
+        append_ivfpq(spark, t, corpus.filter("c_id % 3 = 2"), cents, books)
+        loc = table_location(spark, t)
+        fs = fs_for(spark, loc)
+        stamp_before = fs.read_text(join_uri(loc, GEN_FILE))
+        meta_files_before = sorted(
+            p for p, _s in fs.list_files_recursive(join_uri(loc, META_DIR))
+        )
+        files_before, _ = fs.parquet_stats(loc)
+
+        qs = corpus.filter("c_id < 6").select(
+            F.col("c_id").alias("q_id"), "vec"
+        )
+        before = ivfpq_search(
+            spark, qs, t, cents, books, k=5, n_probe=4
+        ).localCheckpoint(eager=True)
+
+        n_compacted = compact_ivf_cells(spark, t)
+        assert n_compacted > 0
+
+        files_after, _ = fs.parquet_stats(loc)
+        assert files_after < files_before
+        # stamp + meta live at the table root, above the cell= swaps
+        assert fs.read_text(join_uri(loc, GEN_FILE)) == stamp_before
+        assert (
+            sorted(
+                p
+                for p, _s in fs.list_files_recursive(join_uri(loc, META_DIR))
+            )
+            == meta_files_before
+        )
+
+        after = ivfpq_search(spark, qs, t, cents, books, k=5, n_probe=4)
+        assert before.exceptAll(after).count() == 0
+        assert after.exceptAll(before).count() == 0
+    finally:
+        drop_index(spark, t)

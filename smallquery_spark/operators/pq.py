@@ -37,11 +37,24 @@ Spark-first shape:
   offset comes from the (n_q x n_cells) centroid-similarity matrix and
   only q.r is quantized.
 - **Rerank** collects the bounded top-R candidate id set (n_q x R) and
-  pushes it into the full-vector corpus scan as an IN-filter (parquet
-  row-group pruning; at 100 TB the corpus wants to be id-bucketed so
-  the point lookups prune to buckets), then rescores with the exact
-  Arrow pair cosine — the returned `cos` on the rerank path is exact,
-  only the CANDIDATE SET is approximate.
+  pushes it into the full-vector corpus scan as an IN-filter, then
+  rescores with the exact Arrow pair cosine — the returned `cos` on
+  the rerank path is exact, only the CANDIDATE SET is approximate.
+  What the IN-filter prunes is a LAYOUT property, measured at 2M rows
+  (RERANK_SCANIO_gen100.json, decoded rows from executed-plan scan
+  metrics): candidate ids are SCATTERED in id space (neighbors are not
+  id-adjacent), so for a 40-id point lookup an id-bucketed corpus
+  (256 buckets) decodes 288k rows vs 875k for an id-sorted flat file
+  (row-group stats barely prune scattered ids) vs the full 2M for a
+  shuffled one — but a 2,000-id batch fetch blankets every row group
+  AND bucket and decodes the full corpus under ALL three layouts.
+  The rule that encodes: pruning scales as ~(1-(1-1/n_buckets)^n_cand)
+  — bucket the corpus so n_buckets >> the rerank set (n_q x rerank x
+  k) of the largest POINT-lookup traffic, and treat batch rerank
+  fetches as full-corpus-decode work (warm-local walls don't reward
+  the decode savings — 256-file open overhead costs more than the
+  skipped rows; the win is read bytes on the cold stores where the
+  corpus actually lives).
 
 Cosine geometry: vectors are L2-normalized before residual encoding
 (queries likewise before LUT construction), so ADC inner product IS
@@ -1315,8 +1328,11 @@ def ivfpq_search(
         return top
 
     # bounded exact rerank: n_q x (rerank*k) candidate ids, pushed into
-    # the full-vector scan as an IN-filter (row-group pruning; bucket
-    # the corpus by id at scale so point fetches prune to buckets).
+    # the full-vector scan as an IN-filter (what it prunes is a layout
+    # property of the corpus — measured rule in the module docstring:
+    # id-bucket with n_buckets >> the point-lookup candidate count;
+    # batch fetches decode the corpus under any layout,
+    # RERANK_SCANIO_gen100.json).
     # The eager checkpoint (bounded: keep rows per query) makes the ADC
     # scan execute exactly once — the cand-id collect and the returned
     # plan both read the checkpointed rows instead of re-scanning the

@@ -444,6 +444,113 @@ def append_ivfpq(
         pass
 
 
+def append_ivfpq_epoch(
+    spark,
+    index_table: str,
+    new_corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: PQCodebooks,
+    epoch_id: int,
+    corpus_id: str = "c_id",
+    vec_col: str = "vec",
+) -> bool:
+    """Exactly-once epoch append: the replay-safe form of
+    :func:`append_ivfpq` for at-least-once ingest loops (foreachBatch
+    re-delivers the in-flight epoch after a restart; a plain append
+    replayed would insert the epoch's rows twice — the r11 streaming
+    residual this closes, pinned with injected crashes in
+    tests/test_pq.py::test_append_epoch_replay_safe).
+
+    Protocol — determinism is the idempotency mechanism, no marker
+    file needed: encode the batch into a HIDDEN staging tree inside
+    the table directory (``_append_epoch_<id>`` — underscore-prefixed,
+    invisible to every scan), one file per cell (the same
+    repartition-by-cell clustering every write here uses), then MOVE
+    each cell's file into the live ``cell=`` directory under the
+    deterministic name ``part-epoch-<id>.parquet``. Codes are a pure
+    function of (vector, quantizer), so a replay re-stages identical
+    content and each rename either finds its target already present
+    (that cell is done — skip) or completes it; a crash at ANY point
+    resumes to the same final state, and no interleaving of replays
+    double-appends. Cost over the plain append: one staging-tree
+    listing + one driver-side rename per touched cell (≤ n_cells);
+    the listing-sized partition re-sync runs ONLY when the epoch
+    created a cell the catalog has never seen (probes path-scan and
+    never need it). Returns True when this call moved at least one
+    file (False = the epoch was already fully applied).
+
+    Same verification as every probe/append: the quantizer must match
+    the index's generation stamp (StaleQuantizerError otherwise), so a
+    retrain landing mid-stream still fails the next epoch loudly."""
+    from smallquery_spark.fsio import fs_for, join_uri, table_location
+
+    _recover_index_swap(spark, index_table)
+    _verify_quantizer(
+        spark, index_table, centroids, codebooks, "append_ivfpq_epoch"
+    )
+    from smallquery_spark.operators.similarity import ivf_assign
+
+    fmt = _code_format_of(spark, index_table)
+    loc = table_location(spark, index_table)
+    fs = fs_for(spark, loc)
+    staging = join_uri(loc, f"_append_epoch_{int(epoch_id):010d}")
+    assigned = ivf_assign(
+        new_corpus, centroids, corpus_id=corpus_id, vec_col=vec_col
+    )
+    (
+        pq_encode(
+            assigned, centroids, codebooks, vec_col=vec_col, code_format=fmt
+        )
+        .select(corpus_id, "cell", "code")
+        .repartition(F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(staging)
+    )
+    moved = new_cell = False
+    for entry in fs.list_status(staging):
+        if not entry["is_dir"] or not entry["name"].startswith("cell="):
+            continue
+        cell_dir = join_uri(loc, entry["name"])
+        target = join_uri(
+            cell_dir, f"part-epoch-{int(epoch_id):010d}.parquet"
+        )
+        if fs.exists(target):
+            continue  # replay: this cell's move already committed
+        staged_cell = join_uri(staging, entry["name"])
+        src = [
+            n for n in fs.list_names(staged_cell) if n.endswith(".parquet")
+        ]
+        if not src:
+            continue
+        if len(src) > 1:
+            # one file per cell is structural (repartition by cell →
+            # one task per cell → one committed file); moving only one
+            # of several would silently drop rows, so refuse instead
+            raise IOError(
+                f"append_ivfpq_epoch: staged cell {staged_cell} holds"
+                f" {len(src)} files (expected 1) — refusing a partial move"
+            )
+        if not fs.exists(cell_dir):
+            new_cell = True
+            fs.mkdirs(cell_dir)
+        fs.rename(join_uri(staged_cell, src[0]), target)
+        moved = True
+    fs.delete(staging)
+    if new_cell:
+        # a cell the catalog has never seen: register it for
+        # spark.table consumers (probes path-scan and never need this);
+        # appends into EXISTING cells are directory-visible already,
+        # so the common epoch skips the listing-sized MSCK entirely
+        _sync_partitions(spark, index_table)
+    elif moved:
+        try:
+            spark.catalog.refreshTable(index_table)
+        except Exception:
+            pass
+    return moved
+
+
 # --------------------------------------------------------------------------
 # Quantizer lifecycle: generation stamp + atomic meta + retrain protocol.
 #

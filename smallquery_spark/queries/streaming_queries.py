@@ -1044,7 +1044,7 @@ def c3_streaming_ann(spark, sf_dir):
     """Continuous ANN ingest as a REAL stream (VERDICT r10 #1 — the
     streaming leg C2/C11 already had): the IVF-PQ index is built on the
     head of the embeddings corpus, then 3 id-ordered micro-batches run
-    `append_ivfpq` inside foreachBatch — each epoch reloading the
+    `append_ivfpq_epoch` inside foreachBatch — each epoch reloading the
     quantizer FROM THE INDEX (`load_index_meta`, which verifies the
     generation stamp; a retrain landing mid-stream is picked up by the
     next epoch, and an epoch holding pre-retrain state fails loudly at
@@ -1073,17 +1073,19 @@ def c3_streaming_ann(spark, sf_dir):
     index grows (the C2 curve's analogue, measured at 600k x 64-dim in
     C3_STREAM_CURVE_gen100.json).
 
-    At-least-once residual, stated: the epoch commit marker makes
-    COMPLETED epochs replay-safe, but a crash between `append_ivfpq`
-    and the marker would replay the epoch and append its rows twice
-    (same values, duplicate rows — caught by this query's rebuild
-    parity, bounded by one epoch). C2's anti-join ingest is naturally
-    self-healing under replay; ANN appends are not — the production
-    close is epoch-keyed staging + rename, the same protocol
-    retrain_ivfpq uses."""
+    Exactly-once appends (r11, closing the residual this docstring
+    first stated): each epoch writes through `append_ivfpq_epoch` —
+    staged inside the table directory, then one deterministic
+    `part-epoch-<id>.parquet` move per touched cell — so a replayed
+    epoch (foreachBatch is at-least-once for the in-flight epoch)
+    re-stages identical content and skips committed cells instead of
+    double-appending; crash-at-every-point pinned in
+    tests/test_pq.py::test_append_epoch_replay_safe. The signal
+    record's `_SUCCESS` marker stays, but only gates re-computing
+    signals — the append itself no longer depends on it."""
     from smallquery_spark.errors import StaleQuantizerError
     from smallquery_spark.operators.pq import (
-        append_ivfpq,
+        append_ivfpq_epoch,
         drop_index,
         ivfpq_search,
         load_index_meta,
@@ -1144,7 +1146,9 @@ def c3_streaming_ann(spark, sf_dir):
         cl, bl = load_index_meta(sess, tname)
         fit = assignment_fit(batch, cl)
         gap = pq_fit_gap(batch, cl, bl)
-        append_ivfpq(sess, tname, batch, cl, bl)
+        append_ivfpq_epoch(
+            sess, tname, batch, cl, bl, epoch_id=int(epoch_id)
+        )
         trig, stats = ivf_retrain_trigger(
             sess, tname, baseline_imbalance=build_imb, n_cells=len(cl)
         )
@@ -1236,7 +1240,10 @@ def c3_streaming_ann(spark, sf_dir):
         # and its append must fail loudly, never corrupt
         stale_books = pq_train(base, cents, seed=99)
         try:
-            append_ivfpq(spark, tname, arriving.limit(3), cents, stale_books)
+            append_ivfpq_epoch(
+                spark, tname, arriving.limit(3), cents, stale_books,
+                epoch_id=99,
+            )
             stale_raises = False
         except StaleQuantizerError:
             stale_raises = True

@@ -1026,3 +1026,131 @@ def test_compact_ivf_cells_on_pq_table(spark, corpus, trained):
         assert after.exceptAll(before).count() == 0
     finally:
         drop_index(spark, t)
+
+
+def test_append_epoch_replay_safe(spark, corpus, trained, monkeypatch):
+    """append_ivfpq_epoch: the exactly-once epoch append (r11). A
+    replayed epoch — clean, or after an injected crash at every
+    interesting point (mid-staging, between per-cell moves) — must
+    leave the index holding EXACTLY the rows a rebuild over the union
+    holds: deterministic per-cell file names are the idempotency
+    mechanism, so re-renames skip committed cells and complete the
+    rest. A full replay of a committed epoch is a no-op (returns
+    False)."""
+    from smallquery_spark.fsio import HadoopFS, fs_for, table_location
+    from smallquery_spark.operators.pq import (
+        append_ivfpq_epoch,
+        drop_index,
+        ivfpq_search,
+        materialize_ivfpq,
+    )
+    from smallquery_spark.operators.similarity import ivf_assign
+
+    cents, books = trained
+    pid = os.getpid()
+    base = corpus.filter("c_id % 3 = 0")
+    e1 = corpus.filter("c_id % 3 = 1")
+    e2 = corpus.filter("c_id % 3 = 2")
+    t = materialize_ivfpq(
+        spark, ivf_assign(base, cents), cents, books, f"pqepoch_{pid}"
+    )
+    t_rb = materialize_ivfpq(
+        spark, ivf_assign(corpus, cents), cents, books, f"pqepoch_rb_{pid}"
+    )
+    orig_rename = HadoopFS.rename
+
+    def table_rows(name):
+        return spark.table(name).select(
+            "c_id", "cell", F.col("code").cast("string").alias("code")
+        )
+
+    try:
+        # epoch 1: crash after the FIRST per-cell move, then replay
+        state = {"moves": 0}
+
+        def die_after_first_move(self, src, dst):
+            orig_rename(self, src, dst)
+            if "/part-epoch-" in dst:
+                state["moves"] += 1
+                if state["moves"] == 1:
+                    raise RuntimeError("injected crash between cell moves")
+
+        monkeypatch.setattr(HadoopFS, "rename", die_after_first_move)
+        with pytest.raises(RuntimeError, match="injected"):
+            append_ivfpq_epoch(spark, t, e1, cents, books, epoch_id=1)
+        monkeypatch.setattr(HadoopFS, "rename", orig_rename)
+        assert append_ivfpq_epoch(spark, t, e1, cents, books, epoch_id=1)
+        # committed-epoch replay: pure no-op
+        assert not append_ivfpq_epoch(spark, t, e1, cents, books, epoch_id=1)
+
+        # epoch 2: crash BEFORE the first move (staging complete, zero
+        # cells committed — the Spark committer's own staging renames
+        # run inside the JVM, so the fsio hook can only see the moves),
+        # then replay
+        state2 = {"fired": False}
+
+        def die_before_first_move(self, src, dst):
+            if "/part-epoch-0000000002" in dst and not state2["fired"]:
+                state2["fired"] = True
+                raise RuntimeError("injected crash before first move")
+            orig_rename(self, src, dst)
+
+        monkeypatch.setattr(HadoopFS, "rename", die_before_first_move)
+        with pytest.raises(RuntimeError, match="injected"):
+            append_ivfpq_epoch(spark, t, e2, cents, books, epoch_id=2)
+        monkeypatch.setattr(HadoopFS, "rename", orig_rename)
+        assert state2["fired"]
+        assert append_ivfpq_epoch(spark, t, e2, cents, books, epoch_id=2)
+
+        # value gate: exactly the rebuild's rows — no duplicates, no
+        # gaps, through crashes and replays
+        a, b = table_rows(t), table_rows(t_rb)
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+        # no staging remnants inside the table directory
+        loc = table_location(spark, t)
+        assert not [
+            n
+            for n in fs_for(spark, loc).list_names(loc)
+            if n.startswith("_append_epoch_")
+        ]
+        # probes serve the appended index
+        qs = corpus.filter("c_id < 5").select(
+            F.col("c_id").alias("q_id"), "vec"
+        )
+        r1 = ivfpq_search(spark, qs, t, cents, books, k=5, n_probe=4)
+        r2 = ivfpq_search(spark, qs, t_rb, cents, books, k=5, n_probe=4)
+        assert r1.exceptAll(r2).count() == 0
+        assert r2.exceptAll(r1).count() == 0
+
+        # NEW-cell epoch: an index built WITHOUT one cell's rows; an
+        # epoch landing in that cell must create the partition
+        # directory and register it with the catalog (the only case
+        # that pays the MSCK — appends into existing cells are
+        # directory-visible with a refresh)
+        assigned = ivf_assign(corpus, cents)
+        cell0 = assigned.select("cell").distinct().orderBy("cell").first()[0]
+        t2 = materialize_ivfpq(
+            spark,
+            assigned.filter(F.col("cell") != cell0),
+            cents, books, f"pqepochnc_{pid}",
+        )
+        try:
+            newrows = corpus.join(
+                assigned.filter(F.col("cell") == cell0).select("c_id"),
+                "c_id", "left_semi",
+            )
+            assert append_ivfpq_epoch(
+                spark, t2, newrows, cents, books, epoch_id=1
+            )
+            assert spark.table(t2).count() == 300
+            assert (
+                spark.table(t2).filter(F.col("cell") == cell0).count()
+                == newrows.count()
+            )
+        finally:
+            drop_index(spark, t2)
+    finally:
+        monkeypatch.setattr(HadoopFS, "rename", orig_rename)
+        drop_index(spark, t)
+        drop_index(spark, t_rb)

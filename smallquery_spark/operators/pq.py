@@ -479,6 +479,14 @@ def append_ivfpq_epoch(
     never need it). Returns True when this call moved at least one
     file (False = the epoch was already fully applied).
 
+    Assumes Spark's replay contract for reliable sources: a replayed
+    epoch_id carries the SAME logical batch (true for file/kafka
+    sources). A source that re-delivered DIFFERENT content under the
+    same epoch_id would leave committed cells holding the first
+    attempt and uncommitted ones the second — the same caveat every
+    epoch-keyed foreachBatch sink carries, stated rather than hidden.
+    Single-writer like all maintenance here.
+
     Same verification as every probe/append: the quantizer must match
     the index's generation stamp (StaleQuantizerError otherwise), so a
     retrain landing mid-stream still fails the next epoch loudly."""

@@ -140,6 +140,57 @@ def _median(vals: list[float]) -> float:
     return s[mid] if n % 2 else round((s[mid - 1] + s[mid]) / 2.0, 3)
 
 
+def _delta_vs_prior_sigma(queries: dict) -> dict | None:
+    """Per-query delta vs the newest prior-round record, in NOISE-σ
+    units (VERDICT r11 #6): local walls drifted 15.79→23.52 s on
+    identical code in r11, so raw round-over-round deltas are
+    noise-dominated — the judge needs |Δ|/σ to tell drift from
+    regression mechanically. σ comes from the newest BENCH_NOISE*.json
+    (fresh-JVM repeat study under current box conditions); the prior
+    medians from the highest-numbered BENCH_r*.json driver record.
+    Returns None when either input is missing (first round on a new
+    box) — absence is honest, a made-up σ is not."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    noise_files = sorted(
+        glob.glob(os.path.join(here, "BENCH_NOISE*.json")),
+        key=os.path.getmtime,
+    )
+    priors = sorted(
+        glob.glob(os.path.join(here, "BENCH_r[0-9]*.json")),
+        key=lambda p: int(re.search(r"BENCH_r0*(\d+)", p).group(1)),
+    )
+    priors = [p for p in priors if "local" not in p and "detail" not in p]
+    if not noise_files or not priors:
+        return None
+    try:
+        with open(noise_files[-1]) as f:
+            noise = json.load(f)
+        with open(priors[-1]) as f:
+            prior = json.load(f)
+    except Exception:
+        return None
+    prior_q = (prior.get("parsed") or prior).get("queries") or {}
+    sigma_q = noise.get("queries", {})
+    out = {}
+    for q, now in queries.items():
+        prev = prior_q.get(q)
+        sig = (sigma_q.get(q) or {}).get("sigma")
+        if prev is None or not sig:
+            out[q] = None
+            continue
+        out[q] = round((now - prev) / max(sig, 1e-6), 2)
+    return {
+        "prior_record": os.path.basename(priors[-1]),
+        "noise_record": os.path.basename(noise_files[-1]),
+        "delta_sigma": out,
+        "note": "|delta_sigma| <~ 2 is box noise at the measured σ;"
+        " sustained >3 on a query whose code changed is a regression",
+    }
+
+
 def main() -> None:
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3") or 3)
     if os.environ.get("SPARK_GRAFT_BENCH_SINGLE") == "1" or n_passes <= 1:
@@ -201,6 +252,7 @@ def main() -> None:
             [r["sentinel_before_sec"], r["sentinel_after_sec"]]
             for r in results
         ],
+        "vs_prior": _delta_vs_prior_sigma(queries),
         "sf": results[0]["sf"],
     }
     detail_path = os.path.join(

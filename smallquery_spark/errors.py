@@ -59,3 +59,21 @@ class StaleQuantizerError(EngineError):
     stamp. Serving such a probe returns silently wrong neighbors
     (wrong cell assignment, wrong ADC offsets) — the contract is to
     fail loudly instead (operators/pq.py lifecycle)."""
+
+
+class DivergentReplayError(EngineError):
+    """A replayed ingest epoch carried DIFFERENT content than the
+    attempt that committed (same epoch_id, different rows). Spark's
+    replay contract for reliable sources promises identical re-delivery;
+    a source that breaks it would otherwise leave an index holding a
+    mix of both attempts with no symptom. The epoch-append protocol
+    fingerprints every committed cell and raises this instead
+    (operators/pq.py append_ivfpq_epoch)."""
+
+
+class IndexBusyError(EngineError):
+    """An index-maintenance op (retrain / compact / epoch-append) found
+    the index's maintenance lease held by another live writer. The
+    single-writer maintenance assumption is enforced, not assumed:
+    concurrent maintenance on one index corrupts swap protocols whose
+    crash recovery presumes exactly one in-flight writer (fsio.dir_lease)."""

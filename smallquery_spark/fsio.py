@@ -133,11 +133,32 @@ class HadoopFS:
         size contracts compare zeros. The base is qualified through the
         same FileSystem as the listing, so both sides carry the same
         scheme/authority and the prefix strip is exact (pinned with a
-        dotted-ancestor warehouse in tests/test_operators_props.py)."""
+        dotted-ancestor warehouse in tests/test_operators_props.py).
+
+        A listed path that does NOT share the qualified base prefix
+        RAISES instead of silently degrading to the full-path test
+        (ADVICE r11): if the listing's qualification ever diverges from
+        ``makeQualified`` (federated/viewfs authority differences),
+        every file under a hidden ancestor would quietly revert to the
+        (0, 0) bug the relative test fixed — a qualification mismatch
+        must surface, not resurrect it. The one legitimate non-prefixed
+        listing is ``uri`` naming a FILE (the listing returns the file
+        itself, path == base): counted, no hidden segments below the
+        base by definition."""
         base = self._fs.makeQualified(self._Path(uri)).toString().rstrip("/")
         n = total = 0
         for path, size in self.list_files_recursive(uri):
-            rel = path[len(base):] if path.startswith(base + "/") else path
+            if path.startswith(base + "/"):
+                rel = path[len(base):]
+            elif path == base:
+                rel = ""
+            else:
+                raise IOError(
+                    f"parquet_stats: listed path {path!r} does not share"
+                    f" the qualified base prefix {base!r} — filesystem"
+                    " qualification mismatch; refusing to guess which"
+                    " segments are hidden"
+                )
             if any(
                 seg.startswith(("_", "."))
                 for seg in rel.split("/")
@@ -184,6 +205,35 @@ class HadoopFS:
         finally:
             out.close()
 
+    def create_text_exclusive(self, uri: str, text: str) -> bool:
+        """Create a small UTF-8 control file ONLY if it does not already
+        exist — ``FileSystem.create(path, overwrite=False)``, which is an
+        atomic create-or-fail on HDFS and ``file://`` (the lease-acquire
+        primitive: two racing writers cannot both win). Returns False
+        when the path already exists; re-raises any other failure. On
+        S3A the no-overwrite create is a HEAD-then-PUT, not atomic —
+        the same consistency caveat every rename protocol here carries
+        (module docstring)."""
+        try:
+            out = self._fs.create(self._Path(uri), False)
+        except Exception:
+            if self.exists(uri):
+                return False
+            raise
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        return True
+
+    def mtime(self, uri: str) -> float | None:
+        """Modification time (epoch seconds) of a path, or None when it
+        does not exist — the lease-staleness input."""
+        p = self._Path(uri)
+        if not self._fs.exists(p):
+            return None
+        return self._fs.getFileStatus(p).getModificationTime() / 1000.0
+
     def read_text(self, uri: str) -> str | None:
         """Contents of a small UTF-8 control file, or None when the
         file does not exist (the 'never stamped' case callers branch
@@ -204,3 +254,164 @@ class HadoopFS:
 def fs_for(spark: SparkSession, uri: str) -> HadoopFS:
     """FileSystem handle for the scheme+authority of ``uri``."""
     return HadoopFS(spark, uri)
+
+
+# ---------------------------------------------------------------------------
+# Maintenance lease: enforce the single-writer assumption every swap
+# protocol here carries (retrain's directory swap, compaction's per-cell
+# swaps, epoch appends' staged moves). Until r12 that assumption was
+# PROSE — "maintenance is single-writer" in four docstrings; two
+# concurrent writers would interleave renames whose crash recovery each
+# presumes it is alone. The lease turns it into an enforced invariant:
+# one owner file per protected directory, atomic create-no-overwrite as
+# the acquire, typed IndexBusyError for the loser.
+#
+# Staleness (crash-orphaned leases must not brick the index):
+# - same-host owner whose pid is dead -> stale (os.kill(pid, 0) via the
+#   tmpdirs liveness rule: EPERM counts as ALIVE — an existing pid under
+#   another user is exactly the live-writer case);
+# - any owner whose lease mtime is older than ``stale_after`` seconds
+#   -> stale, when the caller passes one (cross-host liveness is
+#   unknowable from here; long-running maintenance should re-touch the
+#   lease if it enables TTL takeover);
+# - an UNPARSEABLE lease (torn create: the file exists but the JSON
+#   write never landed) is stale once older than a 60 s grace — a live
+#   writer's create+write+close is milliseconds apart, and without the
+#   grace a torn lease would brick maintenance forever.
+#
+# Takeover deletes the stale file and retries the atomic create: two
+# racing takeovers both delete (one a no-op), exactly one create wins,
+# the loser re-reads a LIVE lease and raises. Two-writer interleavings
+# pinned in tests/test_pq.py.
+#
+# The lease file is a SIBLING of the protected directory
+# (``<dir>.maint_lease``, beside ``.retrain_tmp``/``.compact_tmp``),
+# NOT inside it: retrain's commit is a rename of the directory itself,
+# and a lease inside would be renamed away mid-protocol — leaving the
+# live path unguarded between the swap and the protocol's remaining
+# cleanup/MSCK steps. Siblings survive every swap; drop_index sweeps
+# them with the other scratch trees.
+# ---------------------------------------------------------------------------
+
+LEASE_SUFFIX = ".maint_lease"
+_TORN_LEASE_GRACE_S = 60.0
+
+
+def lease_path(dir_uri: str) -> str:
+    return dir_uri.rstrip("/") + LEASE_SUFFIX
+
+
+def _lease_stale(
+    fs: HadoopFS, lease_uri: str, stale_after: float | None
+) -> bool:
+    import json
+    import socket
+
+    from smallquery_spark.queries.tmpdirs import owner_pid_alive
+
+    text = fs.read_text(lease_uri)
+    if text is None:
+        return True  # vanished between exists-check and read: retry create
+    mt = fs.mtime(lease_uri)
+    import time as _time
+
+    age = (_time.time() - mt) if mt is not None else 0.0
+    try:
+        owner = json.loads(text)
+        pid, host = int(owner["pid"]), str(owner["host"])
+    except Exception:
+        return age > _TORN_LEASE_GRACE_S
+    if stale_after is not None and age > stale_after:
+        return True
+    if host == socket.gethostname():
+        return not owner_pid_alive(f"x_{pid}")
+    return False
+
+
+def acquire_dir_lease(
+    fs: HadoopFS,
+    dir_uri: str,
+    op: str,
+    stale_after: float | None = None,
+) -> str:
+    """Acquire the maintenance lease on ``dir_uri`` for operation
+    ``op``; returns the lease token (pass it to release_dir_lease).
+    Raises IndexBusyError when another LIVE writer holds it."""
+    import json
+    import os
+    import socket
+    import time
+    import uuid
+
+    from smallquery_spark.errors import IndexBusyError
+
+    lease = lease_path(dir_uri)
+    token = uuid.uuid4().hex
+    body = json.dumps(
+        {
+            "pid": os.getpid(),
+            "host": socket.gethostname(),
+            "op": op,
+            "token": token,
+            "acquired_at": time.time(),
+        }
+    )
+    for _ in range(5):
+        if fs.create_text_exclusive(lease, body):
+            return token
+        if not _lease_stale(fs, lease, stale_after):
+            text = fs.read_text(lease) or "<torn>"
+            raise IndexBusyError(
+                f"{op}: maintenance lease on {dir_uri} is held by a live"
+                f" writer ({text}) — single-writer maintenance is enforced;"
+                " wait for it (or remove the lease if the owner is known"
+                " dead on another host)"
+            )
+        fs.delete(lease)  # stale: take over, then re-race the create
+    raise IndexBusyError(
+        f"{op}: could not acquire maintenance lease on {dir_uri} after"
+        " repeated takeover races"
+    )
+
+
+def release_dir_lease(fs: HadoopFS, dir_uri: str, token: str) -> None:
+    """Release a held lease. Only deletes when the lease file still
+    carries OUR token — a TTL takeover that raced us must not have its
+    (new, live) lease deleted by the evicted owner's exit path."""
+    import json
+
+    lease = lease_path(dir_uri)
+    text = fs.read_text(lease)
+    if text is None:
+        return
+    try:
+        if json.loads(text).get("token") != token:
+            return
+    except Exception:
+        return
+    fs.delete(lease)
+
+
+class dir_lease:
+    """Context manager form: ``with dir_lease(fs, loc, "retrain"): ...``"""
+
+    def __init__(
+        self,
+        fs: HadoopFS,
+        dir_uri: str,
+        op: str,
+        stale_after: float | None = None,
+    ) -> None:
+        self._fs, self._dir, self._op = fs, dir_uri, op
+        self._stale_after = stale_after
+        self._token: str | None = None
+
+    def __enter__(self) -> "dir_lease":
+        self._token = acquire_dir_lease(
+            self._fs, self._dir, self._op, self._stale_after
+        )
+        return self
+
+    def __exit__(self, *exc) -> None:
+        if self._token is not None:
+            release_dir_lease(self._fs, self._dir, self._token)

@@ -944,17 +944,39 @@ def compact_ivf_cells(spark, index_table: str) -> int:
     window AND the loop-long window a batch safe-list would reopen
     (for the Nth cell such a list is stale by N-1 renames — on object
     stores, seconds each); the re-list-to-rename gap that remains is
-    the same
-    instant-race every rename-based maintenance protocol has, so a
-    deployment with multiple UNCOORDINATED writers still needs external
-    serialization of maintenance, as in any table format.
+    the same instant-race every rename-based maintenance protocol has.
+    CONCURRENT MAINTENANCE (another compaction, a retrain, an epoch
+    append) is excluded outright via the fsio maintenance lease
+    (IndexBusyError — the single-writer assumption enforced, r12);
+    plain ``append_ivf`` writers stay lease-free and are what the
+    swap-safe guard protects.
+
+    Epoch-ingest interplay (r12, ADVICE r11 medium): cells holding
+    ``part-epoch-<id>.parquet`` files of an epoch WITHOUT a commit
+    marker (``_epochs/epoch-<id>``) are NOT compacted — that epoch is
+    in-flight (crashed mid-append, awaiting stream replay), and its
+    replay resumes by those exact file names; merging them away would
+    make the replay re-append the merged cells. Marked epochs' files
+    merge freely: their replay short-circuits on the marker before any
+    file check. After the swap the epoch LEDGER is garbage-collected —
+    markers no longer referenced by any remaining part-epoch file are
+    dropped, except the NEWEST (the only epoch Spark can still
+    replay), so the ledger stays bounded by the compaction cadence
+    instead of growing one file per epoch forever.
     """
     import re
 
-    from smallquery_spark.fsio import fs_for, join_uri, table_location
+    from smallquery_spark.fsio import dir_lease, fs_for, table_location
 
     loc = table_location(spark, index_table)
     fs = fs_for(spark, loc)
+    with dir_lease(fs, loc, "compact_ivf_cells"):
+        return _compact_ivf_cells_locked(spark, index_table, loc, fs, re)
+
+
+def _compact_ivf_cells_locked(spark, index_table: str, loc: str, fs, re):
+    from smallquery_spark.fsio import join_uri
+
     staging = loc.rstrip("/") + ".compact_tmp"
     aside = loc.rstrip("/") + ".compact_old"
     # recovery: a compact that died mid-swap leaves cell dirs in the
@@ -982,7 +1004,24 @@ def compact_ivf_cells(spark, index_table: str) -> int:
             scanned.setdefault(int(m.group(1)), set()).add(
                 f.rsplit("/", 1)[1]
             )
-    fragmented = sorted(c for c, names in scanned.items() if len(names) > 1)
+    # defer cells holding an UNMARKED epoch's files: that epoch is
+    # in-flight and its replay resumes by file name (see docstring)
+    from smallquery_spark.operators.pq import _epoch_marker_ids
+
+    marked = _epoch_marker_ids(fs, loc)
+    epoch_pat = re.compile(r"^part-epoch-(\d+)\.parquet$")
+
+    def _has_inflight(names: set[str]) -> bool:
+        return any(
+            (m := epoch_pat.match(n)) and int(m.group(1)) not in marked
+            for n in names
+        )
+
+    fragmented = sorted(
+        c
+        for c, names in scanned.items()
+        if len(names) > 1 and not _has_inflight(names)
+    )
     if not fragmented:
         return 0
     # stage: read ONLY the fragmented cell directories (basePath keeps
@@ -1020,6 +1059,20 @@ def compact_ivf_cells(spark, index_table: str) -> int:
         swapped += 1
     fs.delete(aside)
     fs.delete(staging)
+    # epoch-ledger GC: drop markers no remaining part-epoch file
+    # references, keeping the newest (the only epoch Spark can still
+    # replay against its marker) — bounds the ledger to the compaction
+    # cadence instead of one control file per epoch forever
+    if marked:
+        referenced = {
+            int(m.group(1))
+            for p, _ in fs.list_files_recursive(loc)
+            if (m := epoch_pat.match(p.rsplit("/", 1)[1]))
+        }
+        from smallquery_spark.operators.pq import _epoch_marker_uri
+
+        for e in marked - referenced - {max(marked)}:
+            fs.delete(_epoch_marker_uri(loc, e))
     try:
         spark.catalog.refreshTable(index_table)
     except Exception:
@@ -1116,6 +1169,130 @@ def merge_cell_counts(
     return out
 
 
+# the measured fold-vs-scan crossover (C3_STREAM_CURVE_gen100.json +
+# HIST_ROUTE_gen100.json): the fold re-runs the batch assignment UDF at
+# ~134 µs/row while the scan is a JVM groupBy-count at ~3.5 µs/row, so
+# the O(batch) fold only wins once the index outweighs the batch by
+# roughly this ratio — below it the scan is both faster AND authoritative
+INGEST_HIST_CROSSOVER = 35.0
+
+
+class IngestHistogram:
+    """Stamped running cell histogram for an ingest loop — makes the
+    fold-vs-scan routing of the per-epoch drift check a measured
+    DEFAULT instead of a caller knob (VERDICT r11 #3), and binds the
+    running counts to the quantizer generation they describe (ADVICE
+    r11: an unstamped running histogram silently diverges after a
+    retrain — cells reassigned, possibly a different n_cells — and the
+    trigger would evaluate drift on counts describing a dead index).
+
+    Shape of use (the c3 streaming leg,
+    queries/streaming_queries.py)::
+
+        hist = IngestHistogram(spark, index_table, n_cells=len(cents))
+        ...  # per epoch, inside foreachBatch:
+        delta = append_ivfpq_epoch(..., epoch_id=eid)
+        hist.fold(delta)                       # O(1): counts ride the append
+        fired, stats = hist.trigger(baseline_imbalance=b)
+
+    - ``fold`` takes :func:`~smallquery_spark.operators.pq.
+      append_ivfpq_epoch`'s return — the per-cell rows that call
+      ACTUALLY committed — so the running counts are exact under every
+      crash/replay interleaving (a replay completing 2 of 5 cells
+      folds exactly those rows; a no-op replay folds nothing).
+    - ``trigger`` re-reads the index's quantizer stamp first: a
+      retrain landing mid-process RE-SEEDS the histogram from one scan
+      instead of evaluating drift on stale counts.
+    - Routing is the measured crossover: the O(batch) fold path serves
+      the trigger once ``index_rows >= INGEST_HIST_CROSSOVER x
+      last_batch_rows`` (the 100 TB shape — daily batches at 0.01-0.1%
+      of the index, where the O(index) scan is the one per-epoch term
+      that grows without bound); below it the scan is FASTER (measured
+      inversion at index = 20x batch, r11) and the scan path re-seeds
+      the running counts for free, so small-ratio loops never drift.
+      Decision- and stats-identical on both sides of the crossover
+      (pinned in tests/test_operators_props.py)."""
+
+    def __init__(
+        self,
+        spark,
+        index_table: str,
+        n_cells: int | None = None,
+        crossover: float = INGEST_HIST_CROSSOVER,
+    ) -> None:
+        self._spark = spark
+        self._table = index_table
+        self.n_cells = n_cells
+        self.crossover = crossover
+        self._last_batch_rows = 0
+        self._reseed()
+
+    def _reseed(self) -> None:
+        from smallquery_spark.operators.pq import index_gen
+
+        self.gen = index_gen(self._spark, self._table)
+        # refresh OUR session's relation cache first: streaming appends
+        # run in a per-query CLONED session, and their refreshTable
+        # invalidates only the clone's cache — without this, a histogram
+        # held by the outer session scans the pre-stream file-index
+        # snapshot forever and the trigger never sees a single append
+        # (measured: imbalance pinned at the build value across every
+        # epoch of the r12 retrain-cycle leg until this line existed)
+        try:
+            self._spark.catalog.refreshTable(self._table)
+        except Exception:
+            pass
+        self.counts: dict[int, int] = {
+            int(r["cell"]): int(r["count"])
+            for r in self._spark.table(self._table)
+            .groupBy("cell")
+            .count()
+            .collect()
+        }
+
+    def fold(self, committed: dict[int, int]) -> None:
+        """Fold the per-cell rows an epoch append actually committed."""
+        if not committed:
+            return
+        self.counts = merge_cell_counts(self.counts, committed)
+        self._last_batch_rows = sum(committed.values())
+
+    def trigger(
+        self,
+        imbalance_bound: float = 8.0,
+        baseline_imbalance: float | None = None,
+    ) -> tuple[bool, dict]:
+        """The per-epoch drift check, auto-routed (see class docstring).
+        ``stats["source"]`` records which path answered ('fold'/'scan')."""
+        from smallquery_spark.operators.pq import index_gen
+
+        stamp = index_gen(self._spark, self._table)
+        if stamp != self.gen:
+            # a retrain landed since the counts were seeded/folded:
+            # they describe an index that no longer exists — re-seed
+            self._last_batch_rows = 0
+            self._reseed()
+        use_fold = (
+            self._last_batch_rows > 0
+            and sum(self.counts.values())
+            >= self.crossover * self._last_batch_rows
+        )
+        if not use_fold:
+            # below the crossover the scan is cheaper AND authoritative:
+            # take it, and let it resync the running counts for free
+            self._reseed()
+        fired, stats = ivf_retrain_trigger(
+            self._spark,
+            self._table,
+            imbalance_bound=imbalance_bound,
+            baseline_imbalance=baseline_imbalance,
+            n_cells=self.n_cells,
+            cell_hist=self.counts,
+        )
+        stats["source"] = "fold" if use_fold else "scan"
+        return fired, stats
+
+
 def ivf_retrain_trigger(
     spark,
     index_table: str,
@@ -1181,9 +1358,12 @@ def ivf_retrain_trigger(
     groupBy-count at ~3.5 µs/row; crossover ≈ index 35× batch). The
     SCAN therefore stays the default/maintenance-tick posture;
     ``cell_hist`` is for the 100 TB shape (daily batches at 0.01-0.1%
-    of the index), with the running histogram re-seeded from one scan
-    when a new ingest process takes over, exactly like the
-    baselines."""
+    of the index). Ingest loops should NOT route this by hand:
+    :class:`IngestHistogram` maintains the running histogram
+    (exact-delta folds from the epoch append's return), guards it with
+    the quantizer generation stamp (a retrain re-seeds instead of
+    evaluating stale counts), and applies the measured crossover as
+    the default (r12)."""
     if cell_hist is not None:
         counts = [c for c in cell_hist.values() if c > 0]
     else:

@@ -1651,6 +1651,7 @@ def _register_ann_contracts() -> None:
             "UNION ALL SELECT 'ivf', TRUE, TRUE "
             "UNION ALL SELECT 'pq', TRUE, TRUE "
             "UNION ALL SELECT 'pqmeta', TRUE, TRUE "
+            "UNION ALL SELECT 'retrain', TRUE, TRUE "
             "UNION ALL SELECT 'stream', TRUE, TRUE"
         ),
         tags=("C3", "C9", "B50", "B59", "canonical"),
@@ -1697,10 +1698,30 @@ def _register_ann_contracts() -> None:
                 & F.col("stale_raises")
             ).alias("ok2"),
         )
+        # retrain (r12): the OPERATIONAL loop — drift fires mid-stream,
+        # retrain_ivfpq lands between an epoch's quantizer load and its
+        # append (StaleQuantizerError, replay converges), ingest resumes
+        # under the new generation, streamed index == rebuild under the
+        # retrained quantizer, exactly-once throughout
+        retrain = _fn("c3_stream_retrain_cycle")(spark, sf_dir).select(
+            F.lit("retrain").alias("leg"),
+            (
+                F.col("hot_fired")
+                & F.col("stale_raised")
+                & F.col("retrained")
+                & F.col("streamed_equals_rebuild")
+            ).alias("ok"),
+            (
+                F.col("quiet_before")
+                & F.col("resumed")
+                & F.col("quiet_after")
+            ).alias("ok2"),
+        )
         return (
             ivf.unionByName(indexed)
             .unionByName(pq)
             .unionByName(pqmeta)
+            .unionByName(retrain)
             .unionByName(stream)
         )
 

@@ -1732,6 +1732,25 @@ def test_parquet_stats_under_hidden_ancestor(spark, tmp_path):
     spark.range(5).coalesce(1).write.parquet(join_uri(uri, ".scratch"))
     assert fs.parquet_stats(uri) == (n, total)
 
+    # a listing path that does NOT share the qualified base prefix must
+    # RAISE, not degrade to the full-path test (ADVICE r11): a silent
+    # fallback would resurrect the (0, 0) bug under any qualification
+    # mismatch with no signal anywhere. Injected via a stub listing —
+    # real federated/viewfs authority skew cannot be produced on file://.
+    fs.list_files_recursive = lambda u: [
+        ("file:/somewhere/else/data.parquet", 10)
+    ]
+    with pytest.raises(IOError, match="does not share the qualified base"):
+        fs.parquet_stats(uri)
+
+    # the one legitimate non-prefixed shape: the queried uri IS a file
+    # (the listing returns the file itself) — counted, not raised
+    fs2 = fs_for(spark, uri)
+    files = [p for p, _ in fs2.list_files_recursive(uri) if p.endswith(".parquet")]
+    one = [f for f in files if "/_meta/" not in f and "/.scratch/" not in f][0]
+    nf, tf = fs2.parquet_stats(one)
+    assert nf == 1 and tf > 0
+
 
 def test_partitioned_catalog_rename_swap_loses_data(spark):
     """The measured trap behind retrain_ivfpq's directory-swap design

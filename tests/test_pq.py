@@ -1154,3 +1154,491 @@ def test_append_epoch_replay_safe(spark, corpus, trained, monkeypatch):
         monkeypatch.setattr(HadoopFS, "rename", orig_rename)
         drop_index(spark, t)
         drop_index(spark, t_rb)
+
+
+def test_epoch_marker_protocol(spark, corpus, trained, monkeypatch):
+    """r12: durable epoch-commit markers (_epochs/epoch-<id>).
+
+    (a) a COMMITTED epoch replayed after compaction merged its
+        part-epoch files away is still a no-op — the ADVICE r11 medium
+        scenario (crash -> compact while stream down -> replay) would
+        have double-inserted under the r11 name-keyed protocol;
+    (b) compaction SKIPS cells holding an UNMARKED (in-flight) epoch's
+        files, and GCs markers no remaining file references (keeping
+        the newest);
+    (c) a replay carrying DIFFERENT content than the committed attempt
+        raises DivergentReplayError — the r11 docstring assumption
+        turned invariant (full-commit and crash-before-marker forms);
+    (d) a crash between the last rename and the MSCK is healed by the
+        replay: the sync decision comes from the catalog, so the new
+        cell gets registered on the no-op replay (VERDICT r11 #1)."""
+    from smallquery_spark.errors import DivergentReplayError
+    from smallquery_spark.fsio import HadoopFS, fs_for, join_uri, table_location
+    from smallquery_spark.operators import pq as pqmod
+    from smallquery_spark.operators.pq import (
+        append_ivfpq_epoch,
+        drop_index,
+        materialize_ivfpq,
+    )
+    from smallquery_spark.operators.similarity import (
+        compact_ivf_cells,
+        ivf_assign,
+    )
+
+    cents, books = trained
+    pid = os.getpid()
+    base = corpus.filter("c_id % 4 = 0")
+    e1 = corpus.filter("c_id % 4 = 1")
+    e2 = corpus.filter("c_id % 4 = 2")
+    t = materialize_ivfpq(
+        spark, ivf_assign(base, cents), cents, books, f"pqmark_{pid}"
+    )
+    t_rb = materialize_ivfpq(
+        spark,
+        ivf_assign(base.unionByName(e1).unionByName(e2), cents),
+        cents, books, f"pqmark_rb_{pid}",
+    )
+    loc = table_location(spark, t)
+    fs = fs_for(spark, loc)
+    orig_rename = HadoopFS.rename
+    orig_write = HadoopFS.write_text
+
+    def table_rows(name):
+        return spark.table(name).select(
+            "c_id", "cell", F.col("code").cast("string").alias("code")
+        )
+
+    try:
+        # --- (a) commit epoch 1, compact its files away, replay ---
+        assert append_ivfpq_epoch(spark, t, e1, cents, books, epoch_id=1)
+        assert fs.exists(join_uri(loc, "_epochs", "epoch-0000000001"))
+        assert compact_ivf_cells(spark, t) > 0  # merges part-epoch-1 files
+        # the deterministic names are GONE — only the marker prevents a
+        # double-insert now
+        assert not [
+            p for p, _s in fs.list_files_recursive(loc)
+            if "part-epoch-0000000001" in p
+        ]
+        n_before = spark.table(t).count()
+        assert append_ivfpq_epoch(spark, t, e1, cents, books, epoch_id=1) == {}
+        assert spark.table(t).count() == n_before
+
+        # --- (b)+(c) epoch 2: crash BEFORE the marker write (all cell
+        # moves committed), compaction must skip its cells, a divergent
+        # replay must raise, the faithful replay completes ---
+        def die_on_marker(self, uri, text):
+            if "/_epochs/epoch-0000000002" in uri:
+                raise RuntimeError("injected crash before marker write")
+            orig_write(self, uri, text)
+
+        monkeypatch.setattr(HadoopFS, "write_text", die_on_marker)
+        with pytest.raises(RuntimeError, match="injected"):
+            append_ivfpq_epoch(spark, t, e2, cents, books, epoch_id=2)
+        monkeypatch.setattr(HadoopFS, "write_text", orig_write)
+        # unmarked epoch-2 files exist: compaction must not touch those
+        # cells (their fragmented state persists)
+        files_with_e2 = {
+            p for p, _s in fs.list_files_recursive(loc)
+            if "part-epoch-0000000002" in p
+        }
+        assert files_with_e2
+        compact_ivf_cells(spark, t)
+        assert files_with_e2 == {
+            p for p, _s in fs.list_files_recursive(loc)
+            if "part-epoch-0000000002" in p
+        }
+        # divergent replay: same epoch_id, different batch -> raises
+        with pytest.raises(DivergentReplayError):
+            append_ivfpq_epoch(
+                spark, t, e2.filter("c_id != 2"), cents, books, epoch_id=2
+            )
+        # faithful replay: completes (here: all moves already landed ->
+        # no-op delta), writes the marker, rows == rebuild
+        assert append_ivfpq_epoch(spark, t, e2, cents, books, epoch_id=2) == {}
+        assert fs.exists(join_uri(loc, "_epochs", "epoch-0000000002"))
+        a, b = table_rows(t), table_rows(t_rb)
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+        # divergent replay of the now-COMMITTED epoch also raises
+        with pytest.raises(DivergentReplayError):
+            append_ivfpq_epoch(
+                spark, t, e2.filter("c_id != 2"), cents, books, epoch_id=2
+            )
+
+        # marker GC: compact epoch-2's files away; newest marker stays,
+        # unreferenced older ones go
+        assert compact_ivf_cells(spark, t) > 0
+        names = set(fs.list_names(join_uri(loc, "_epochs")))
+        assert "epoch-0000000002" in names
+        assert "epoch-0000000001" not in names
+
+        # --- (d) new-cell epoch with a crash between the last rename
+        # and the MSCK: the replay's catalog-decided sync heals it ---
+        assigned = ivf_assign(corpus, cents)
+        cell0 = assigned.select("cell").distinct().orderBy("cell").first()[0]
+        t2 = materialize_ivfpq(
+            spark,
+            assigned.filter(F.col("cell") != cell0),
+            cents, books, f"pqmarknc_{pid}",
+        )
+        try:
+            newrows = corpus.join(
+                assigned.filter(F.col("cell") == cell0).select("c_id"),
+                "c_id", "left_semi",
+            )
+            orig_sync = pqmod._sync_partitions
+
+            def die_on_sync(sp, tbl):
+                raise RuntimeError("injected crash before MSCK")
+
+            monkeypatch.setattr(pqmod, "_sync_partitions", die_on_sync)
+            with pytest.raises(RuntimeError, match="injected"):
+                append_ivfpq_epoch(
+                    spark, t2, newrows, cents, books, epoch_id=7
+                )
+            monkeypatch.setattr(pqmod, "_sync_partitions", orig_sync)
+            # every rename landed, but the catalog does not know cell0:
+            # spark.table consumers miss the new partition
+            spark.catalog.refreshTable(t2)
+            assert spark.table(t2).count() < 300
+            # the replay moves nothing — and still runs the sync
+            assert (
+                append_ivfpq_epoch(spark, t2, newrows, cents, books, epoch_id=7)
+                == {}
+            )
+            assert spark.table(t2).count() == 300
+        finally:
+            monkeypatch.setattr(pqmod, "_sync_partitions", orig_sync)
+            drop_index(spark, t2)
+    finally:
+        monkeypatch.setattr(HadoopFS, "rename", orig_rename)
+        monkeypatch.setattr(HadoopFS, "write_text", orig_write)
+        drop_index(spark, t)
+        drop_index(spark, t_rb)
+
+
+def test_maintenance_lease(spark, corpus, trained, monkeypatch):
+    """r12: the single-writer maintenance assumption is ENFORCED
+    (fsio.dir_lease). A held lease makes retrain / compaction / epoch
+    appends raise IndexBusyError; releasing it (or a stale owner — a
+    dead same-host pid) unblocks; release with a foreign token is a
+    no-op (a TTL takeover must not have its live lease deleted by the
+    evicted owner's exit path); losing the create race to a LIVE
+    writer raises."""
+    import json
+    import subprocess
+
+    from smallquery_spark.errors import IndexBusyError
+    from smallquery_spark.fsio import (
+        HadoopFS,
+        acquire_dir_lease,
+        fs_for,
+        lease_path,
+        release_dir_lease,
+        table_location,
+    )
+    from smallquery_spark.operators.pq import (
+        append_ivfpq_epoch,
+        drop_index,
+        materialize_ivfpq,
+        retrain_ivfpq,
+    )
+    from smallquery_spark.operators.similarity import (
+        compact_ivf_cells,
+        ivf_assign,
+    )
+
+    cents, books = trained
+    pid = os.getpid()
+    base = corpus.filter("c_id % 2 = 0")
+    t = materialize_ivfpq(
+        spark, ivf_assign(base, cents), cents, books, f"pqlease_{pid}"
+    )
+    loc = table_location(spark, t)
+    fs = fs_for(spark, loc)
+    e1 = corpus.filter("c_id % 2 = 1")
+    try:
+        # held by a LIVE writer (our own pid): every maintenance op
+        # refuses instead of interleaving
+        token = acquire_dir_lease(fs, loc, "other_writer")
+        with pytest.raises(IndexBusyError):
+            append_ivfpq_epoch(spark, t, e1, cents, books, epoch_id=1)
+        with pytest.raises(IndexBusyError):
+            compact_ivf_cells(spark, t)
+        with pytest.raises(IndexBusyError):
+            retrain_ivfpq(spark, t, base)
+        # release with the WRONG token: the lease must survive
+        release_dir_lease(fs, loc, "not-the-token")
+        assert fs.exists(lease_path(loc))
+        release_dir_lease(fs, loc, token)
+        assert not fs.exists(lease_path(loc))
+
+        # released: ops proceed (and release their own lease on exit,
+        # including the exception path — the epoch append below runs
+        # after a prior failed acquisition)
+        assert append_ivfpq_epoch(spark, t, e1, cents, books, epoch_id=1)
+        assert not fs.exists(lease_path(loc))
+
+        # stale lease: a dead same-host pid is taken over
+        child = subprocess.Popen(["/bin/true"])
+        child.wait()
+        fs.write_text(
+            lease_path(loc),
+            json.dumps(
+                {"pid": child.pid, "host": __import__("socket").gethostname(),
+                 "op": "crashed_writer", "token": "dead", "acquired_at": 0}
+            ),
+        )
+        assert (
+            append_ivfpq_epoch(spark, t, e1, cents, books, epoch_id=1) == {}
+        )  # acquired via takeover; committed-epoch replay is a no-op
+
+        # losing the create race to a live writer: first create fails
+        # and the lease found on re-read is LIVE -> IndexBusyError
+        orig_create = HadoopFS.create_text_exclusive
+        live_body = json.dumps(
+            {"pid": os.getpid(), "host": __import__("socket").gethostname(),
+             "op": "racer", "token": "zz", "acquired_at": 0}
+        )
+        state = {"n": 0}
+
+        def lose_race_once(self, uri, text):
+            if uri == lease_path(loc) and state["n"] == 0:
+                state["n"] = 1
+                orig_create(self, uri, live_body)  # the racer wins
+                return False
+            return orig_create(self, uri, text)
+
+        monkeypatch.setattr(HadoopFS, "create_text_exclusive", lose_race_once)
+        with pytest.raises(IndexBusyError):
+            acquire_dir_lease(fs, loc, "loser")
+        monkeypatch.setattr(HadoopFS, "create_text_exclusive", orig_create)
+        fs.delete(lease_path(loc))
+    finally:
+        drop_index(spark, t)
+
+
+def test_retrain_epoch_ledger_interplay(spark, corpus, trained, monkeypatch):
+    """r12: retrain x epoch-ingest. An UNMARKED (in-flight) epoch's
+    files make retrain REFUSE (whether the pending replay should
+    re-apply depends on the caller's corpus — unknowable); after the
+    replay commits, retrain proceeds and CARRIES the epoch ledger, so
+    a replayed committed epoch stays a no-op across the quantizer
+    swap instead of double-inserting."""
+    from smallquery_spark.errors import IndexBusyError
+    from smallquery_spark.fsio import HadoopFS, fs_for, join_uri, table_location
+    from smallquery_spark.operators.pq import (
+        append_ivfpq_epoch,
+        drop_index,
+        index_gen,
+        load_index_meta,
+        materialize_ivfpq,
+        retrain_ivfpq,
+    )
+    from smallquery_spark.operators.similarity import ivf_assign
+
+    cents, books = trained
+    pid = os.getpid()
+    base = corpus.filter("c_id % 3 = 0")
+    e1 = corpus.filter("c_id % 3 = 1")
+    t = materialize_ivfpq(
+        spark, ivf_assign(base, cents), cents, books, f"pqrtl_{pid}"
+    )
+    orig_rename = HadoopFS.rename
+    try:
+        # crash epoch 1 after its first cell move -> unmarked files
+        state = {"moves": 0}
+
+        def die_after_first_move(self, src, dst):
+            orig_rename(self, src, dst)
+            if "/part-epoch-" in dst:
+                state["moves"] += 1
+                if state["moves"] == 1:
+                    raise RuntimeError("injected crash between cell moves")
+
+        monkeypatch.setattr(HadoopFS, "rename", die_after_first_move)
+        with pytest.raises(RuntimeError, match="injected"):
+            append_ivfpq_epoch(spark, t, e1, cents, books, epoch_id=1)
+        monkeypatch.setattr(HadoopFS, "rename", orig_rename)
+
+        with pytest.raises(IndexBusyError, match="uncommitted ingest epoch"):
+            retrain_ivfpq(spark, t, base.unionByName(e1))
+
+        # replay commits the epoch; retrain now proceeds and keeps the
+        # ledger: the epoch replayed across the swap is still a no-op
+        assert append_ivfpq_epoch(spark, t, e1, cents, books, epoch_id=1)
+        corpus_now = base.unionByName(e1)
+        new_c, new_b = retrain_ivfpq(spark, t, corpus_now)
+        assert index_gen(spark, t) is not None
+        loc = table_location(spark, t)
+        fs = fs_for(spark, loc)
+        assert fs.exists(join_uri(loc, "_epochs", "epoch-0000000001"))
+        n = spark.table(t).count()
+        cl, bl = load_index_meta(spark, t)
+        assert append_ivfpq_epoch(spark, t, e1, cl, bl, epoch_id=1) == {}
+        assert spark.table(t).count() == n
+    finally:
+        monkeypatch.setattr(HadoopFS, "rename", orig_rename)
+        drop_index(spark, t)
+
+
+def test_ingest_histogram_routing_and_staleness(spark, corpus, trained):
+    """r12: IngestHistogram — the drift trigger's fold-vs-scan routing
+    as a measured default, stamped against the quantizer generation.
+
+    - decision AND stats identical on both sides of the crossover
+      (fold path forced with crossover=0, scan path with crossover=inf,
+      both equal the direct index scan);
+    - a retrain landing mid-process re-seeds instead of evaluating the
+      dead generation's counts (ADVICE r11);
+    - delta folds stay exact through a crash/replay: a fresh histogram
+      (the restart case) seeded between the crash and the replay folds
+      only the replay's remaining cells — counts equal the scan."""
+    from smallquery_spark.operators.pq import (
+        append_ivfpq_epoch,
+        drop_index,
+        load_index_meta,
+        materialize_ivfpq,
+        retrain_ivfpq,
+    )
+    from smallquery_spark.operators.similarity import (
+        IngestHistogram,
+        ivf_assign,
+        ivf_retrain_trigger,
+    )
+
+    cents, books = trained
+    pid = os.getpid()
+    base = corpus.filter("c_id % 3 = 0")
+    e1 = corpus.filter("c_id % 3 = 1")
+    e2 = corpus.filter("c_id % 3 = 2")
+    t = materialize_ivfpq(
+        spark, ivf_assign(base, cents), cents, books, f"pqhist_{pid}"
+    )
+    try:
+        fold_h = IngestHistogram(spark, t, n_cells=8, crossover=0.0)
+        scan_h = IngestHistogram(spark, t, n_cells=8, crossover=1e18)
+        delta = append_ivfpq_epoch(spark, t, e1, cents, books, epoch_id=1)
+        assert delta and sum(delta.values()) == e1.count()
+        fold_h.fold(delta)
+        scan_h.fold(delta)
+        f_fired, f_stats = fold_h.trigger(baseline_imbalance=2.0)
+        s_fired, s_stats = scan_h.trigger(baseline_imbalance=2.0)
+        d_fired, d_stats = ivf_retrain_trigger(
+            spark, t, baseline_imbalance=2.0, n_cells=8
+        )
+        assert f_stats.pop("source") == "fold"
+        assert s_stats.pop("source") == "scan"
+        assert f_fired == s_fired == d_fired
+        assert f_stats == s_stats == d_stats
+
+        # retrain lands: the stamped histogram re-seeds (counts match a
+        # fresh scan of the NEW index) instead of using dead counts
+        retrain_ivfpq(spark, t, base.unionByName(e1))
+        _, r_stats = fold_h.trigger(baseline_imbalance=2.0)
+        _, fresh = ivf_retrain_trigger(
+            spark, t, baseline_imbalance=2.0, n_cells=8
+        )
+        r_stats.pop("source")
+        assert r_stats == fresh
+
+        # crash/replay exactness, restart shape: epoch 2 crashes after
+        # its first cell move; a NEW histogram (fresh process) seeds —
+        # its scan already covers the moved cell — and the replay's
+        # delta covers exactly the remaining ones
+        import pytest as _pytest
+
+        from smallquery_spark.fsio import HadoopFS
+
+        cl, bl = load_index_meta(spark, t)
+        orig_rename = HadoopFS.rename
+        state = {"moves": 0}
+
+        def die_after_first_move(self, src, dst):
+            orig_rename(self, src, dst)
+            if "/part-epoch-" in dst:
+                state["moves"] += 1
+                if state["moves"] == 1:
+                    raise RuntimeError("injected crash between cell moves")
+
+        HadoopFS.rename = die_after_first_move
+        try:
+            with _pytest.raises(RuntimeError, match="injected"):
+                append_ivfpq_epoch(spark, t, e2, cl, bl, epoch_id=2)
+        finally:
+            HadoopFS.rename = orig_rename
+        restart_h = IngestHistogram(spark, t, n_cells=8, crossover=0.0)
+        replay_delta = append_ivfpq_epoch(spark, t, e2, cl, bl, epoch_id=2)
+        assert replay_delta  # completed the remaining cells only
+        assert sum(replay_delta.values()) < e2.count()
+        restart_h.fold(replay_delta)
+        _, h_stats = restart_h.trigger(baseline_imbalance=2.0)
+        _, s2 = ivf_retrain_trigger(
+            spark, t, baseline_imbalance=2.0, n_cells=8
+        )
+        assert h_stats.pop("source") == "fold"
+        assert h_stats == s2
+    finally:
+        drop_index(spark, t)
+
+
+def test_rerank_corpus_bucket_pruned(spark, corpus, trained):
+    """materialize_rerank_corpus: the measured rerank layout rule as a
+    default — an id IN-filter point fetch against the bucketed corpus
+    is BUCKET-PRUNED in the plan (SelectedBucketsCount < n_buckets),
+    and ivfpq_search over it returns exactly what the unbucketed
+    rerank returns."""
+    from smallquery_spark.operators.pq import (
+        drop_index,
+        ivfpq_search,
+        materialize_ivfpq,
+        materialize_rerank_corpus,
+    )
+    from smallquery_spark.operators.similarity import ivf_assign
+
+    cents, books = trained
+    pid = os.getpid()
+    t = materialize_ivfpq(
+        spark, ivf_assign(corpus, cents), cents, books, f"pqrrk_{pid}"
+    )
+    bt = None
+    auto_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    auto_before = spark.conf.get(auto_key)
+    try:
+        bt = materialize_rerank_corpus(
+            spark, corpus, f"pqrrk_corpus_{pid}", point_fetch=5
+        )
+        # the helper flips autoBucketedScan off: without it the planner
+        # silently reads the table unbucketed and prunes nothing
+        assert spark.conf.get(auto_key) == "false"
+        plan = (
+            spark.table(bt)
+            .filter(F.col("c_id").isin([3, 17, 42]))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SelectedBucketsCount" in plan
+        import re as _re
+
+        m = _re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m and int(m.group(1)) < int(m.group(2))
+
+        qs = corpus.filter("c_id < 4").select(
+            F.col("c_id").alias("q_id"), "vec"
+        )
+        a = ivfpq_search(
+            spark, qs, t, cents, books, k=5, n_probe=4,
+            rerank_corpus=spark.table(bt),
+        )
+        b = ivfpq_search(
+            spark, qs, t, cents, books, k=5, n_probe=4,
+            rerank_corpus=corpus,
+        )
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+    finally:
+        spark.conf.set(auto_key, auto_before)
+        drop_index(spark, t)
+        if bt is not None:
+            spark.sql(f"DROP TABLE IF EXISTS {bt}")

@@ -454,14 +454,31 @@ def _epoch_marker_uri(loc: str, epoch_id: int) -> str:
 
 
 def _epoch_marker_ids(fs, loc: str) -> set[int]:
-    """Epoch ids with a committed marker in the index's ledger."""
+    """Epoch ids with a committed marker in the index's ledger.
+
+    Committed means PARSEABLE: a crash mid-marker-write leaves a torn
+    file whose commit did not land, and every consumer must treat that
+    epoch as in-flight — compaction keying on the file NAME alone would
+    merge an uncommitted epoch's part files and the eventual replay
+    would double-append them (the same torn-control-file class as
+    `_meta_gen_of`, ADVICE r10). The replay itself re-stages, verifies
+    the committed cells, and overwrites the torn marker. One bounded
+    read per marker (ledger size is GC-bounded by compaction)."""
+    import json
+
     from smallquery_spark.fsio import join_uri
 
-    return {
-        int(n.split("-", 1)[1])
-        for n in fs.list_names(join_uri(loc, EPOCHS_DIR))
-        if n.startswith("epoch-")
-    }
+    out = set()
+    for n in fs.list_names(join_uri(loc, EPOCHS_DIR)):
+        if not n.startswith("epoch-"):
+            continue
+        text = fs.read_text(join_uri(loc, EPOCHS_DIR, n))
+        try:
+            json.loads(text or "")
+        except Exception:
+            continue  # torn write: the commit never landed
+        out.add(int(n.split("-", 1)[1]))
+    return out
 
 
 def _cell_fingerprints(df: DataFrame, corpus_id: str) -> dict[int, list[int]]:
@@ -593,6 +610,14 @@ def append_ivfpq_epoch(
 
         marker_uri = _epoch_marker_uri(loc, epoch_id)
         marker_text = fs.read_text(marker_uri)
+        if marker_text is not None:
+            try:
+                json.loads(marker_text)
+            except Exception:
+                # torn marker write: the commit never landed — fall
+                # through to the full replay path, which re-verifies the
+                # committed cells and overwrites the marker
+                marker_text = None
         if marker_text is not None:
             # fully committed epoch: verify the replay carries the SAME
             # content (one batch-bounded aggregate, no staging write),

@@ -1265,6 +1265,27 @@ def test_epoch_marker_protocol(spark, corpus, trained, monkeypatch):
                 spark, t, e2.filter("c_id != 2"), cents, books, epoch_id=2
             )
 
+        # TORN marker (crash mid-marker-write): parseability is the
+        # commit criterion — compaction must treat the epoch as
+        # in-flight (skip its cells), and the replay re-verifies and
+        # REWRITES the marker instead of bricking on the parse
+        marker2 = join_uri(loc, "_epochs", "epoch-0000000002")
+        fs.write_text(marker2, '{"epoch": 2, "cells": {"0": [1')
+        files_e2 = {
+            p for p, _s in fs.list_files_recursive(loc)
+            if "part-epoch-0000000002" in p
+        }
+        compact_ivf_cells(spark, t)
+        assert files_e2 == {
+            p for p, _s in fs.list_files_recursive(loc)
+            if "part-epoch-0000000002" in p
+        }
+        assert append_ivfpq_epoch(spark, t, e2, cents, books, epoch_id=2) == {}
+        import json as _json
+
+        assert _json.loads(fs.read_text(marker2))["epoch"] == 2
+        assert spark.table(t).count() == n_before + e2.count()
+
         # marker GC: compact epoch-2's files away; newest marker stays,
         # unreferenced older ones go
         assert compact_ivf_cells(spark, t) > 0

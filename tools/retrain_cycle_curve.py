@@ -131,10 +131,15 @@ def main() -> None:
     out["build_imbalance"] = round(stats0["imbalance"], 3)
 
     # epochs: quiet, quiet, HOT (fires), retrain-lands-mid-epoch, quiet
+    # hot mass: sigma tight enough that the whole batch lands in ONE
+    # cell — at gen100 geometry (1024 cells over 10 modes) a 0.01
+    # jitter spreads across several cells and the post-append ratio
+    # landed at 1.98x build, JUST under the 2x trigger (first run,
+    # kept honest here); 0.001 concentrates it and the ratio clears 4x
     v0 = np.array(
         corpus.filter("c_id = 0").first()["vec"], dtype=np.float64
     )
-    H = v0[None, :] + rng.normal(0, 0.01, (batch_n, dim))
+    H = v0[None, :] + rng.normal(0, 0.001, (batch_n, dim))
     H = H / np.linalg.norm(H, axis=1, keepdims=True)
     frames = [
         to_df(_gen(rng, modes, batch_n), n),
@@ -248,6 +253,15 @@ def main() -> None:
         _run("run2")
 
         epochs = out["per_epoch"]
+        if "retrain_sec" not in out:
+            with open(out_path, "w") as f:
+                json.dump(out, f, indent=1)
+                f.write("\n")
+            raise RuntimeError(
+                "hot epoch did not fire the trigger — partial record"
+                f" written to {out_path}; imbalances:"
+                f" {[e['imbalance'] for e in epochs]}"
+            )
         quiet_walls = [
             e["epoch_sec"] for e in epochs if not e["fired"]
         ]

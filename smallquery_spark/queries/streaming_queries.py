@@ -1073,16 +1073,21 @@ def c3_streaming_ann(spark, sf_dir):
     index grows (the C2 curve's analogue, measured at 600k x 64-dim in
     C3_STREAM_CURVE_gen100.json).
 
-    Exactly-once appends (r11, closing the residual this docstring
-    first stated): each epoch writes through `append_ivfpq_epoch` —
-    staged inside the table directory, then one deterministic
-    `part-epoch-<id>.parquet` move per touched cell — so a replayed
-    epoch (foreachBatch is at-least-once for the in-flight epoch)
-    re-stages identical content and skips committed cells instead of
-    double-appending; crash-at-every-point pinned in
-    tests/test_pq.py::test_append_epoch_replay_safe. The signal
-    record's `_SUCCESS` marker stays, but only gates re-computing
-    signals — the append itself no longer depends on it."""
+    Exactly-once appends (r11, hardened r12): each epoch writes through
+    `append_ivfpq_epoch` — staged inside the table directory, one
+    deterministic `part-epoch-<id>.parquet` move per touched cell, then
+    a durable `_epochs/epoch-<id>` commit marker carrying per-cell
+    content fingerprints — so a replayed epoch (foreachBatch is
+    at-least-once for the in-flight epoch) short-circuits on the marker
+    (surviving even a compaction that merged the file names away),
+    completes a partial attempt cell-by-cell, and raises
+    DivergentReplayError if the source re-delivered different content;
+    crash-at-every-point pinned in tests/test_pq.py. The signal
+    record's `_SUCCESS` marker only gates re-computing signals — the
+    append itself does not depend on it. The per-epoch imbalance
+    trigger rides IngestHistogram (r12): exact-delta folds from the
+    append's return, stamp-guarded, fold/scan routed on the measured
+    crossover."""
     from smallquery_spark.errors import StaleQuantizerError
     from smallquery_spark.operators.pq import (
         append_ivfpq_epoch,

@@ -565,7 +565,14 @@ def append_ivfpq_epoch(
       quantizer generation (a marker written under an earlier
       generation than the index's current stamp skips the content
       check — code fingerprints are generation-relative, stated
-      honestly in the marker-path branch below).
+      honestly in the marker-path branch below). Residual, stated: the
+      partial-replay check covers OVERLAPPING cells — a divergent
+      replay whose batch maps to a fully DISJOINT cell set leaves the
+      first attempt's cells as orphan part files the marker does not
+      list (detectable offline: part-epoch files of a marked epoch
+      whose cell is absent from its marker's cell map). Every realistic
+      divergence — same rows re-encoded, a row added/dropped/mutated —
+      shares cells with the committed attempt and raises.
 
     Cost over the plain append, all batch/cells-bounded: one staged
     read-back aggregate (the fingerprints), one SHOW PARTITIONS, one

@@ -50,25 +50,34 @@ def compact_parquet_dir(
     renamed ASIDE (``.compact.old``) before the compacted tree renames
     in, so the committed rows are always reachable — a crash between
     the two renames leaves the aside copy, which the recovery branch at
-    the top of the next call renames back.
+    the top of the next call renames back. Single-writer per directory
+    is ENFORCED (r12) via the same fsio maintenance lease the index
+    protocols carry — two concurrent compactors interleaving these
+    renames could each rename the other's fresh tree aside; the loser
+    now gets IndexBusyError instead.
     """
-    fs = fs_for(spark, path)
-    tmp = path.rstrip("/") + ".compact.tmp"
-    old = path.rstrip("/") + ".compact.old"
-    # recover a half-swapped previous run: live dir missing but the
-    # renamed-aside original present → restore it (never lose rows)
-    if not fs.exists(path) and fs.exists(old):
-        fs.rename(old, path)
-    fs.delete(tmp)
+    from smallquery_spark.fsio import dir_lease
 
-    before, total = fs.parquet_stats(path)
-    if before < min_files:
-        return before, before
-    n_out = max(1, math.ceil(total / target_file_bytes))
-    spark.read.parquet(path).repartition(n_out).write.mode("overwrite").parquet(tmp)
-    fs.delete(old)
-    fs.rename(path, old)
-    fs.rename(tmp, path)
-    fs.delete(old)
-    after, _ = fs.parquet_stats(path)
-    return before, after
+    fs = fs_for(spark, path)
+    with dir_lease(fs, path, "compact_parquet_dir"):
+        tmp = path.rstrip("/") + ".compact.tmp"
+        old = path.rstrip("/") + ".compact.old"
+        # recover a half-swapped previous run: live dir missing but the
+        # renamed-aside original present → restore it (never lose rows)
+        if not fs.exists(path) and fs.exists(old):
+            fs.rename(old, path)
+        fs.delete(tmp)
+
+        before, total = fs.parquet_stats(path)
+        if before < min_files:
+            return before, before
+        n_out = max(1, math.ceil(total / target_file_bytes))
+        spark.read.parquet(path).repartition(n_out).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        fs.delete(old)
+        fs.rename(path, old)
+        fs.rename(tmp, path)
+        fs.delete(old)
+        after, _ = fs.parquet_stats(path)
+        return before, after

@@ -453,8 +453,8 @@ def _epoch_marker_uri(loc: str, epoch_id: int) -> str:
     return join_uri(loc, EPOCHS_DIR, f"epoch-{int(epoch_id):010d}")
 
 
-def _epoch_marker_ids(fs, loc: str) -> set[int]:
-    """Epoch ids with a committed marker in the index's ledger.
+def _epoch_marker_cells(fs, loc: str) -> dict[int, set[int]]:
+    """Committed epoch ids -> the cell ids their marker lists.
 
     Committed means PARSEABLE: a crash mid-marker-write leaves a torn
     file whose commit did not land, and every consumer must treat that
@@ -463,22 +463,33 @@ def _epoch_marker_ids(fs, loc: str) -> set[int]:
     would double-append them (the same torn-control-file class as
     `_meta_gen_of`, ADVICE r10). The replay itself re-stages, verifies
     the committed cells, and overwrites the torn marker. One bounded
-    read per marker (ledger size is GC-bounded by compaction)."""
+    read per marker (ledger size is GC-bounded by compaction). The cell
+    map is the orphan-audit input: a part-epoch file of a MARKED epoch
+    in a cell the marker does not list is the disjoint-cell
+    divergent-replay signature (compact_ivf_cells raises on it)."""
     import json
 
     from smallquery_spark.fsio import join_uri
 
-    out = set()
+    out: dict[int, set[int]] = {}
     for n in fs.list_names(join_uri(loc, EPOCHS_DIR)):
         if not n.startswith("epoch-"):
             continue
         text = fs.read_text(join_uri(loc, EPOCHS_DIR, n))
         try:
-            json.loads(text or "")
+            marker = json.loads(text or "")
         except Exception:
             continue  # torn write: the commit never landed
-        out.add(int(n.split("-", 1)[1]))
+        out[int(n.split("-", 1)[1])] = {
+            int(c) for c in (marker.get("cells") or {})
+        }
     return out
+
+
+def _epoch_marker_ids(fs, loc: str) -> set[int]:
+    """Epoch ids with a committed (parseable) marker — see
+    :func:`_epoch_marker_cells`."""
+    return set(_epoch_marker_cells(fs, loc))
 
 
 def _cell_fingerprints(df: DataFrame, corpus_id: str) -> dict[int, list[int]]:
@@ -565,14 +576,15 @@ def append_ivfpq_epoch(
       quantizer generation (a marker written under an earlier
       generation than the index's current stamp skips the content
       check — code fingerprints are generation-relative, stated
-      honestly in the marker-path branch below). Residual, stated: the
-      partial-replay check covers OVERLAPPING cells — a divergent
-      replay whose batch maps to a fully DISJOINT cell set leaves the
-      first attempt's cells as orphan part files the marker does not
-      list (detectable offline: part-epoch files of a marked epoch
-      whose cell is absent from its marker's cell map). Every realistic
-      divergence — same rows re-encoded, a row added/dropped/mutated —
-      shares cells with the committed attempt and raises.
+      honestly in the marker-path branch below). The one divergence
+      shape the per-cell check cannot see — a replay whose batch maps
+      to a fully DISJOINT cell set, orphaning the first attempt's part
+      files — is caught by compact_ivf_cells' orphan audit (a
+      part-epoch file of a marked epoch in a cell its marker does not
+      list raises DivergentReplayError before any merge destroys the
+      evidence). Every realistic divergence — same rows re-encoded, a
+      row added/dropped/mutated — shares cells with the committed
+      attempt and raises right here.
 
     Cost over the plain append, all batch/cells-bounded: one staged
     read-back aggregate (the fingerprints), one SHOW PARTITIONS, one

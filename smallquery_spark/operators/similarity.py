@@ -958,7 +958,12 @@ def compact_ivf_cells(spark, index_table: str) -> int:
     replay resumes by those exact file names; merging them away would
     make the replay re-append the merged cells. Marked epochs' files
     merge freely: their replay short-circuits on the marker before any
-    file check. After the swap the epoch LEDGER is garbage-collected —
+    file check. Before ANY merge, the ORPHAN AUDIT runs over the same
+    file index (r12): a part-epoch file of a marked epoch in a cell its
+    marker does not list is the disjoint-cell divergent-replay
+    signature — rows belonging to no committed epoch — and raises
+    DivergentReplayError while the file-name evidence still exists.
+    After the swap the epoch LEDGER is garbage-collected —
     markers no longer referenced by any remaining part-epoch file are
     dropped, except the NEWEST (the only epoch Spark can still
     replay), so the ledger stays bounded by the compaction cadence
@@ -996,7 +1001,15 @@ def _compact_ivf_cells_locked(spark, index_table: str, loc: str, fs, re):
     # one catalog listing, no per-directory walk (4096 cells on an
     # object store would be 4096 LIST calls the other way). The
     # per-cell file NAMES are kept: they are the swap guard's
-    # changed-since-scan baseline.
+    # changed-since-scan baseline. Refresh first: inputFiles() serves
+    # this session's cached relation listing, and a maintenance
+    # decision (fragmentation AND the orphan audit below) must see the
+    # real file set, not a snapshot from before another writer's
+    # append/delete (the r12 cloned-session lesson, applied here).
+    try:
+        spark.catalog.refreshTable(index_table)
+    except Exception:
+        pass
     scanned: dict[int, set[str]] = {}
     for f in spark.table(index_table).inputFiles():
         m = re.search(r"/cell=(\d+)/", f)
@@ -1006,10 +1019,36 @@ def _compact_ivf_cells_locked(spark, index_table: str, loc: str, fs, re):
             )
     # defer cells holding an UNMARKED epoch's files: that epoch is
     # in-flight and its replay resumes by file name (see docstring)
-    from smallquery_spark.operators.pq import _epoch_marker_ids
+    from smallquery_spark.errors import DivergentReplayError
+    from smallquery_spark.operators.pq import _epoch_marker_cells
 
-    marked = _epoch_marker_ids(fs, loc)
+    marker_cells = _epoch_marker_cells(fs, loc)
+    marked = set(marker_cells)
     epoch_pat = re.compile(r"^part-epoch-(\d+)\.parquet$")
+
+    # orphan audit (r12): a part-epoch file of a MARKED epoch in a cell
+    # its marker does NOT list is the disjoint-cell divergent-replay
+    # signature — a replay whose batch mapped to different cells left
+    # the first attempt's files behind while the marker recorded only
+    # its own (the one divergence shape the append's per-cell check
+    # cannot see). Compaction already holds the full file index, so the
+    # audit is free here — and it must run BEFORE the merge destroys
+    # the file-name evidence. Fail loudly: those rows belong to no
+    # committed epoch.
+    for c, names in scanned.items():
+        for n in names:
+            m = epoch_pat.match(n)
+            if m and int(m.group(1)) in marked and c not in marker_cells[
+                int(m.group(1))
+            ]:
+                raise DivergentReplayError(
+                    f"compact_ivf_cells: {index_table!r} cell {c} holds"
+                    f" {n} but epoch {int(m.group(1))}'s commit marker"
+                    f" does not list that cell — orphan rows from a"
+                    " divergent replay whose batch mapped to different"
+                    " cells; audit the source's replay behavior before"
+                    " compacting"
+                )
 
     def _has_inflight(names: set[str]) -> bool:
         return any(

@@ -1663,3 +1663,83 @@ def test_rerank_corpus_bucket_pruned(spark, corpus, trained):
         drop_index(spark, t)
         if bt is not None:
             spark.sql(f"DROP TABLE IF EXISTS {bt}")
+
+
+def test_compaction_orphan_audit_and_dir_lease(spark, corpus, trained, tmp_path):
+    """r12 follow-through on two residuals:
+
+    (a) the DISJOINT-cell divergent replay — the one shape the epoch
+        append's per-cell fingerprint check cannot see (no overlapping
+        committed cell to compare) — is caught by compact_ivf_cells'
+        orphan audit: a part-epoch file of a MARKED epoch sitting in a
+        cell its marker does not list raises DivergentReplayError
+        BEFORE any merge destroys the file-name evidence;
+    (b) compact_parquet_dir (the C12 small-file compactor) now carries
+        the same maintenance lease as the index protocols — a held
+        lease raises IndexBusyError; released, it compacts."""
+    from smallquery_spark.errors import DivergentReplayError, IndexBusyError
+    from smallquery_spark.fsio import (
+        acquire_dir_lease,
+        fs_for,
+        join_uri,
+        release_dir_lease,
+        table_location,
+    )
+    from smallquery_spark.operators.compaction import compact_parquet_dir
+    from smallquery_spark.operators.pq import (
+        append_ivfpq_epoch,
+        drop_index,
+        materialize_ivfpq,
+    )
+    from smallquery_spark.operators.similarity import (
+        compact_ivf_cells,
+        ivf_assign,
+    )
+
+    cents, books = trained
+    pid = os.getpid()
+    base = corpus.filter("c_id % 2 = 0")
+    t = materialize_ivfpq(
+        spark, ivf_assign(base, cents), cents, books, f"pqorph_{pid}"
+    )
+    try:
+        # an epoch that touches FEW cells (3 rows), committed
+        e_small = corpus.filter("c_id IN (1, 3, 5)")
+        assert append_ivfpq_epoch(spark, t, e_small, cents, books, epoch_id=1)
+        loc = table_location(spark, t)
+        fs = fs_for(spark, loc)
+        import json as _json
+
+        marker = _json.loads(
+            fs.read_text(join_uri(loc, "_epochs", "epoch-0000000001"))
+        )
+        touched = {int(c) for c in marker["cells"]}
+        all_cells = {
+            int(n.split("=", 1)[1])
+            for n in fs.list_names(loc)
+            if n.startswith("cell=")
+        }
+        orphan_cell = sorted(all_cells - touched)[0]
+        # plant the orphan: a part-epoch-1 file in a cell the marker
+        # does not list (what a disjoint-cell divergent replay leaves)
+        orphan = join_uri(
+            loc, f"cell={orphan_cell}", "part-epoch-0000000001.parquet"
+        )
+        fs.write_text(orphan, "orphan")  # the audit keys on the NAME
+        with pytest.raises(DivergentReplayError, match="orphan"):
+            compact_ivf_cells(spark, t)
+        fs.delete(orphan)
+        compact_ivf_cells(spark, t)  # clean again
+
+        # (b) the C12 small-file compactor under the lease
+        d = "file://" + str(tmp_path / "c12dir")
+        spark.range(200).repartition(10).write.parquet(d)
+        dfs = fs_for(spark, d)
+        tok = acquire_dir_lease(dfs, d, "other_writer")
+        with pytest.raises(IndexBusyError):
+            compact_parquet_dir(spark, d, min_files=2)
+        release_dir_lease(dfs, d, tok)
+        before, after = compact_parquet_dir(spark, d, min_files=2)
+        assert before == 10 and after < before
+    finally:
+        drop_index(spark, t)

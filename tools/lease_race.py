@@ -1,0 +1,245 @@
+"""Cross-PROCESS maintenance-lease contention — the lease story proven
+where it actually matters.
+
+The pytest pins (tests/test_pq.py::test_maintenance_lease) exercise the
+takeover rules and the lost-create race via in-process injection. This
+study runs the real thing: two separate driver PROCESSES race
+maintenance on ONE index through the filesystem alone (no shared JVM,
+no shared Python state — exactly the two-uncoordinated-writers shape
+the r11 docstrings could only warn about):
+
+1. **contention**: process A acquires the lease and HOLDS it (sleeping
+   mid-"maintenance") while process B attempts an epoch append on the
+   same index → B must exit with IndexBusyError, A's append then
+   commits normally.
+2. **crash takeover**: process A acquires the lease and is SIGKILLed
+   mid-hold (no release path runs — the orphaned-lease case); process
+   B's append must take over the stale lease (dead same-host pid) and
+   commit.
+3. **atomic create**: N processes race bare ``acquire_dir_lease`` on
+   one directory with no staleness in play — exactly ONE must win
+   (HDFS/file create-no-overwrite atomicity is the primitive the whole
+   design rests on).
+
+Writes LEASE_RACE.json. The per-process work runs against a tiny
+(300-row) index — the subject is the protocol, not the data path.
+
+Usage:
+    python -m tools.lease_race [--out LEASE_RACE.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD = r"""
+import json, os, sys, time
+mode = sys.argv[1]
+loc = sys.argv[2]   # table LOCATION (the shared truth between processes)
+wh = sys.argv[3]
+from pyspark.sql import SparkSession, functions as F
+spark = (SparkSession.builder.master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.warehouse.dir", wh + "_child_" + str(os.getpid()))
+    .config("spark.ui.enabled", "false")
+    .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from smallquery_spark.errors import IndexBusyError
+from smallquery_spark.fsio import acquire_dir_lease, fs_for, release_dir_lease
+
+if mode == "acquire_only":
+    fs = fs_for(spark, loc)
+    try:
+        tok = acquire_dir_lease(fs, loc, f"racer_{os.getpid()}")
+        print(json.dumps({"pid": os.getpid(), "won": True}))
+    except IndexBusyError:
+        print(json.dumps({"pid": os.getpid(), "won": False}))
+    sys.exit(0)
+
+if mode == "hold":
+    fs = fs_for(spark, loc)
+    tok = acquire_dir_lease(fs, loc, "holder")
+    print("HELD", flush=True)
+    time.sleep(float(sys.argv[4]))
+    release_dir_lease(fs, loc, tok)
+    print(json.dumps({"pid": os.getpid(), "held_and_released": True}))
+    sys.exit(0)
+
+if mode == "append":
+    # a SEPARATE driver process: its in-memory metastore is empty, so it
+    # registers an EXTERNAL table over the shared directory — exactly
+    # what a second uncoordinated writer on a metastore-less warehouse
+    # would do
+    import numpy as np
+    table = f"leaserace_ext_{os.getpid()}"
+    spark.sql(
+        f"CREATE TABLE {table} (c_id BIGINT, code ARRAY<SMALLINT>)"
+        f" USING PARQUET PARTITIONED BY (cell INT) LOCATION '{loc}'"
+    )
+    spark.sql(f"MSCK REPAIR TABLE {table} SYNC PARTITIONS")
+    from smallquery_spark.operators.pq import append_ivfpq_epoch, load_index_meta
+    try:
+        cl, bl = load_index_meta(spark, table)
+        rng = np.random.default_rng(int(sys.argv[4]))
+        X = rng.normal(0, 1, (30, len(cl[0])))
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        batch = spark.createDataFrame(
+            [(int(sys.argv[4]) * 1000 + i, [float(x) for x in X[i]]) for i in range(len(X))],
+            "c_id long, vec array<double>",
+        )
+        delta = append_ivfpq_epoch(spark, table, batch, cl, bl, epoch_id=int(sys.argv[4]))
+        print(json.dumps({"pid": os.getpid(), "appended": True,
+                          "rows": sum(delta.values())}))
+    except IndexBusyError:
+        print(json.dumps({"pid": os.getpid(), "appended": False, "busy": True}))
+    sys.exit(0)
+"""
+
+
+def _spawn(args: list[str], wh: str) -> subprocess.Popen:
+    env = dict(os.environ, PYTHONPATH=REPO)
+    return subprocess.Popen(
+        [sys.executable, "-c", _CHILD, *args],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+        cwd=REPO,
+        env=env,
+    )
+
+
+def _last_json(text: str) -> dict | None:
+    for line in reversed(text.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    return None
+
+
+def main() -> None:
+    argv = sys.argv[1:]
+    out_path = (
+        argv[argv.index("--out") + 1] if "--out" in argv else "LEASE_RACE.json"
+    )
+    import tempfile
+
+    import numpy as np
+
+    from smallquery_spark.operators.pq import materialize_ivfpq, pq_train
+    from smallquery_spark.operators.similarity import (
+        ivf_assign,
+        ivf_build_centroids,
+    )
+    from smallquery_spark.queries.registry import ensure_driver_confs
+    from smallquery_spark.session import get_session
+
+    spark = get_session("smallquery-lease-race")
+    ensure_driver_confs(spark)
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(0, 1, (300, 16))
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(300)],
+        "c_id long, vec array<double>",
+    )
+    cents = ivf_build_centroids(corpus, n_cells=8)
+    books = pq_train(corpus, cents, m=4)
+    table = materialize_ivfpq(
+        spark, ivf_assign(corpus, cents), cents, books,
+        f"leaserace_{os.getpid()}",
+    )
+    out: dict = {"table": table}
+    from smallquery_spark.operators.pq import drop_index
+
+    try:
+        # 1. contention: holder sleeps 45 s; appender must get BUSY
+        from smallquery_spark.fsio import table_location
+
+        loc = table_location(spark, table)
+        holder = _spawn(["hold", loc, wh, "45"], wh)
+        assert holder.stdout is not None
+        line = holder.stdout.readline().strip()  # wait for HELD
+        assert line == "HELD", line
+        t0 = time.time()
+        appender = _spawn(["append", loc, wh, "1"], wh)
+        a_out, _ = appender.communicate(timeout=300)
+        res = _last_json(a_out)
+        out["contention"] = {
+            "appender_result": res,
+            "appender_wall_s": round(time.time() - t0, 1),
+            "busy_as_expected": bool(res and res.get("busy")),
+        }
+        h_out, _ = holder.communicate(timeout=300)
+        out["contention"]["holder_released"] = bool(
+            (_last_json(h_out) or {}).get("held_and_released")
+        )
+        # lease released: the same append now commits
+        retry = _spawn(["append", loc, wh, "1"], wh)
+        r_out, _ = retry.communicate(timeout=300)
+        rres = _last_json(r_out)
+        out["contention"]["retry_after_release"] = rres
+        out["contention"]["retry_committed"] = bool(
+            rres and rres.get("appended")
+        )
+
+        # 2. crash takeover: holder killed -9 mid-hold (orphaned lease,
+        # dead pid) — the next appender must take over and commit
+        holder2 = _spawn(["hold", loc, wh, "600"], wh)
+        assert holder2.stdout is not None
+        assert holder2.stdout.readline().strip() == "HELD"
+        os.kill(holder2.pid, signal.SIGKILL)
+        holder2.wait(timeout=60)
+        time.sleep(1.0)
+        t0 = time.time()
+        taker = _spawn(["append", loc, wh, "2"], wh)
+        t_out, _ = taker.communicate(timeout=300)
+        tres = _last_json(t_out)
+        out["crash_takeover"] = {
+            "appender_result": tres,
+            "took_over_and_committed": bool(tres and tres.get("appended")),
+            "wall_s": round(time.time() - t0, 1),
+        }
+
+        # 3. atomic create: 6 processes race a bare acquire on one dir —
+        # exactly one winner
+        race_dir = os.path.join(tempfile.mkdtemp(prefix="leaserace_"), "d")
+        os.makedirs(race_dir)
+        racers = [
+            _spawn(["acquire_only", race_dir, wh], wh) for _ in range(6)
+        ]
+        results = []
+        for p in racers:
+            o, _ = p.communicate(timeout=300)
+            results.append(_last_json(o))
+        winners = [r for r in results if r and r.get("won")]
+        out["atomic_create"] = {
+            "racers": len(racers),
+            "winners": len(winners),
+            "exactly_one_winner": len(winners) == 1,
+        }
+    finally:
+        drop_index(spark, table)
+
+    out["all_contracts_hold"] = bool(
+        out.get("contention", {}).get("busy_as_expected")
+        and out.get("contention", {}).get("retry_committed")
+        and out.get("crash_takeover", {}).get("took_over_and_committed")
+        and out.get("atomic_create", {}).get("exactly_one_winner")
+    )
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

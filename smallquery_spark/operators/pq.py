@@ -1193,8 +1193,11 @@ def drop_index(spark, index_table: str) -> None:
     fs.delete(staged)
     fs.delete(old)
     # the maintenance lease is a sibling too (it must survive retrain's
-    # directory swap) — sweep it with the scratch trees
+    # directory swap) — sweep it with the scratch trees, and the
+    # delete/compact per-cell work trees beside them
     fs.delete(lease_path(loc))
+    for suffix in (".delete_tmp", ".delete_old", ".compact_tmp", ".compact_old"):
+        fs.delete(loc.rstrip("/") + suffix)
     spark.sql(f"DROP TABLE IF EXISTS {index_table}")
 
 
@@ -1437,15 +1440,158 @@ def pq_fit_gap(
 
 
 def pq_qerr_trigger(
-    batch_gap: float, baseline_gap: float, ratio: float = 2.0
+    batch_gap: float,
+    baseline_gap: float,
+    ratio: float = 2.0,
+    floor: float = 1e-9,
 ) -> bool:
     """True when a batch's ADC self-score gap exceeds ``ratio`` × the
     build-time gap — codebook fit has degraded enough that ADC ranking
     error materially widened; retrain_ivfpq is the response. The 2×
     default is the measured separation (PQ_QERR_gen100.json: quiet
     batches within ~5% of baseline, the σ-growth scenario ≥2× at the
-    first drifted batch)."""
-    return baseline_gap > 0 and batch_gap > ratio * baseline_gap
+    first drifted batch).
+
+    The baseline is CLAMPED to ``floor`` (r12): a memorized or
+    perfectly-fit training set measures a gap of ~±1e-10 — numerically
+    zero, with a SIGN that flips across accumulation orders (the avg is
+    a parallel reduction). The r11 form returned False for any
+    baseline ≤ 0, i.e. the better the build fit, the blinder the
+    trigger — a drifted batch at gap 0.14 over a memorized baseline
+    did not fire once an unrelated query reordering flipped the
+    baseline's sign. With the clamp, a ~zero baseline makes the
+    trigger maximally sensitive (any materially positive gap fires)
+    while sub-floor batch gaps (float noise over a float-noise
+    baseline) still stay quiet."""
+    return batch_gap > ratio * max(baseline_gap, floor)
+
+
+def delete_ivfpq(
+    spark,
+    index_table: str,
+    ids,
+    corpus_id: str = "c_id",
+) -> dict[int, int]:
+    """HARD-delete rows from a live IVF-PQ index by id — the
+    takedown/PII-removal primitive a training-data index legally needs
+    (r12; no reference counterpart — the at-rest ANN stack's own
+    operational surface). Returns ``{cell: rows_deleted}`` (``{}`` =
+    none of the ids were present; idempotent — a retried delete of the
+    same ids is a no-op).
+
+    Spark-first shape: one path-scan semi-join finds the TOUCHED cells
+    (ids are scattered; only their cells are rewritten), each touched
+    cell is re-written WITHOUT the deleted ids into a durable staging
+    tree, then swapped in per cell by the same rename-aside protocol
+    compaction uses — a crash at any point leaves every committed row
+    reachable, and the recovery branch at the head of the next call
+    (or of compact_ivf_cells, which shares the aside naming rules)
+    restores any cell caught between renames. Work is proportional to
+    the touched cells' bytes, not the index.
+
+    Protocol interplay, each rule load-bearing:
+
+    - **lease** (fsio.dir_lease): deletion is maintenance; concurrent
+      retrain/compaction/epoch appends raise IndexBusyError.
+    - **in-flight epochs refuse** (IndexBusyError): rewriting a cell
+      that holds an UNMARKED epoch's ``part-epoch`` file would merge it
+      into the rewritten file, and the epoch's replay — which resumes
+      by file NAME — would re-append it. Same rule as compaction's
+      skip, but deletion cannot skip (the cell holds rows that must
+      go), so it refuses until the stream replays.
+    - **epoch markers survive deletion**: marker fingerprints describe
+      the DELIVERED batch, not current table content, so a committed
+      epoch replayed after rows of it were deleted still short-circuits
+      on its marker (verified content = the batch, unchanged) and the
+      deleted rows stay deleted — deletion and exactly-once ingest
+      compose (pinned in tests/test_pq.py::test_delete_ivfpq).
+    - **quantizer untouched**: deletion moves no centroids and no
+      codes; the stamp does not change. A maintained IngestHistogram
+      is therefore NOT invalidated by generation — fold the returned
+      counts NEGATED (``hist.fold({c: -n for c, n in deleted.items()})``)
+      to keep it exact, or let the below-crossover scan path resync.
+    - **stamp/meta/ledger live above the cell swaps** — untouched, the
+      same structural fact that makes compaction composable.
+
+    ``ids`` is a DataFrame with column ``corpus_id`` or a Python
+    list/set of ids (driver-bounded; big deletion sets should come as a
+    DataFrame)."""
+    import re as _re
+
+    from smallquery_spark.errors import IndexBusyError
+    from smallquery_spark.fsio import dir_lease, fs_for, join_uri, table_location
+
+    loc = table_location(spark, index_table)
+    fs = fs_for(spark, loc)
+    with dir_lease(fs, loc, "delete_ivfpq"):
+        _recover_index_swap(spark, index_table)
+        if isinstance(ids, DataFrame):
+            ids_df = ids.select(corpus_id).distinct()
+        else:
+            ids_df = spark.createDataFrame(
+                [(i,) for i in set(ids)],
+                _index_scan(spark, index_table).select(corpus_id).schema,
+            )
+        # touched cells + per-cell victim counts, one pruned path-scan
+        hits = (
+            _index_scan(spark, index_table)
+            .join(F.broadcast(ids_df), corpus_id, "left_semi")
+            .groupBy("cell")
+            .count()
+            .collect()
+        )
+        victims = {int(r["cell"]): int(r["count"]) for r in hits}
+        if not victims:
+            return {}
+        # refuse while any touched cell holds an in-flight epoch's file
+        marked = _epoch_marker_ids(fs, loc)
+        pat = _re.compile(r"^part-epoch-(\d+)\.parquet$")
+        for c in victims:
+            for n in fs.list_names(join_uri(loc, f"cell={c}")):
+                m = pat.match(n)
+                if m and int(m.group(1)) not in marked:
+                    raise IndexBusyError(
+                        f"delete_ivfpq: cell {c} of {index_table!r} holds"
+                        f" files of uncommitted ingest epoch {m.group(1)} —"
+                        " replay it (restart the stream) before deleting;"
+                        " rewriting the cell would double-apply the replay"
+                    )
+        # stage the rewritten cells (touched cells minus the ids),
+        # durable before any live directory moves
+        staging = loc.rstrip("/") + ".delete_tmp"
+        aside = loc.rstrip("/") + ".delete_old"
+        # recovery from a previous crashed delete: any aside cell whose
+        # live dir is missing was caught between the two renames
+        for n in fs.list_names(aside):
+            if n.startswith("cell=") and not fs.exists(join_uri(loc, n)):
+                fs.rename(join_uri(aside, n), join_uri(loc, n))
+        fs.delete(aside)
+        fs.delete(staging)
+        cells = sorted(victims)
+        survivors = (
+            spark.read.option("basePath", loc)
+            .parquet(*[join_uri(loc, f"cell={c}") for c in cells])
+            .join(F.broadcast(ids_df), corpus_id, "left_anti")
+        )
+        (
+            survivors.repartition(F.col("cell"))
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(staging)
+        )
+        fs.mkdirs(aside)
+        for c in cells:
+            cell = f"cell={c}"
+            fs.rename(join_uri(loc, cell), join_uri(aside, cell))
+            if fs.exists(join_uri(staging, cell)):
+                fs.rename(join_uri(staging, cell), join_uri(loc, cell))
+            # a cell whose EVERY row was deleted has no staged dir: the
+            # rename-aside IS the deletion (the empty partition simply
+            # disappears; catalog synced below)
+        fs.delete(aside)
+        fs.delete(staging)
+        _sync_partitions(spark, index_table)
+        return victims
 
 
 def materialize_rerank_corpus(

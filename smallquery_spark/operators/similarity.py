@@ -986,14 +986,21 @@ def _compact_ivf_cells_locked(spark, index_table: str, loc: str, fs, re):
     aside = loc.rstrip("/") + ".compact_old"
     # recovery: a compact that died mid-swap leaves cell dirs in the
     # aside tree; any whose live dir is MISSING were caught between the
-    # two renames — restore them, then clear both work trees.
+    # two renames — restore them, then clear both work trees. The same
+    # branch recovers a crashed delete_ivfpq (its .delete_old aside
+    # follows the same per-cell rules), so EITHER maintenance entry
+    # point heals the other's crash (r12).
     recovered = False
-    for name in fs.list_names(aside):
-        if name.startswith("cell=") and not fs.exists(join_uri(loc, name)):
-            fs.rename(join_uri(aside, name), join_uri(loc, name))
-            recovered = True
-    fs.delete(aside)
+    for aside_tree in (aside, loc.rstrip("/") + ".delete_old"):
+        for name in fs.list_names(aside_tree):
+            if name.startswith("cell=") and not fs.exists(
+                join_uri(loc, name)
+            ):
+                fs.rename(join_uri(aside_tree, name), join_uri(loc, name))
+                recovered = True
+        fs.delete(aside_tree)
     fs.delete(staging)
+    fs.delete(loc.rstrip("/") + ".delete_tmp")
     if recovered:
         spark.catalog.refreshTable(index_table)
 

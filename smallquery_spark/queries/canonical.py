@@ -1650,6 +1650,7 @@ def _register_ann_contracts() -> None:
             "SELECT 'indexed' AS leg, TRUE AS ok, TRUE AS ok2 "
             "UNION ALL SELECT 'ivf', TRUE, TRUE "
             "UNION ALL SELECT 'pq', TRUE, TRUE "
+            "UNION ALL SELECT 'delete', TRUE, TRUE "
             "UNION ALL SELECT 'pqmeta', TRUE, TRUE "
             "UNION ALL SELECT 'retrain', TRUE, TRUE "
             "UNION ALL SELECT 'stream', TRUE, TRUE"
@@ -1717,10 +1718,23 @@ def _register_ann_contracts() -> None:
                 & F.col("quiet_after")
             ).alias("ok2"),
         )
+        # delete (r12): hard deletion (takedown/PII removal) — table and
+        # probes equal a rebuild over corpus-minus-ids, idempotent,
+        # emptied cell's partition dropped
+        delete = _fn("c3_index_delete")(spark, sf_dir).select(
+            F.lit("delete").alias("leg"),
+            (
+                F.col("deleted_exact")
+                & F.col("equals_rebuild")
+                & F.col("probes_equal")
+            ).alias("ok"),
+            (F.col("idempotent") & F.col("empty_cell_dropped")).alias("ok2"),
+        )
         return (
             ivf.unionByName(indexed)
             .unionByName(pq)
             .unionByName(pqmeta)
+            .unionByName(delete)
             .unionByName(retrain)
             .unionByName(stream)
         )

@@ -1442,3 +1442,132 @@ def c24_dataset_split(spark, sf_dir):
     return d.groupBy("lang", split.alias("split")).agg(
         F.count("*").alias("n_docs")
     )
+
+
+@query(
+    "c3_index_delete",
+    oracle=(
+        "SELECT TRUE AS deleted_exact, TRUE AS idempotent,"
+        " TRUE AS equals_rebuild, TRUE AS probes_equal,"
+        " TRUE AS empty_cell_dropped"
+    ),
+    tags=("C3",),
+)
+def c3_index_delete(spark, sf_dir):
+    """Hard deletion from the at-rest ANN index (r12,
+    operators/pq.py::delete_ivfpq) — the takedown/PII-removal primitive
+    a 100 TB training-data index legally needs, exercised end-to-end:
+    a SCATTERED id set plus one ENTIRE cell's ids are deleted from a
+    materialized IVF-PQ index; the post-delete table holds EXACTLY the
+    rows a rebuild over corpus-minus-ids holds, probes answer
+    identically to that rebuild, the retry is a no-op (idempotent by id
+    presence), and the fully-emptied cell's partition disappears from
+    both the directory and the catalog. Deletion is cell-scoped work
+    (only touched cells rewrite — the scale argument), lease-guarded,
+    crash-recoverable through the same per-cell rename-aside rules as
+    compaction (injected-kill pins in tests/test_pq.py::
+    test_delete_ivfpq, including the epoch-marker interplay: a
+    committed epoch replayed after its rows were deleted stays a
+    no-op and the deletion sticks)."""
+    from smallquery_spark.fsio import fs_for, join_uri, table_location
+    from smallquery_spark.operators.pq import (
+        delete_ivfpq,
+        drop_index,
+        ivfpq_search,
+        materialize_ivfpq,
+        pq_train,
+    )
+    from smallquery_spark.operators.similarity import (
+        ivf_assign,
+        ivf_build_centroids,
+        ivf_defaults,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") < 300).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec")
+    )
+    n_cells, n_probe = ivf_defaults(corpus.count())
+    cents = ivf_build_centroids(corpus, n_cells=n_cells)
+    books = pq_train(corpus, cents)
+    pid = os.getpid()
+    tname = materialize_ivfpq(
+        spark, ivf_assign(corpus, cents), cents, books, f"c3del_{pid}"
+    )
+    tname_rb = None
+    try:
+        loc = table_location(spark, tname)
+        fs = fs_for(spark, loc)
+        # victims: a scattered set + every id of one cell
+        cell0 = int(
+            spark.table(tname)
+            .select("cell").distinct().orderBy("cell").first()[0]
+        )
+        cell0_ids = [
+            int(r["c_id"])
+            for r in spark.table(tname)
+            .filter(F.col("cell") == cell0)
+            .collect()
+        ]
+        scattered = [
+            int(r["c_id"])
+            for r in spark.table(tname)
+            .filter(~F.col("c_id").isin(cell0_ids))
+            .orderBy("c_id")
+            .limit(7)
+            .collect()
+        ]
+        victims = sorted(set(cell0_ids + scattered))
+        deleted = delete_ivfpq(spark, tname, victims)
+        deleted_exact = sum(deleted.values()) == len(victims)
+        idempotent = delete_ivfpq(spark, tname, victims) == {}
+        empty_cell_dropped = (
+            not fs.exists(join_uri(loc, f"cell={cell0}"))
+            and spark.table(tname).filter(F.col("cell") == cell0).count()
+            == 0
+        )
+
+        kept = corpus.filter(~F.col("c_id").isin(victims))
+        tname_rb = materialize_ivfpq(
+            spark, ivf_assign(kept, cents), cents, books, f"c3del_rb_{pid}"
+        )
+        rows_a = spark.table(tname).select(
+            "c_id", "cell", F.col("code").cast("string").alias("code")
+        )
+        rows_b = spark.table(tname_rb).select(
+            "c_id", "cell", F.col("code").cast("string").alias("code")
+        )
+        equals_rebuild = (
+            rows_a.exceptAll(rows_b).count() == 0
+            and rows_b.exceptAll(rows_a).count() == 0
+        )
+        queries = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")
+        )
+        r1 = ivfpq_search(
+            spark, queries, tname, cents, books, k=5, n_probe=n_probe
+        ).localCheckpoint(eager=True)
+        r2 = ivfpq_search(
+            spark, queries, tname_rb, cents, books, k=5, n_probe=n_probe
+        )
+        probes_equal = (
+            r1.exceptAll(r2).count() == 0 and r2.exceptAll(r1).count() == 0
+        )
+        return spark.createDataFrame(
+            [
+                (
+                    deleted_exact,
+                    idempotent,
+                    equals_rebuild,
+                    probes_equal,
+                    empty_cell_dropped,
+                )
+            ],
+            "deleted_exact boolean, idempotent boolean,"
+            " equals_rebuild boolean, probes_equal boolean,"
+            " empty_cell_dropped boolean",
+        )
+    finally:
+        drop_index(spark, tname)
+        if tname_rb is not None:
+            drop_index(spark, tname_rb)

@@ -1743,3 +1743,186 @@ def test_compaction_orphan_audit_and_dir_lease(spark, corpus, trained, tmp_path)
         assert before == 10 and after < before
     finally:
         drop_index(spark, t)
+
+
+def test_delete_ivfpq(spark, corpus, trained, monkeypatch):
+    """delete_ivfpq (r12): hard deletion from the at-rest index.
+
+    Value: post-delete table and probes EQUAL a rebuild over the corpus
+    minus the ids; idempotent retry returns {}. Protocol: a fully
+    deleted cell's partition disappears; a crash between the per-cell
+    renames is healed by the NEXT maintenance entry (compact_ivf_cells
+    shares the aside rules — cross-entry recovery); a touched cell
+    holding an UNMARKED (in-flight) epoch's file refuses
+    (IndexBusyError); a COMMITTED epoch replayed after some of its rows
+    were deleted stays a no-op (marker fingerprints describe the
+    delivered batch, not table state) and the deletion sticks; an
+    IngestHistogram folded with the NEGATED returned counts matches the
+    scan exactly."""
+    from smallquery_spark.errors import IndexBusyError
+    from smallquery_spark.fsio import HadoopFS, fs_for, join_uri, table_location
+    from smallquery_spark.operators.pq import (
+        append_ivfpq_epoch,
+        delete_ivfpq,
+        drop_index,
+        ivfpq_search,
+        materialize_ivfpq,
+    )
+    from smallquery_spark.operators.similarity import (
+        IngestHistogram,
+        compact_ivf_cells,
+        ivf_assign,
+        ivf_retrain_trigger,
+    )
+
+    cents, books = trained
+    pid = os.getpid()
+    t = materialize_ivfpq(
+        spark, ivf_assign(corpus, cents), cents, books, f"pqdel_{pid}"
+    )
+    t_rb = None
+    orig_rename = HadoopFS.rename
+    try:
+        loc = table_location(spark, t)
+        fs = fs_for(spark, loc)
+        victims = [2, 7, 11, 40, 41, 99]
+        hist = IngestHistogram(spark, t, n_cells=8, crossover=0.0)
+        deleted = delete_ivfpq(spark, t, victims)
+        assert sum(deleted.values()) == len(victims)
+        # idempotent: those ids are gone, retry is a no-op
+        assert delete_ivfpq(spark, t, victims) == {}
+        # histogram: negated fold == fresh scan
+        hist.fold({c: -n for c, n in deleted.items()})
+        _, h_stats = hist.trigger(baseline_imbalance=2.0)
+        _, s_stats = ivf_retrain_trigger(
+            spark, t, baseline_imbalance=2.0, n_cells=8
+        )
+        h_stats.pop("source")
+        assert h_stats == s_stats
+
+        # value: table and probes equal a rebuild over corpus minus ids
+        kept = corpus.filter(~F.col("c_id").isin(victims))
+        t_rb = materialize_ivfpq(
+            spark, ivf_assign(kept, cents), cents, books, f"pqdel_rb_{pid}"
+        )
+        a = spark.table(t).select(
+            "c_id", "cell", F.col("code").cast("string").alias("code")
+        )
+        b = spark.table(t_rb).select(
+            "c_id", "cell", F.col("code").cast("string").alias("code")
+        )
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+        qs = corpus.filter("c_id < 5").select(
+            F.col("c_id").alias("q_id"), "vec"
+        )
+        r1 = ivfpq_search(spark, qs, t, cents, books, k=5, n_probe=8)
+        r2 = ivfpq_search(spark, qs, t_rb, cents, books, k=5, n_probe=8)
+        assert r1.exceptAll(r2).count() == 0
+        assert r2.exceptAll(r1).count() == 0
+
+        # full-cell deletion: wipe one whole cell; its partition is gone
+        assigned = ivf_assign(corpus, cents)
+        cell0 = int(
+            spark.table(t).select("cell").distinct().orderBy("cell").first()[0]
+        )
+        cell0_ids = [
+            r["c_id"]
+            for r in spark.table(t).filter(F.col("cell") == cell0).collect()
+        ]
+        d = delete_ivfpq(spark, t, cell0_ids)
+        assert d == {cell0: len(cell0_ids)}
+        assert not fs.exists(join_uri(loc, f"cell={cell0}"))
+        assert spark.table(t).filter(F.col("cell") == cell0).count() == 0
+
+        # crash mid-swap: die after the rename-aside, before the staged
+        # rename-in — compact_ivf_cells (the OTHER maintenance entry)
+        # restores the cell, then the retried delete converges
+        state = {"aside": 0}
+
+        def die_after_aside(self, src, dst):
+            orig_rename(self, src, dst)
+            if "/ivfpqx_pqdel" in dst and ".delete_old/cell=" in dst:
+                state["aside"] += 1
+                raise RuntimeError("injected crash mid delete swap")
+
+        monkeypatch.setattr(HadoopFS, "rename", die_after_aside)
+        with pytest.raises(RuntimeError, match="injected"):
+            delete_ivfpq(spark, t, [4, 10])
+        monkeypatch.setattr(HadoopFS, "rename", orig_rename)
+        assert state["aside"] == 1
+        compact_ivf_cells(spark, t)  # cross-entry recovery restores the cell
+        n_before = spark.table(t).count()
+        d2 = delete_ivfpq(spark, t, [4, 10])
+        assert sum(d2.values()) == 2
+        assert spark.table(t).count() == n_before - 2
+
+        # epoch interplay: (a) an UNMARKED in-flight epoch's file in a
+        # touched cell refuses; (b) a COMMITTED epoch replayed after a
+        # deletion of its rows stays a no-op and the deletion sticks
+        e1 = corpus.filter("c_id IN (20, 23, 26, 29)").withColumn(
+            "c_id", F.col("c_id") + 10000
+        )
+        state2 = {"moves": 0}
+
+        def die_after_first_move(self, src, dst):
+            orig_rename(self, src, dst)
+            if "/part-epoch-" in dst:
+                state2["moves"] += 1
+                if state2["moves"] == 1:
+                    raise RuntimeError("injected crash between cell moves")
+
+        monkeypatch.setattr(HadoopFS, "rename", die_after_first_move)
+        with pytest.raises(RuntimeError, match="injected"):
+            append_ivfpq_epoch(spark, t, e1, cents, books, epoch_id=5)
+        monkeypatch.setattr(HadoopFS, "rename", orig_rename)
+        # the crashed epoch's committed cell is in-flight: deleting any
+        # id in that cell refuses
+        import re as _re
+
+        flight_cell = next(
+            int(_re.search(r"/cell=(\d+)/", p).group(1))
+            for p, _sz in fs.list_files_recursive(loc)
+            if "part-epoch-0000000005" in p
+        )
+        flight_id = spark.table(t).filter(
+            F.col("cell") == flight_cell
+        ).first()["c_id"]
+        with pytest.raises(IndexBusyError, match="uncommitted ingest epoch"):
+            delete_ivfpq(spark, t, [flight_id])
+        # replay commits the epoch; now delete two of ITS rows, then
+        # replay again: marker short-circuit, deletion sticks
+        assert append_ivfpq_epoch(spark, t, e1, cents, books, epoch_id=5)
+        assert sum(delete_ivfpq(spark, t, [10020, 10026]).values()) == 2
+        assert append_ivfpq_epoch(spark, t, e1, cents, books, epoch_id=5) == {}
+        present = {
+            r["c_id"]
+            for r in spark.table(t)
+            .filter(F.col("c_id").isin([10020, 10023, 10026, 10029]))
+            .collect()
+        }
+        assert present == {10023, 10029}
+    finally:
+        monkeypatch.setattr(HadoopFS, "rename", orig_rename)
+        drop_index(spark, t)
+        if t_rb is not None:
+            drop_index(spark, t_rb)
+
+
+def test_qerr_trigger_zero_baseline_fires():
+    """pq_qerr_trigger over a numerically-zero baseline (r12): a
+    memorized build corpus measures gap ~±1e-10 with an accumulation-
+    order-dependent SIGN; the r11 form returned False for baseline<=0 —
+    the better the build fit, the blinder the trigger (found when a new
+    query's reordering flipped the sign at gate scale and the drift
+    control silently stopped firing). A materially positive batch gap
+    must fire over a ~zero baseline of EITHER sign; float noise over
+    float noise stays quiet; real positive baselines behave as before."""
+    from smallquery_spark.operators.pq import pq_qerr_trigger
+
+    assert pq_qerr_trigger(0.14, -1.2e-10)
+    assert pq_qerr_trigger(0.14, 0.0)
+    assert pq_qerr_trigger(0.14, 1.2e-10)
+    assert not pq_qerr_trigger(1e-10, -1e-10)  # noise over noise
+    assert not pq_qerr_trigger(0.14, 0.08)     # real baseline, <2x
+    assert pq_qerr_trigger(0.17, 0.08)         # real baseline, >2x

@@ -1471,6 +1471,7 @@ def delete_ivfpq(
     index_table: str,
     ids,
     corpus_id: str = "c_id",
+    broadcast_ids_max: int = 1_000_000,
 ) -> dict[int, int]:
     """HARD-delete rows from a live IVF-PQ index by id — the
     takedown/PII-removal primitive a training-data index legally needs
@@ -1514,8 +1515,20 @@ def delete_ivfpq(
       same structural fact that makes compaction composable.
 
     ``ids`` is a DataFrame with column ``corpus_id`` or a Python
-    list/set of ids (driver-bounded; big deletion sets should come as a
-    DataFrame)."""
+    list/set of ids (driver-bounded). A DataFrame id set is COUNTED
+    first and the semi/anti joins carry a broadcast hint only when it
+    holds at most ``broadcast_ids_max`` rows (the takedown regime the
+    operator was built for: scattered handfuls of ids, where broadcast
+    is the right plan). Above the gate — a bulk takedown deleting an
+    entire contaminated source — no hint is attached and AQE picks the
+    join strategy: an unconditional hint would ship the whole id set to
+    every executor, the classic broadcast-OOM shape, on exactly the
+    code path that exists for 100 TB compliance work (ADVICE r12 /
+    VERDICT r12 #2; both plan shapes pinned in tests/test_plans.py).
+    The default gate (1M single-column rows ≈ tens of MB serialized)
+    sits comfortably inside any executor that can run the rewrite
+    itself; list/set ids are driver-bounded by construction and always
+    broadcast."""
     import re as _re
 
     from smallquery_spark.errors import IndexBusyError
@@ -1523,19 +1536,54 @@ def delete_ivfpq(
 
     loc = table_location(spark, index_table)
     fs = fs_for(spark, loc)
+    staging = loc.rstrip("/") + ".delete_tmp"
+    aside = loc.rstrip("/") + ".delete_old"
     with dir_lease(fs, loc, "delete_ivfpq"):
         _recover_index_swap(spark, index_table)
+        # recovery FIRST, before any victim scan (ADVICE r12 high): a
+        # prior delete (or compaction) that crashed between
+        # rename(live->aside) and rename(staging->live) left cell X
+        # visible only in an aside tree. Running this after the scan —
+        # the r12 shape — meant the scan could not see X's rows: when
+        # every remaining victim lived in X the call returned {} ("ids
+        # not present") while a later compaction's recovery resurrected
+        # the victims; when other victims remained, the old mid-protocol
+        # recovery restored X AFTER victims were computed, so X's
+        # victims survived a call that reported success. Both asides are
+        # healed here (compaction's head-recovery symmetrically heals
+        # ours), then all four work trees are cleared — we hold the
+        # lease, so no other maintenance can be mid-protocol.
+        recovered = False
+        for aside_tree in (aside, loc.rstrip("/") + ".compact_old"):
+            for n in fs.list_names(aside_tree):
+                if n.startswith("cell=") and not fs.exists(join_uri(loc, n)):
+                    fs.rename(join_uri(aside_tree, n), join_uri(loc, n))
+                    recovered = True
+            fs.delete(aside_tree)
+        fs.delete(staging)
+        fs.delete(loc.rstrip("/") + ".compact_tmp")
+        if recovered:
+            try:
+                spark.catalog.refreshTable(index_table)
+            except Exception:
+                pass
         if isinstance(ids, DataFrame):
             ids_df = ids.select(corpus_id).distinct()
+            # one count against the maintenance op's cost: the size
+            # gate needs a bound, and a wrong guess here is an
+            # executor-OOM cliff at bulk-takedown scale
+            small_ids = ids_df.count() <= int(broadcast_ids_max)
         else:
             ids_df = spark.createDataFrame(
                 [(i,) for i in set(ids)],
                 _index_scan(spark, index_table).select(corpus_id).schema,
             )
+            small_ids = True
+        ids_hinted = F.broadcast(ids_df) if small_ids else ids_df
         # touched cells + per-cell victim counts, one pruned path-scan
         hits = (
             _index_scan(spark, index_table)
-            .join(F.broadcast(ids_df), corpus_id, "left_semi")
+            .join(ids_hinted, corpus_id, "left_semi")
             .groupBy("cell")
             .count()
             .collect()
@@ -1543,11 +1591,16 @@ def delete_ivfpq(
         victims = {int(r["cell"]): int(r["count"]) for r in hits}
         if not victims:
             return {}
-        # refuse while any touched cell holds an in-flight epoch's file
+        # refuse while any touched cell holds an in-flight epoch's file;
+        # the same listing records each cell's data-file snapshot — the
+        # swap guard's changed-since-scan baseline
         marked = _epoch_marker_ids(fs, loc)
         pat = _re.compile(r"^part-epoch-(\d+)\.parquet$")
+        snapshot: dict[int, set[str]] = {}
         for c in victims:
-            for n in fs.list_names(join_uri(loc, f"cell={c}")):
+            names = fs.list_names(join_uri(loc, f"cell={c}"))
+            snapshot[c] = {n for n in names if n.endswith(".parquet")}
+            for n in names:
                 m = pat.match(n)
                 if m and int(m.group(1)) not in marked:
                     raise IndexBusyError(
@@ -1558,20 +1611,11 @@ def delete_ivfpq(
                     )
         # stage the rewritten cells (touched cells minus the ids),
         # durable before any live directory moves
-        staging = loc.rstrip("/") + ".delete_tmp"
-        aside = loc.rstrip("/") + ".delete_old"
-        # recovery from a previous crashed delete: any aside cell whose
-        # live dir is missing was caught between the two renames
-        for n in fs.list_names(aside):
-            if n.startswith("cell=") and not fs.exists(join_uri(loc, n)):
-                fs.rename(join_uri(aside, n), join_uri(loc, n))
-        fs.delete(aside)
-        fs.delete(staging)
         cells = sorted(victims)
         survivors = (
             spark.read.option("basePath", loc)
             .parquet(*[join_uri(loc, f"cell={c}") for c in cells])
-            .join(F.broadcast(ids_df), corpus_id, "left_anti")
+            .join(ids_hinted, corpus_id, "left_anti")
         )
         (
             survivors.repartition(F.col("cell"))
@@ -1580,8 +1624,31 @@ def delete_ivfpq(
             .parquet(staging)
         )
         fs.mkdirs(aside)
+        from smallquery_spark.operators.similarity import _cell_swap_safe
+
         for c in cells:
             cell = f"cell={c}"
+            # changed-since-scan guard, per cell immediately before its
+            # rename-aside (ADVICE r12 medium — mirrors compaction's):
+            # plain appenders are deliberately lease-free, and a row
+            # file landing in a touched cell between the survivors
+            # snapshot and this rename would be swept into the aside
+            # tree and deleted — lost committed rows. Compaction may
+            # SKIP such a cell (it just stays fragmented); deletion
+            # cannot (the cell holds rows that must go, and skipping
+            # would report success while victims survive — exactly the
+            # silent-loss shape of the r12 high finding), so it RAISES.
+            # delete_ivfpq is idempotent: retry after the appender
+            # settles; cells swapped before the raise stay deleted.
+            if not _cell_swap_safe(fs, loc, c, snapshot[c]):
+                raise IndexBusyError(
+                    f"delete_ivfpq: cell {c} of {index_table!r} changed"
+                    " between the survivors snapshot and its swap (a"
+                    " concurrent append landed) — aborting before the"
+                    " appended rows could be lost; the delete is"
+                    " idempotent, retry it (already-swapped cells stay"
+                    " deleted)"
+                )
             fs.rename(join_uri(loc, cell), join_uri(aside, cell))
             if fs.exists(join_uri(staging, cell)):
                 fs.rename(join_uri(staging, cell), join_uri(loc, cell))

@@ -1909,6 +1909,202 @@ def test_delete_ivfpq(spark, corpus, trained, monkeypatch):
             drop_index(spark, t_rb)
 
 
+def test_delete_recovers_before_scan(spark, corpus, trained, monkeypatch):
+    """ADVICE r12 high: a delete that crashed between rename(live->aside)
+    and rename(staging->live) hides cell X in the aside tree. The r12
+    form ran its recovery AFTER the victim scan (and after the early
+    'not victims' return), so a RETRY whose remaining victims all lived
+    in X returned {} ('ids not present') without recovering — and a
+    later compaction resurrected X with the victims inside: silent loss
+    of a PII/takedown deletion. Recovery now runs at the head, before
+    the scan; the retry must see X's rows and delete them. Also pins
+    the cross-protocol half: delete's head-recovery heals a crashed
+    COMPACTION's aside (.compact_old), not just its own."""
+    from smallquery_spark.fsio import HadoopFS, fs_for, join_uri, table_location
+    from smallquery_spark.operators.pq import (
+        delete_ivfpq,
+        drop_index,
+        materialize_ivfpq,
+    )
+    from smallquery_spark.operators.similarity import ivf_assign
+
+    cents, books = trained
+    pid = os.getpid()
+    t = materialize_ivfpq(
+        spark, ivf_assign(corpus, cents), cents, books, f"pqdelrec_{pid}"
+    )
+    orig_rename = HadoopFS.rename
+    try:
+        loc = table_location(spark, t)
+        fs = fs_for(spark, loc)
+        n0 = spark.table(t).count()
+        # victims all in ONE cell (but not the whole cell)
+        cell0 = int(
+            spark.table(t).select("cell").distinct().orderBy("cell").first()[0]
+        )
+        cell0_ids = sorted(
+            r["c_id"]
+            for r in spark.table(t).filter(F.col("cell") == cell0).collect()
+        )
+        assert len(cell0_ids) >= 2
+        victims = cell0_ids[:-1]
+
+        def die_after_aside(self, src, dst):
+            orig_rename(self, src, dst)
+            if ".delete_old/cell=" in dst:
+                raise RuntimeError("injected crash mid delete swap")
+
+        monkeypatch.setattr(HadoopFS, "rename", die_after_aside)
+        with pytest.raises(RuntimeError, match="injected"):
+            delete_ivfpq(spark, t, victims)
+        monkeypatch.setattr(HadoopFS, "rename", orig_rename)
+        # cell0 is now hidden: live dir missing, aside holds it
+        assert not fs.exists(join_uri(loc, f"cell={cell0}"))
+        # the RETRY must recover first, then actually delete (the r12
+        # form returned {} here and the victims later resurrected)
+        d = delete_ivfpq(spark, t, victims)
+        assert sum(d.values()) == len(victims)
+        assert spark.table(t).count() == n0 - len(victims)
+        assert (
+            spark.table(t).filter(F.col("c_id").isin(victims)).count() == 0
+        )
+        # cross-protocol: a crashed COMPACTION's aside is healed by
+        # delete's head recovery too (compaction cannot be relied on to
+        # run first — it only heals when someone schedules it)
+        survivor = cell0_ids[-1]
+        fs.mkdirs(loc.rstrip("/") + ".compact_old")
+        fs.rename(
+            join_uri(loc, f"cell={cell0}"),
+            join_uri(loc.rstrip("/") + ".compact_old", f"cell={cell0}"),
+        )
+        d2 = delete_ivfpq(spark, t, [survivor])
+        assert sum(d2.values()) == 1
+        assert spark.table(t).filter(F.col("c_id") == survivor).count() == 0
+    finally:
+        monkeypatch.setattr(HadoopFS, "rename", orig_rename)
+        drop_index(spark, t)
+
+
+def test_delete_swap_guard_raises_on_concurrent_append(
+    spark, corpus, trained, monkeypatch
+):
+    """ADVICE r12 medium: a lease-free append landing in a touched cell
+    between the survivors snapshot and that cell's rename-aside would be
+    swept into the aside tree and deleted — lost committed rows. The
+    swap guard re-lists each cell immediately before its rename
+    (compaction's _cell_swap_safe) and delete RAISES IndexBusyError
+    (compaction may skip; deletion must not silently leave victims).
+    Injected for real: a file is planted in the victim cell after the
+    snapshot (hooked at the pre-swap mkdirs), the delete aborts with no
+    rename, and the retry after the 'appender' settles converges."""
+    from smallquery_spark.errors import IndexBusyError
+    from smallquery_spark.fsio import HadoopFS, fs_for, join_uri, table_location
+    from smallquery_spark.operators.pq import (
+        delete_ivfpq,
+        drop_index,
+        materialize_ivfpq,
+    )
+    from smallquery_spark.operators.similarity import ivf_assign
+
+    cents, books = trained
+    pid = os.getpid()
+    t = materialize_ivfpq(
+        spark, ivf_assign(corpus, cents), cents, books, f"pqdelgrd_{pid}"
+    )
+    orig_mkdirs = HadoopFS.mkdirs
+    try:
+        loc = table_location(spark, t)
+        fs = fs_for(spark, loc)
+        victim = int(spark.table(t).orderBy("c_id").first()["c_id"])
+        vcell = int(
+            spark.table(t).filter(F.col("c_id") == victim).first()["cell"]
+        )
+        planted = join_uri(loc, f"cell={vcell}", "part-concurrent.parquet")
+
+        def plant_on_aside_mkdirs(self, uri):
+            orig_mkdirs(self, uri)
+            if uri.endswith(".delete_old"):
+                # simulate the lease-free appender: lands after the
+                # snapshot, before the swap loop's first rename
+                self.write_text(planted, "concurrent append")
+
+        monkeypatch.setattr(HadoopFS, "mkdirs", plant_on_aside_mkdirs)
+        with pytest.raises(IndexBusyError, match="changed between"):
+            delete_ivfpq(spark, t, [victim])
+        monkeypatch.setattr(HadoopFS, "mkdirs", orig_mkdirs)
+        # nothing was renamed: the victim row AND the planted file are
+        # both still live
+        assert fs.exists(planted)
+        assert spark.table(t).filter(F.col("c_id") == victim).count() == 1
+        fs.delete(planted)  # the 'appender' settles (test cleanup)
+        assert sum(delete_ivfpq(spark, t, [victim]).values()) == 1
+    finally:
+        monkeypatch.setattr(HadoopFS, "mkdirs", orig_mkdirs)
+        drop_index(spark, t)
+
+
+def test_delete_broadcast_size_gate(spark, corpus, trained, monkeypatch):
+    """VERDICT r12 #2: delete_ivfpq's id-set joins carry the broadcast
+    hint only under the size gate. Above it (bulk takedown — the
+    broadcast-OOM shape) NO hint is attached and, with the auto
+    threshold off, the semi-join plans without a BroadcastHashJoin
+    build side; below it the hint forces broadcast even with the auto
+    threshold off. Values are identical on both paths."""
+    import smallquery_spark.operators.pq as pqmod
+    from smallquery_spark.operators.pq import (
+        _index_scan,
+        delete_ivfpq,
+        drop_index,
+        materialize_ivfpq,
+    )
+    from smallquery_spark.operators.similarity import ivf_assign
+
+    cents, books = trained
+    pid = os.getpid()
+    t = materialize_ivfpq(
+        spark, ivf_assign(corpus, cents), cents, books, f"pqdelbc_{pid}"
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ids_df = spark.range(3).select((F.col("id") * 7 + 2).alias("c_id"))
+        # plan shape: unhinted semi-join (the above-gate form) has no
+        # broadcast build side once the auto threshold is off; the
+        # hinted form broadcasts regardless of the threshold
+        scan = _index_scan(spark, t)
+        plain = scan.join(
+            ids_df, "c_id", "left_semi"
+        )._jdf.queryExecution().executedPlan().toString()
+        hinted = scan.join(
+            F.broadcast(ids_df), "c_id", "left_semi"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plain
+        assert "BroadcastHashJoin" in hinted
+
+        # operator wiring: above the gate the hint is never attached
+        calls = []
+        orig_broadcast = pqmod.F.broadcast
+
+        def spy(df):
+            calls.append(1)
+            return orig_broadcast(df)
+
+        monkeypatch.setattr(pqmod.F, "broadcast", spy)
+        d_large = delete_ivfpq(
+            spark, t, ids_df, broadcast_ids_max=0
+        )
+        assert not calls, "large id-set delete must not broadcast-hint"
+        assert sum(d_large.values()) == 3
+        # below the gate (and for driver lists) the hint is attached
+        ids2 = spark.range(2).select((F.col("id") * 11 + 30).alias("c_id"))
+        d_small = delete_ivfpq(spark, t, ids2)
+        assert calls and sum(d_small.values()) == 2
+    finally:
+        monkeypatch.setattr(pqmod.F, "broadcast", orig_broadcast)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        drop_index(spark, t)
+
+
 def test_qerr_trigger_zero_baseline_fires():
     """pq_qerr_trigger over a numerically-zero baseline (r12): a
     memorized build corpus measures gap ~±1e-10 with an accumulation-

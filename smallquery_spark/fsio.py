@@ -116,6 +116,15 @@ class HadoopFS:
             out.append((st.getPath().toString(), int(st.getLen())))
         return out
 
+    def qualified(self, uri: str) -> str:
+        """``uri`` fully qualified through THIS filesystem (scheme +
+        authority), trailing slash stripped — the base every
+        relative-path test against ``list_files_recursive`` output must
+        use (listed paths come back qualified; a bare-path base would
+        fail the prefix strip and silently degrade the hidden-segment
+        test to the full path, the parquet_stats bug class)."""
+        return self._fs.makeQualified(self._Path(uri)).toString().rstrip("/")
+
     def parquet_stats(self, uri: str) -> tuple[int, int]:
         """(n_parquet_files, total_parquet_bytes) under ``uri``,
         recursive — the sizing input for compaction decisions. Skips
@@ -145,7 +154,7 @@ class HadoopFS:
         listing is ``uri`` naming a FILE (the listing returns the file
         itself, path == base): counted, no hidden segments below the
         base by definition."""
-        base = self._fs.makeQualified(self._Path(uri)).toString().rstrip("/")
+        base = self.qualified(uri)
         n = total = 0
         for path, size in self.list_files_recursive(uri):
             if path.startswith(base + "/"):

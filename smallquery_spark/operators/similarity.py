@@ -922,8 +922,10 @@ def compact_ivf_cells(spark, index_table: str) -> int:
     the same O(log n) amortized rewrites per row as the doubling rule.
 
     Mechanics are scheme-aware (fsio: the fragmentation decision comes
-    from the table's own file index, renames/deletes go through the
-    Hadoop FileSystem API) and crash-safe: compacted cells are STAGED
+    from one recursive listing of the table DIRECTORY — the filesystem
+    truth, covering cells the catalog never registered, ADVICE r12 —
+    and renames/deletes go through the Hadoop FileSystem API) and
+    crash-safe: compacted cells are STAGED
     to a durable sibling tree first, then each live ``cell=`` directory
     is renamed aside and the staged one renamed in — a crash at any
     point leaves every committed row reachable, and the recovery branch
@@ -1004,23 +1006,28 @@ def _compact_ivf_cells_locked(spark, index_table: str, loc: str, fs, re):
     if recovered:
         spark.catalog.refreshTable(index_table)
 
-    # fragmentation scan from the table's file index — scheme-aware and
-    # one catalog listing, no per-directory walk (4096 cells on an
-    # object store would be 4096 LIST calls the other way). The
-    # per-cell file NAMES are kept: they are the swap guard's
-    # changed-since-scan baseline. Refresh first: inputFiles() serves
-    # this session's cached relation listing, and a maintenance
-    # decision (fragmentation AND the orphan audit below) must see the
-    # real file set, not a snapshot from before another writer's
-    # append/delete (the r12 cloned-session lesson, applied here).
-    try:
-        spark.catalog.refreshTable(index_table)
-    except Exception:
-        pass
+    # fragmentation scan from the FILESYSTEM's file index (ADVICE r12:
+    # the r12 form used spark.table(...).inputFiles(), which only
+    # covers catalog-registered partitions — a cell directory that
+    # never got registered (crash before MSCK in an older-protocol
+    # append, an external writer) was invisible to the fragmentation
+    # pass AND to the orphan audit below, so orphaned part-epoch files
+    # there were never detected). fs.list_files_recursive is the same
+    # truth every other protocol decision here reads — one recursive
+    # LIST (a flat call on object stores, no per-directory walk), and
+    # it needs no relation-cache refresh to be current. Hidden trees
+    # (_epochs ledger, _meta sidecar, _append_epoch staging) are
+    # excluded the way Spark's own scan excludes them. The per-cell
+    # file NAMES are kept: they are the swap guard's changed-since-scan
+    # baseline.
     scanned: dict[int, set[str]] = {}
-    for f in spark.table(index_table).inputFiles():
+    base = fs.qualified(loc)
+    for f, _sz in fs.list_files_recursive(loc):
+        rel = f[len(base):] if f.startswith(base) else f
+        if any(seg.startswith(("_", ".")) for seg in rel.split("/") if seg):
+            continue
         m = re.search(r"/cell=(\d+)/", f)
-        if m:
+        if m and f.endswith(".parquet"):
             scanned.setdefault(int(m.group(1)), set()).add(
                 f.rsplit("/", 1)[1]
             )

@@ -1909,6 +1909,59 @@ def test_delete_ivfpq(spark, corpus, trained, monkeypatch):
             drop_index(spark, t_rb)
 
 
+def test_compact_audit_sees_unregistered_cells(spark, corpus, trained):
+    """ADVICE r12 low: compaction's orphan audit (and fragmentation
+    scan) keyed off spark.table(...).inputFiles(), which only covers
+    catalog-REGISTERED partitions — an orphan part-epoch file planted
+    in a cell directory the catalog never saw (crash before MSCK in an
+    older-protocol append, an external writer) was invisible. The scan
+    now derives from fs.list_files_recursive (the filesystem truth the
+    rest of the protocol uses): the same orphan in an unregistered cell
+    directory must raise DivergentReplayError."""
+    from smallquery_spark.errors import DivergentReplayError
+    from smallquery_spark.fsio import fs_for, join_uri, table_location
+    from smallquery_spark.operators.pq import (
+        append_ivfpq_epoch,
+        drop_index,
+        materialize_ivfpq,
+    )
+    from smallquery_spark.operators.similarity import (
+        compact_ivf_cells,
+        ivf_assign,
+    )
+
+    cents, books = trained
+    pid = os.getpid()
+    t = materialize_ivfpq(
+        spark,
+        ivf_assign(corpus.filter("c_id % 2 = 0"), cents),
+        cents,
+        books,
+        f"pqorph2_{pid}",
+    )
+    try:
+        assert append_ivfpq_epoch(
+            spark, t, corpus.filter("c_id IN (1, 3)"), cents, books, epoch_id=1
+        )
+        loc = table_location(spark, t)
+        fs = fs_for(spark, loc)
+        registered = {
+            int(r[0].split("=", 1)[1])
+            for r in spark.sql(f"SHOW PARTITIONS {t}").collect()
+        }
+        ghost = max(registered) + 100  # a cell the catalog cannot know
+        orphan = join_uri(
+            loc, f"cell={ghost}", "part-epoch-0000000001.parquet"
+        )
+        fs.write_text(orphan, "orphan in unregistered cell")
+        with pytest.raises(DivergentReplayError, match="orphan"):
+            compact_ivf_cells(spark, t)
+        fs.delete(join_uri(loc, f"cell={ghost}"))
+        compact_ivf_cells(spark, t)  # clean again
+    finally:
+        drop_index(spark, t)
+
+
 def test_delete_recovers_before_scan(spark, corpus, trained, monkeypatch):
     """ADVICE r12 high: a delete that crashed between rename(live->aside)
     and rename(staging->live) hides cell X in the aside tree. The r12

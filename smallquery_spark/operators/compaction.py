@@ -59,7 +59,7 @@ def compact_parquet_dir(
     from smallquery_spark.fsio import dir_lease
 
     fs = fs_for(spark, path)
-    with dir_lease(fs, path, "compact_parquet_dir"):
+    with dir_lease(fs, path, "compact_parquet_dir") as lease:
         tmp = path.rstrip("/") + ".compact.tmp"
         old = path.rstrip("/") + ".compact.old"
         # recover a half-swapped previous run: live dir missing but the
@@ -75,6 +75,11 @@ def compact_parquet_dir(
         spark.read.parquet(path).repartition(n_out).write.mode(
             "overwrite"
         ).parquet(tmp)
+        # commit-point fence + renewal (r13, fsio.dir_lease.fence): the
+        # rewrite above is the long lease-held phase — an evicted
+        # compactor must not rename the live directory the new owner
+        # now exclusively holds
+        lease.fence("the directory swap")
         fs.delete(old)
         fs.rename(path, old)
         fs.rename(tmp, path)

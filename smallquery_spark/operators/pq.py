@@ -610,7 +610,7 @@ def append_ivfpq_epoch(
 
     loc = table_location(spark, index_table)
     fs = fs_for(spark, loc)
-    with dir_lease(fs, loc, "append_ivfpq_epoch"):
+    with dir_lease(fs, loc, "append_ivfpq_epoch") as lease:
         _recover_index_swap(spark, index_table)
         _verify_quantizer(
             spark, index_table, centroids, codebooks, "append_ivfpq_epoch"
@@ -684,6 +684,10 @@ def append_ivfpq_epoch(
             if cell_entries
             else {}
         )
+        # fence before the live-directory moves (r13): the staging
+        # write is the epoch's long phase; an evicted appender must not
+        # move files into cells the new lease owner may be rewriting
+        lease.fence("the cell file moves")
         moved: dict[int, int] = {}
         present: list[str] = []  # targets committed by a crashed attempt
         for entry in cell_entries:
@@ -745,7 +749,10 @@ def append_ivfpq_epoch(
                 pass
         # commit point: the marker makes the epoch's idempotency durable
         # beyond its file names (compaction may merge them away) and
-        # records the content fingerprints for divergence detection
+        # records the content fingerprints for divergence detection.
+        # Fenced (r13): an evicted appender must not stamp a commit
+        # marker over a ledger the new owner may be GC'ing/carrying
+        lease.fence("the epoch commit marker")
         fs.write_text(
             marker_uri,
             json.dumps(
@@ -1264,16 +1271,16 @@ def retrain_ivfpq(
     from smallquery_spark.fsio import dir_lease, fs_for
 
     loc0, _, _ = _retrain_paths(spark, index_table)
-    with dir_lease(fs_for(spark, loc0), loc0, "retrain_ivfpq"):
+    with dir_lease(fs_for(spark, loc0), loc0, "retrain_ivfpq") as lease:
         return _retrain_ivfpq_locked(
             spark, index_table, corpus, n_cells, m, nbits,
-            corpus_id, vec_col, centroid_method,
+            corpus_id, vec_col, centroid_method, lease,
         )
 
 
 def _retrain_ivfpq_locked(
     spark, index_table, corpus, n_cells, m, nbits,
-    corpus_id, vec_col, centroid_method,
+    corpus_id, vec_col, centroid_method, lease,
 ):
     import re as _re
 
@@ -1352,7 +1359,15 @@ def _retrain_ivfpq_locked(
     _write_meta_fresh(spark, staged, _meta_rows(cents, books, token))
 
     # the swap: commit point is the second rename; the window between
-    # the two is closed by _recover_index_swap (staged preferred)
+    # the two is closed by _recover_index_swap (staged preferred).
+    # Fence first (r13): the staging above is the protocol's longest
+    # lease-held stretch (minutes at gen100) — if a TTL takeover
+    # evicted us during it, the live directory now belongs to the new
+    # owner and renaming it away would interleave two writers' swaps;
+    # abort instead (LeaseLostError — the staged tree is garbage the
+    # new owner's cleanup sweeps). The fence also renews the mtime, so
+    # a LIVE holder's TTL cannot expire between here and the renames.
+    lease.fence("the directory swap")
     fs.rename(loc, old)
     try:
         fs.rename(staged, loc)
@@ -1538,7 +1553,7 @@ def delete_ivfpq(
     fs = fs_for(spark, loc)
     staging = loc.rstrip("/") + ".delete_tmp"
     aside = loc.rstrip("/") + ".delete_old"
-    with dir_lease(fs, loc, "delete_ivfpq"):
+    with dir_lease(fs, loc, "delete_ivfpq") as lease:
         _recover_index_swap(spark, index_table)
         # recovery FIRST, before any victim scan (ADVICE r12 high): a
         # prior delete (or compaction) that crashed between
@@ -1649,6 +1664,10 @@ def delete_ivfpq(
                     " idempotent, retry it (already-swapped cells stay"
                     " deleted)"
                 )
+            # commit-point fence + renewal (r13): abort before this
+            # cell's renames if a TTL takeover evicted us during the
+            # staging write (LeaseLostError; retry converges)
+            lease.fence(f"cell {c} swap")
             fs.rename(join_uri(loc, cell), join_uri(aside, cell))
             if fs.exists(join_uri(staging, cell)):
                 fs.rename(join_uri(staging, cell), join_uri(loc, cell))

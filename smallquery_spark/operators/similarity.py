@@ -977,11 +977,11 @@ def compact_ivf_cells(spark, index_table: str) -> int:
 
     loc = table_location(spark, index_table)
     fs = fs_for(spark, loc)
-    with dir_lease(fs, loc, "compact_ivf_cells"):
-        return _compact_ivf_cells_locked(spark, index_table, loc, fs, re)
+    with dir_lease(fs, loc, "compact_ivf_cells") as lease:
+        return _compact_ivf_cells_locked(spark, index_table, loc, fs, re, lease)
 
 
-def _compact_ivf_cells_locked(spark, index_table: str, loc: str, fs, re):
+def _compact_ivf_cells_locked(spark, index_table: str, loc: str, fs, re, lease):
     from smallquery_spark.fsio import join_uri
 
     staging = loc.rstrip("/") + ".compact_tmp"
@@ -1107,6 +1107,13 @@ def _compact_ivf_cells_locked(spark, index_table: str, loc: str, fs, re):
         # one list-to-rename gap per cell.
         if not _cell_swap_safe(fs, loc, c, scanned[c]):
             continue
+        # commit-point fence + renewal (r13): the staging write above
+        # is minutes at scale — if a TTL takeover evicted us during it,
+        # this cell's renames would interleave with the new owner's
+        # protocol; abort (the swapped-so-far cells are committed, the
+        # rest stay fragmented for the next compaction). One control-
+        # file read per cell, same order as the swap guard's list.
+        lease.fence(f"cell {c} swap")
         fs.rename(join_uri(loc, cell), join_uri(aside, cell))
         fs.rename(join_uri(staging, cell), join_uri(loc, cell))
         swapped += 1

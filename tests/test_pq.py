@@ -1439,6 +1439,110 @@ def test_maintenance_lease(spark, corpus, trained, monkeypatch):
         drop_index(spark, t)
 
 
+def test_lease_ttl_renewal_and_fencing(spark, corpus, trained, monkeypatch):
+    """r13 (VERDICT r12 #3 + ADVICE r12 low): TTL takeover is now safe
+    to enable because holders RENEW (fence re-touches mtime) and FENCE
+    (commit renames re-verify the token, LeaseLostError on loss).
+
+    Pins: (a) a cross-host lease older than the TTL is taken over —
+    deterministic via mtime backdating, no sleeps; (b) a renewal
+    (touch) un-stales it; (c) the TTL defaults from the
+    SMALLQUERY_LEASE_STALE_AFTER_S env knob; (d) the eviction drill:
+    a TTL takeover lands mid-retrain (after staging, before the swap)
+    and the victim's commit is REFUSED — the index keeps its old
+    stamp, rows and probes; the next retrain (the 'new owner')
+    converges over the victim's leftovers."""
+    import json
+    import socket
+    import time
+
+    import smallquery_spark.operators.pq as pqmod
+    from smallquery_spark.errors import LeaseLostError
+    from smallquery_spark.fsio import (
+        _lease_stale,
+        acquire_dir_lease,
+        fs_for,
+        lease_path,
+        release_dir_lease,
+        table_location,
+    )
+    from smallquery_spark.operators.pq import (
+        drop_index,
+        index_gen,
+        materialize_ivfpq,
+        retrain_ivfpq,
+    )
+    from smallquery_spark.operators.similarity import ivf_assign
+
+    cents, books = trained
+    pid = os.getpid()
+    base = corpus.filter("c_id % 2 = 0")
+    t = materialize_ivfpq(
+        spark, ivf_assign(base, cents), cents, books, f"pqfence_{pid}"
+    )
+    loc = table_location(spark, t)
+    fs = fs_for(spark, loc)
+    lp = lease_path(loc)
+    foreign = json.dumps(
+        {"pid": 1, "host": "some-other-host", "op": "remote_writer",
+         "token": "remote", "acquired_at": 0}
+    )
+    try:
+        # (a)+(b): cross-host lease — never stale without a TTL; stale
+        # once older than the TTL; renewal (touch) un-stales it
+        fs.write_text(lp, foreign)
+        fs.touch(lp, time.time() - 100)
+        assert not _lease_stale(fs, lp, None)  # no TTL: wedged forever
+        assert _lease_stale(fs, lp, 50.0)      # TTL: stale
+        assert fs.touch(lp)                    # the holder renews
+        assert not _lease_stale(fs, lp, 50.0)  # renewed: live again
+        fs.touch(lp, time.time() - 100)
+        tok = acquire_dir_lease(fs, loc, "taker", stale_after=50.0)
+        release_dir_lease(fs, loc, tok)
+
+        # (c): the env knob is the default TTL
+        fs.write_text(lp, foreign)
+        fs.touch(lp, time.time() - 100)
+        monkeypatch.setenv("SMALLQUERY_LEASE_STALE_AFTER_S", "50")
+        tok = acquire_dir_lease(fs, loc, "env_taker")
+        release_dir_lease(fs, loc, tok)
+        monkeypatch.delenv("SMALLQUERY_LEASE_STALE_AFTER_S")
+
+        # (d): eviction mid-retrain — a takeover lands after the victim
+        # staged (the long phase) and before its swap; the fence refuses
+        # the commit and the index is untouched
+        gen0 = index_gen(spark, t)
+        n0 = spark.table(t).count()
+        orig_meta = pqmod._write_meta_fresh
+        usurper = json.dumps(
+            {"pid": 1, "host": socket.gethostname(), "op": "usurper",
+             "token": "stolen", "acquired_at": time.time()}
+        )
+
+        def steal_after_staging(spark_, loc_, rows_):
+            orig_meta(spark_, loc_, rows_)
+            fs.delete(lp)
+            fs.write_text(lp, usurper)
+
+        monkeypatch.setattr(pqmod, "_write_meta_fresh", steal_after_staging)
+        with pytest.raises(LeaseLostError, match="directory swap"):
+            retrain_ivfpq(spark, t, base)
+        monkeypatch.setattr(pqmod, "_write_meta_fresh", orig_meta)
+        # victim's exit path must NOT delete the usurper's live lease
+        assert json.loads(fs.read_text(lp))["token"] == "stolen"
+        assert index_gen(spark, t) == gen0
+        assert spark.table(t).count() == n0
+        # the 'new owner' (usurper done, lease gone) converges over the
+        # victim's leftover staged tree
+        fs.delete(lp)
+        cents2, books2 = retrain_ivfpq(spark, t, base)
+        assert index_gen(spark, t) != gen0
+        assert spark.table(t).count() == n0
+    finally:
+        fs.delete(lp)
+        drop_index(spark, t)
+
+
 def test_retrain_epoch_ledger_interplay(spark, corpus, trained, monkeypatch):
     """r12: retrain x epoch-ingest. An UNMARKED (in-flight) epoch's
     files make retrain REFUSE (whether the pending replay should

@@ -142,6 +142,247 @@ def _prune_stale_bucketed(
             continue
 
 
+def _bucket_spec(spark: SparkSession, table: str) -> tuple[int, list[str], list[str]]:
+    """(n_buckets, bucket_columns, sort_columns) of a bucketed table,
+    from DESCRIBE FORMATTED — the deletion protocol must reproduce the
+    exact layout it rewrites."""
+    n, bcols, scols = 0, [], []
+    for row in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+        k = (row["col_name"] or "").strip()
+        v = (row["data_type"] or "").strip()
+        if k == "Num Buckets":
+            n = int(v)
+        elif k == "Bucket Columns":
+            bcols = [c.strip(" `") for c in v.strip("[]").split(",") if c.strip()]
+        elif k == "Sort Columns":
+            scols = [c.strip(" `") for c in v.strip("[]").split(",") if c.strip()]
+    if n <= 0 or not bcols:
+        raise ValueError(f"table {table!r} is not bucketed")
+    return n, bcols, scols
+
+
+# Spark's own bucket-id-from-file-name rule (BucketingUtils.getBucketId):
+# the digits after the LAST underscore, before any extension chain
+_BUCKET_FILE = re.compile(r"_(\d+)(?:\..*)?$")
+
+
+def delete_bucketed(
+    spark: SparkSession,
+    table: str,
+    ids,
+    id_col: str,
+    broadcast_ids_max: int = 1_000_000,
+) -> int:
+    """HARD-delete rows from a live BUCKETED table by id — the takedown
+    primitive for the at-rest stores a partitioned rewrite cannot reach
+    (VERDICT r12 #1: a bucketed table has no ``cell=`` directories to
+    swap; its layout is encoded in per-file bucket-id suffixes). Returns
+    the number of rows deleted (0 = none of the ids were present;
+    idempotent — a retried delete of the same ids is a no-op).
+
+    Bucket-PRESERVING file rewrite, measured against the full-table
+    rewrite alternative in TAKEDOWN_gen100.json: work is proportional to
+    the TOUCHED buckets' bytes when ``id_col`` IS the bucket key (the
+    rerank corpus, NearDupIndex's hashes table — a point takedown of k
+    ids rewrites ≤k of n buckets), and to the whole table when it is not
+    (NearDupIndex's bands table, bucketed by band key while deletion
+    predicates on doc id — every bucket may hold victim rows, stated
+    honestly; see NearDupIndex.delete for why a band-key-pruned variant
+    was rejected). Spark reads a bucketed file's bucket id from its
+    NAME (``..._NNNNN.c000.parquet``), and bucket id for a key is
+    ``pmod(murmur3_hash(key), n)`` — both facts pinned empirically in
+    tests/test_takedown.py (a drift in either across Spark versions
+    fails the pin, not the data).
+
+    Per-bucket crash-safe swap, same discipline as delete_ivfpq's
+    per-cell protocol: survivors are staged DURABLY first (one file per
+    touched bucket, re-sorted when the table carries a sortBy), then per
+    bucket the live files are renamed into an aside tree and the staged
+    file renamed in under a deterministic bucket-suffixed name
+    (``part-del-<token>_NNNNN.c000.parquet`` — parsed by Spark's bucket
+    regex exactly like a written file). COMMIT per bucket = the staged
+    file (or, for a fully-deleted bucket, a hidden ``_deleted-<token>``
+    marker) being present live; the recovery branch at the head of the
+    next call restores aside files of any bucket caught before its
+    commit and sweeps the rest. The whole protocol runs under the fsio
+    maintenance lease with commit-point fencing (LeaseLostError on TTL
+    eviction), and a changed-since-scan guard re-lists each bucket's
+    files immediately before its swap — a lease-free append landing
+    mid-protocol aborts the bucket instead of being swept aside
+    (IndexBusyError; the delete is idempotent, retry it).
+
+    ``ids`` is a DataFrame with column ``id_col`` or a Python list/set;
+    DataFrame id sets broadcast only under ``broadcast_ids_max`` (the
+    delete_ivfpq size-gate rule — bulk takedowns must not carry the
+    broadcast-OOM shape)."""
+    import uuid
+
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    from smallquery_spark.errors import IndexBusyError
+    from smallquery_spark.fsio import dir_lease, table_location
+
+    loc = table_location(spark, table)
+    fs = fs_for(spark, loc)
+    staging = loc.rstrip("/") + ".delete_tmp"
+    aside = loc.rstrip("/") + ".delete_old"
+    n_buckets, bcols, scols = _bucket_spec(spark, table)
+    with dir_lease(fs, loc, "delete_bucketed") as lease:
+        _recover_bucketed_delete(fs, loc, aside)
+        fs.delete(staging)
+        if isinstance(ids, DataFrame):
+            ids_df = ids.select(id_col).distinct()
+            small_ids = ids_df.count() <= int(broadcast_ids_max)
+        else:
+            ids_df = spark.createDataFrame(
+                [(i,) for i in set(ids)],
+                spark.table(table).select(id_col).schema,
+            )
+            small_ids = True
+        ids_hinted = F.broadcast(ids_df) if small_ids else ids_df
+
+        # file index: {bucket: {file name}} from one recursive listing
+        by_bucket: dict[int, set[str]] = {}
+        base = fs.qualified(loc)
+        for p, _sz in fs.list_files_recursive(loc):
+            name = p.rsplit("/", 1)[1]
+            if name.startswith(("_", ".")) or p[len(base):].lstrip(
+                "/"
+            ) != name:
+                continue  # hidden, or not directly under the table dir
+            m = _BUCKET_FILE.search(name)
+            if m:
+                by_bucket.setdefault(int(m.group(1)), set()).add(name)
+
+        # touched buckets: pruned by the bucket hash when the deletion
+        # key IS the bucket key; every populated bucket otherwise
+        if bcols == [id_col]:
+            touched = sorted(
+                int(r["b"])
+                for r in ids_df.select(
+                    F.pmod(F.hash(id_col), F.lit(n_buckets)).alias("b")
+                )
+                .distinct()
+                .collect()
+                if int(r["b"]) in by_bucket
+            )
+        else:
+            touched = sorted(by_bucket)
+        if not touched:
+            return 0
+        paths = [
+            join_uri(loc, n) for b in touched for n in sorted(by_bucket[b])
+        ]
+        scan = spark.read.parquet(*paths)
+        n_victims = scan.join(ids_hinted, id_col, "left_semi").count()
+        if n_victims == 0:
+            return 0
+        # stage survivors, one file per bucket (__b both clusters the
+        # shuffle and names the staged directory; it is a partition
+        # column of the STAGING tree only — the renamed-in file carries
+        # exactly the table's columns)
+        survivors = (
+            scan.join(ids_hinted, id_col, "left_anti")
+            .withColumn("__b", F.pmod(F.hash(*[F.col(c) for c in bcols]), F.lit(n_buckets)))
+            .repartition(F.col("__b"))
+        )
+        if scols:
+            survivors = survivors.sortWithinPartitions(*scols)
+        (
+            survivors.write.mode("overwrite")
+            .partitionBy("__b")
+            .parquet(staging)
+        )
+        token = uuid.uuid4().hex[:12]
+        fs.mkdirs(aside)
+        fs.write_text(join_uri(aside, "_token"), token)
+        for b in touched:
+            # changed-since-scan guard: a lease-free append landing in
+            # this bucket since the listing would be swept aside and
+            # deleted — abort (idempotent; retry after it settles)
+            live_now = {
+                n
+                for n in fs.list_names(loc)
+                if (m := _BUCKET_FILE.search(n))
+                and int(m.group(1)) == b
+                and not n.startswith(("_", "."))
+            }
+            if live_now != by_bucket[b]:
+                raise IndexBusyError(
+                    f"delete_bucketed: bucket {b} of {table!r} changed"
+                    " between the survivors snapshot and its swap (a"
+                    " concurrent append landed) — aborting before the"
+                    " appended rows could be lost; retry the delete"
+                )
+            lease.fence(f"bucket {b} swap")
+            staged_dir = join_uri(staging, f"__b={b}")
+            staged = [
+                n
+                for n in fs.list_names(staged_dir)
+                if n.endswith(".parquet")
+            ]
+            if len(staged) > 1:
+                raise IOError(
+                    f"delete_bucketed: staged bucket {staged_dir} holds"
+                    f" {len(staged)} files (expected ≤1) — refusing a"
+                    " partial swap"
+                )
+            for n in by_bucket[b]:
+                fs.rename(join_uri(loc, n), join_uri(aside, n))
+            if staged:
+                # commit point for the bucket: one atomic rename
+                fs.rename(
+                    join_uri(staged_dir, staged[0]),
+                    join_uri(loc, f"part-del-{token}_{b:05d}.c000.parquet"),
+                )
+            else:
+                # every row of the bucket was deleted: the rename-aside
+                # IS the deletion; a hidden marker makes the commit
+                # durable for recovery (swept with the aside tree)
+                fs.write_text(join_uri(loc, f"_deleted-{token}-{b:05d}"), "")
+        fs.delete(aside)
+        fs.delete(staging)
+        for n in fs.list_names(loc):
+            if n.startswith("_deleted-"):
+                fs.delete(join_uri(loc, n))
+        try:
+            spark.catalog.refreshTable(table)
+        except Exception:
+            pass
+        return int(n_victims)
+
+
+def _recover_bucketed_delete(fs: HadoopFS, loc: str, aside: str) -> None:
+    """Head recovery for delete_bucketed (runs under the lease, before
+    any scan — the delete_ivfpq r12 lesson: recovery after the victim
+    scan can silently lose retried deletions). Per aside bucket: if its
+    commit landed (the token's ``part-del-`` file or ``_deleted-``
+    marker is live) the aside files are garbage; otherwise restore
+    them. Then sweep the aside tree and any stray commit markers."""
+    names = fs.list_names(aside)
+    if names:
+        token = fs.read_text(join_uri(aside, "_token")) or ""
+        live = set(fs.list_names(loc))
+        for n in names:
+            if n == "_token":
+                continue
+            m = _BUCKET_FILE.search(n)
+            if not m:
+                continue
+            b = int(m.group(1))
+            committed = token and (
+                f"part-del-{token}_{b:05d}.c000.parquet" in live
+                or f"_deleted-{token}-{b:05d}" in live
+            )
+            if not committed:
+                fs.rename(join_uri(aside, n), join_uri(loc, n))
+        fs.delete(aside)
+    for n in fs.list_names(loc):
+        if n.startswith("_deleted-"):
+            fs.delete(join_uri(loc, n))
+
+
 def bucketed_join(
     spark: SparkSession,
     left_table: str,

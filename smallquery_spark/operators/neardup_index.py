@@ -197,6 +197,61 @@ class NearDupIndex:
             for suffix in ("", "_old", "_c"):
                 self.spark.sql(f"DROP TABLE IF EXISTS {tname}{suffix}")
 
+    def delete(self, ids) -> dict[str, int]:
+        """HARD-delete documents from the signature index by id — the
+        C2 leg of the family-wide takedown (VERDICT r12 #1). Removes
+        the doc's 60-bit shingle-hash set from the hashes table AND
+        every exploded band-key row from the bands table; both are
+        content-derived (MinHash over the document's shingles), i.e.
+        pseudonymized PII under the retention policy stated in
+        operators/takedown.py — they go; re-ingest blocking is the
+        caller's explicit C33-blocklist decision. Returns
+        ``{"hashes": n, "bands": n}`` row counts deleted (idempotent:
+        all-zero on retry).
+
+        Both rewrites go through
+        :func:`~smallquery_spark.operators.bucketing.delete_bucketed`
+        (lease-guarded, fenced, per-bucket crash-safe, append-guarded).
+        Cost asymmetry, stated: the hashes table is bucketed by
+        ``o_id``, so a k-doc takedown rewrites ≤k of its buckets; the
+        bands table is bucketed by BAND KEY (the layout the ingest
+        join needs), so every populated bucket may hold victim rows
+        and the rewrite is table-sized. A band-key-pruned variant was
+        considered and REJECTED: finding a victim's band keys post-hoc
+        requires scanning the table anyway (the keys derive from the
+        deleted document's shingles, which are gone), and with the
+        default b=8 bands over n=16 buckets the expected untouched
+        fraction is (1-1/16)^(8k) — ~60% of buckets touched by ONE
+        document, ~94% by three — so the write savings vanish for any
+        real takedown batch while the protocol doubles. Batch your
+        takedowns; the doubling-rule compaction keeps the rewrite
+        input compact.
+
+        POST-DELETE SEMANTICS: a re-sent copy of a deleted document is
+        accepted again (its signatures are gone — that is the point),
+        and near-duplicates of it that were dropped BEFORE the deletion
+        stay dropped (accept/drop decisions already made are history,
+        not index state). Pinned in tests/test_takedown.py."""
+        self._recover()
+        if not self.exists:
+            return {"hashes": 0, "bands": 0}
+        from smallquery_spark.operators.bucketing import delete_bucketed
+
+        out = {
+            "hashes": delete_bucketed(
+                self.spark, self.hashes_table, ids, "o_id"
+            ),
+            "bands": delete_bucketed(
+                self.spark, self.bands_table, ids, "o_id"
+            ),
+        }
+        for tname in (self.bands_table, self.hashes_table):
+            try:
+                self.spark.catalog.refreshTable(tname)
+            except Exception:
+                pass
+        return out
+
     # -- write path ----------------------------------------------------
 
     def append(self, sig_df: DataFrame, guard_existing: bool = True) -> None:
@@ -306,6 +361,8 @@ class NearDupIndex:
         race that any rename-based protocol has."""
         from smallquery_spark.fsio import fs_for, table_location
 
+        from smallquery_spark.fsio import dir_lease
+
         for tname, key in (
             (self.bands_table, "__bk"),
             (self.hashes_table, "o_id"),
@@ -333,16 +390,28 @@ class NearDupIndex:
                     if p.endswith(".parquet")
                 }
 
-            snapshot = _data_files()
-            raw = self.spark.read.parquet(loc)
-            write_bucketed(raw, tmp, key, self.n_buckets)
-            if _data_files() != snapshot:
-                self.spark.sql(f"DROP TABLE IF EXISTS {tmp}")
-                continue
-            self.spark.sql(f"DROP TABLE IF EXISTS {tname}_old")
-            self.spark.sql(f"ALTER TABLE {tname} RENAME TO {tname}_old")
-            self.spark.sql(f"ALTER TABLE {tmp} RENAME TO {tname}")
-            self.spark.sql(f"DROP TABLE {tname}_old")
+            # lease (r13): compaction and delete() (delete_bucketed
+            # leases the same location) are MUTUALLY excluded instead
+            # of relying on the one-ingest-loop convention — a takedown
+            # may run from another process. The lease file is a sibling
+            # of the table LOCATION path, which the catalog renames
+            # move and restore within this block, so acquire/release
+            # see the same path. Plain appends stay lease-free (the
+            # snapshot-abort guard below is what protects them).
+            with dir_lease(fs, loc, "neardup_compact") as lease:
+                snapshot = _data_files()
+                raw = self.spark.read.parquet(loc)
+                write_bucketed(raw, tmp, key, self.n_buckets)
+                if _data_files() != snapshot:
+                    self.spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+                    continue
+                # fenced commit (r13): an evicted compactor must not
+                # rename tables the new lease owner now maintains
+                lease.fence("the catalog rename swap")
+                self.spark.sql(f"DROP TABLE IF EXISTS {tname}_old")
+                self.spark.sql(f"ALTER TABLE {tname} RENAME TO {tname}_old")
+                self.spark.sql(f"ALTER TABLE {tmp} RENAME TO {tname}")
+                self.spark.sql(f"DROP TABLE {tname}_old")
 
     def maybe_compact(self) -> bool:
         """Compact when the index has DOUBLED since the last compaction

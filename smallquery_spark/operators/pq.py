@@ -1687,6 +1687,7 @@ def materialize_rerank_corpus(
     corpus_id: str = "c_id",
     point_fetch: int = 40,
     n_buckets: int | None = None,
+    disable_auto_bucketed_scan: bool = True,
 ) -> str:
     """Id-bucketed materialization of the full-vector corpus for
     :func:`ivfpq_search`'s rerank fetches — the measured layout rule
@@ -1720,30 +1721,75 @@ def materialize_rerank_corpus(
     operator partitioning requirements, NOT bucket pruning — with the
     default ``autoBucketedScan.enabled=true`` a bare IN-filter point
     fetch reads the table unbucketed and prunes NOTHING (measured:
-    64/64 buckets vs 3/64 for a 3-id fetch with the rule off). This
-    helper therefore flips the session to
-    ``spark.sql.sources.bucketing.autoBucketedScan.enabled=false``: a
-    session that materializes a rerank corpus is one whose dominant
-    bucketed-table traffic IS point fetches, and the cost of the flip —
-    losing the avoid-small-tasks rewrite on bucketed tables whose
-    bucketing a query doesn't use — is second-order next to reading the
-    full corpus per fetch (bucket-pruned plan pinned in
-    tests/test_pq.py::test_rerank_corpus_bucket_pruned)."""
+    64/64 buckets vs 3/64 for a 3-id fetch with the rule off). With
+    ``disable_auto_bucketed_scan=True`` (default) this helper therefore
+    flips the SESSION to
+    ``spark.sql.sources.bucketing.autoBucketedScan.enabled=false`` —
+    an explicit, signature-level contract rather than a silent side
+    effect (ADVICE r12 low): the flip cannot be scoped to the fetch
+    itself because the fetch is part of ivfpq_search's RETURNED lazy
+    plan, planned at the caller's action time under whatever conf the
+    session then carries. The rationale for defaulting it on stands —
+    a session that materializes a rerank corpus is one whose dominant
+    bucketed-table traffic IS point fetches, and the cost (losing the
+    avoid-small-tasks rewrite on bucketed tables whose bucketing a
+    query doesn't use) is second-order next to reading the full corpus
+    per fetch. Pass ``False`` to keep the session conf untouched and
+    manage the flag yourself around probe actions (bucket-pruned plan
+    pinned in tests/test_pq.py::test_rerank_corpus_bucket_pruned)."""
     from smallquery_spark.operators.bucketing import materialize_bucketed
 
     if n_buckets is None:
         n_buckets = 64
         while n_buckets < 8 * max(1, int(point_fetch)):
             n_buckets *= 2
-    spark.conf.set(
-        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
-    )
+    if disable_auto_bucketed_scan:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
     return materialize_bucketed(
         spark,
         corpus,
         f"rerank|{identity}",
         corpus_id,
         n_buckets,
+    )
+
+
+def delete_rerank_corpus(
+    spark,
+    rerank_table: str,
+    ids,
+    corpus_id: str = "c_id",
+    broadcast_ids_max: int = 1_000_000,
+) -> int:
+    """HARD-delete documents' FULL vectors from a materialized rerank
+    corpus — the second leg of the family-wide takedown (VERDICT r12
+    #1): :func:`delete_ivfpq` removes a document's PQ codes from the
+    index, but its exact vector still sits at rest in the id-bucketed
+    rerank corpus, and for the takedown/PII purpose the deletion exists
+    for, an embedding is content-derived data like the codes (the
+    retention policy is stated once, in operators/takedown.py). Thin
+    delegation to
+    :func:`~smallquery_spark.operators.bucketing.delete_bucketed`:
+    the corpus is bucketed BY id, so a k-id takedown rewrites at most
+    k of its buckets — lease-guarded, fenced, per-bucket crash-safe,
+    idempotent, size-gated broadcast. Returns rows deleted.
+
+    A full ANN-stack takedown is therefore::
+
+        delete_ivfpq(spark, index_table, ids)          # PQ codes
+        delete_rerank_corpus(spark, rerank_tbl, ids)   # full vectors
+
+    in either order (independent stores; each is individually
+    idempotent, so a crash between the two converges on retry).
+    Post-delete probes cannot surface the ids from either side: the
+    rerank join is driven by index candidates (already gone) AND the
+    vectors are gone (pinned end-to-end in tests/test_takedown.py)."""
+    from smallquery_spark.operators.bucketing import delete_bucketed
+
+    return delete_bucketed(
+        spark, rerank_table, ids, corpus_id, broadcast_ids_max
     )
 
 

@@ -1604,7 +1604,12 @@ def _register_incremental_dedup() -> None:
     historical digest index) AND the same loop run as a REAL stream
     (4 foreachBatch epochs appending to a persistent fingerprint
     index, c11_streaming_dedup) — value-preserving tagged union, so
-    the driver hash-checks the streamed index contents row-for-row."""
+    the driver hash-checks the streamed index contents row-for-row.
+    The 'tkdn' legs (r13) carry the FAMILY-WIDE takedown contract
+    (c_takedown_family): hard deletion of the same documents from all
+    four at-rest stores — PQ codes, rerank full vectors, banded
+    signatures, digests — with per-store (deleted, protocol)
+    booleans."""
     oracle = f"""
     SELECT 'c11' AS op, lang AS k1, CAST(n_new_docs AS BIGINT) AS v1,
            CAST(n_new_chars AS BIGINT) AS v2
@@ -1612,12 +1617,15 @@ def _register_incremental_dedup() -> None:
     UNION ALL
     SELECT 'c11s', '', CAST(doc_id AS BIGINT), CAST(0 AS BIGINT)
     FROM ({_oracle("c11_streaming_dedup")})
+    UNION ALL
+    SELECT 'tkdn', store, CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+    FROM ({_oracle("c_takedown_family")})
     """
 
     @query(
         "a_c11_incremental_dedup",
         oracle=oracle,
-        tags=("C11", "C1", "B16", "B50", "B59", "canonical"),
+        tags=("C11", "C1", "C2", "C3", "B16", "B50", "B59", "canonical"),
     )
     def a_c11_incremental_dedup(spark, sf_dir):
         batch = _fn("c11_incremental_dedup")(spark, sf_dir).select(
@@ -1632,7 +1640,13 @@ def _register_incremental_dedup() -> None:
             F.col("doc_id").cast(_BIG).alias("v1"),
             F.lit(0).cast(_BIG).alias("v2"),
         )
-        return batch.unionByName(streamed)
+        takedown = _fn("c_takedown_family")(spark, sf_dir).select(
+            F.lit("tkdn").alias("op"),
+            F.col("store").alias("k1"),
+            F.col("deleted").cast(_BIG).alias("v1"),
+            F.col("protocol").cast(_BIG).alias("v2"),
+        )
+        return batch.unionByName(streamed).unionByName(takedown)
 
 
 def _register_ann_contracts() -> None:

@@ -1571,3 +1571,211 @@ def c3_index_delete(spark, sf_dir):
         drop_index(spark, tname)
         if tname_rb is not None:
             drop_index(spark, tname_rb)
+
+
+@query(
+    "c_takedown_family",
+    oracle=(
+        "SELECT 'digest' AS store, TRUE AS deleted, TRUE AS protocol "
+        "UNION ALL SELECT 'pq', TRUE, TRUE "
+        "UNION ALL SELECT 'rerank', TRUE, TRUE "
+        "UNION ALL SELECT 'sig', TRUE, TRUE"
+    ),
+    tags=("C1", "C2", "C3", "C11"),
+)
+def c_takedown_family(spark, sf_dir):
+    """FAMILY-WIDE takedown (r13, VERDICT r12 #1): hard deletion of the
+    same documents from ALL FOUR at-rest stores the pipeline
+    materializes — the IVF-PQ code index (operators/pq.py:delete_ivfpq,
+    r12), the id-bucketed rerank FULL-VECTOR corpus
+    (pq.py:delete_rerank_corpus -> bucketing.py:delete_bucketed,
+    bucket-preserving file rewrite), the C2 banded-signature index
+    (neardup_index.py:NearDupIndex.delete — hash sets AND band keys),
+    and the C11 digest index (takedown.py:delete_epoch_store — epoch
+    dirs rewritten, ``_SUCCESS`` commit markers survive so deletions
+    stick through replays). Retention policy stated once in
+    operators/takedown.py: content-derived artifacts (codes, vectors,
+    signatures, digests) all GO; re-ingest blocking is an explicit C33
+    blocklist decision, not a dedup-index side effect.
+
+    Per store the row carries (deleted, protocol): ``deleted`` = the
+    victim rows are byte-gone and counts matched; ``protocol`` = the
+    retry is a no-op (idempotence) plus the store's own invariant —
+    post-delete ANN probes at a victim's own vector cannot surface it
+    (pq), a re-sent copy of a deleted doc is ACCEPTED again while
+    near-dup detection of survivors still works (sig — the stated
+    policy), commit markers survive the rewrite (digest). Every
+    protocol is lease-guarded, fenced, and crash-recoverable
+    (crash-injection pins per store in tests/test_takedown.py)."""
+    import tempfile
+
+    from smallquery_spark.fsio import fs_for, join_uri
+    from smallquery_spark.operators.dedup import _banded_sig_df
+    from smallquery_spark.operators.neardup_index import NearDupIndex
+    from smallquery_spark.operators.pq import (
+        delete_ivfpq,
+        delete_rerank_corpus,
+        drop_index,
+        ivfpq_search,
+        materialize_ivfpq,
+        materialize_rerank_corpus,
+        pq_train,
+    )
+    from smallquery_spark.operators.similarity import (
+        ivf_assign,
+        ivf_build_centroids,
+        ivf_defaults,
+    )
+    from smallquery_spark.operators.takedown import delete_epoch_store
+    from smallquery_spark.queries.tmpdirs import prune_stale, register_cleanup
+
+    pid = os.getpid()
+    victims = [5, 17, 33]
+
+    # --- store 1+2: IVF-PQ index + rerank full-vector corpus ----------
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") < 240).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec")
+    )
+    n_cells, n_probe = ivf_defaults(corpus.count())
+    cents = ivf_build_centroids(corpus, n_cells=n_cells)
+    books = pq_train(corpus, cents)
+    tname = materialize_ivfpq(
+        spark, ivf_assign(corpus, cents), cents, books, f"tkdn_{pid}"
+    )
+    rr = materialize_rerank_corpus(
+        spark, corpus, f"tkdn_{pid}", point_fetch=8, n_buckets=16
+    )
+
+    # --- store 3: C2 banded-signature index ----------------------------
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 60) & F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    sigs = _banded_sig_df(docs)
+    idx = NearDupIndex(spark, f"tkdn_{pid}", n_buckets=4)
+
+    # --- store 4: C11 digest index (epoch-directory store) -------------
+    prune_stale("smallquery_tkdn_")
+    store = register_cleanup(tempfile.mkdtemp(prefix="smallquery_tkdn_"))
+    digest_store = os.path.join(store, "digest_index")
+    fps = docs.select(
+        "doc_id", F.md5(F.substring("text", 1, 40)).alias("__h")
+    )
+    for e, pred in ((0, "doc_id < 30"), (1, "doc_id >= 30")):
+        fps.filter(pred).write.mode("overwrite").parquet(
+            os.path.join(digest_store, f"epoch_{e:010d}")
+        )
+    fs = fs_for(spark, digest_store)
+
+    try:
+        idx.append(sigs)
+        sig_rows0 = spark.table(idx.bands_table).count()
+        my_bands = (
+            spark.table(idx.bands_table)
+            .filter(F.col("o_id").isin(victims))
+            .count()
+        )
+
+        # --- the takedown, all four stores ----------------------------
+        d_pq = delete_ivfpq(spark, tname, victims)
+        d_rr = delete_rerank_corpus(spark, rr, victims)
+        d_sig = idx.delete(victims)
+        d_dig = delete_epoch_store(spark, digest_store, victims, "doc_id")
+
+        # --- deleted: counts matched, bytes gone -----------------------
+        pq_gone = (
+            sum(d_pq.values()) == len(victims)
+            and spark.table(tname)
+            .filter(F.col("c_id").isin(victims))
+            .count()
+            == 0
+        )
+        rr_gone = (
+            d_rr == len(victims)
+            and spark.table(rr).filter(F.col("c_id").isin(victims)).count()
+            == 0
+        )
+        sig_gone = (
+            d_sig == {"hashes": len(victims), "bands": my_bands}
+            and spark.table(idx.hashes_table)
+            .filter(F.col("o_id").isin(victims))
+            .count()
+            == 0
+            and spark.table(idx.bands_table)
+            .filter(F.col("o_id").isin(victims))
+            .count()
+            == 0
+            and spark.table(idx.bands_table).count()
+            == sig_rows0 - my_bands
+        )
+        dig_rows = spark.read.parquet(
+            os.path.join(digest_store, "epoch_0000000000"),
+            os.path.join(digest_store, "epoch_0000000001"),
+        )
+        dig_gone = (
+            d_dig == len(victims)
+            and dig_rows.filter(F.col("doc_id").isin(victims)).count() == 0
+        )
+
+        # --- protocol: idempotence + per-store invariants ---------------
+        vvec = corpus.filter(F.col("c_id") == victims[0]).first()["vec"]
+        probe = ivfpq_search(
+            spark,
+            spark.createDataFrame(
+                [(0, vvec)], "q_id long, vec array<double>"
+            ),
+            tname,
+            cents,
+            books,
+            k=5,
+            n_probe=n_probe,
+            rerank_corpus=spark.table(rr),
+        )
+        got = {r["c_id"] for r in probe.collect()}
+        pq_proto = (
+            delete_ivfpq(spark, tname, victims) == {}
+            and bool(got)
+            and not (got & set(victims))
+        )
+        rr_proto = delete_rerank_corpus(spark, rr, victims) == 0
+        resend = _banded_sig_df(
+            docs.filter(F.col("doc_id") == victims[0]).withColumn(
+                "doc_id", F.lit(1005)
+            )
+        )
+        dup_surv = _banded_sig_df(
+            docs.filter(~F.col("doc_id").isin(victims))
+            .orderBy("doc_id")
+            .limit(1)
+            .withColumn("doc_id", F.lit(1006))
+        )
+        sig_proto = (
+            idx.delete(victims) == {"hashes": 0, "bands": 0}
+            and idx.ingest_epoch(resend, threshold=0.5).count() == 1
+            and idx.ingest_epoch(dup_surv, threshold=0.5).count() == 0
+        )
+        dig_proto = (
+            delete_epoch_store(spark, digest_store, victims, "doc_id") == 0
+            and fs.exists(
+                join_uri(digest_store, "epoch_0000000000", "_SUCCESS")
+            )
+            and fs.exists(
+                join_uri(digest_store, "epoch_0000000001", "_SUCCESS")
+            )
+        )
+
+        return spark.createDataFrame(
+            [
+                ("digest", dig_gone, dig_proto),
+                ("pq", pq_gone, pq_proto),
+                ("rerank", rr_gone, rr_proto),
+                ("sig", sig_gone, sig_proto),
+            ],
+            "store string, deleted boolean, protocol boolean",
+        )
+    finally:
+        drop_index(spark, tname)
+        spark.sql(f"DROP TABLE IF EXISTS {rr}")
+        idx.drop()

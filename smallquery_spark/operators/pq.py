@@ -1208,6 +1208,196 @@ def drop_index(spark, index_table: str) -> None:
     spark.sql(f"DROP TABLE IF EXISTS {index_table}")
 
 
+def fsck_index(
+    spark,
+    index_table: str,
+    verify_fingerprints: bool = True,
+) -> dict:
+    """READ-ONLY integrity audit of an IVF / IVF-PQ index — the
+    after-any-incident operator (VERDICT r12 #6) that composes the
+    invariant checks otherwise scattered across the protocols
+    (compaction's orphan audit, the epoch append's fingerprint
+    verification, the lease's staleness rules, every swap's
+    aside/staging hygiene) into one report, WITHOUT taking the lease or
+    moving a byte: an operator diagnosing an incident must not itself
+    be maintenance. Returns::
+
+        {
+          "clean": bool,                 # all of the below healthy
+          "stamp_present": bool,         # _quantizer_gen exists
+          "meta_gen_matches": bool,      # _meta.gen == stamp
+          "inflight_epochs": [int],      # part-epoch files w/o a
+                                         #   parseable marker → replay
+                                         #   the stream
+          "orphan_epoch_files": [str],   # marked epoch, cell its
+                                         #   marker does not list
+                                         #   (divergent replay)
+          "fingerprint_mismatches": [..],# marked cell whose surviving
+                                         #   part-epoch file no longer
+                                         #   hashes to its marker
+          "unverifiable_epochs": [int],  # marker from an older
+                                         #   quantizer generation, or
+                                         #   files compacted away —
+                                         #   content check impossible,
+                                         #   stated rather than skipped
+                                         #   silently
+          "leftover_trees": [str],       # .retrain/.delete/.compact
+                                         #   tmp/aside trees present
+          "stale_lease": str | None,     # lease held by a dead
+                                         #   same-host pid (or torn
+                                         #   past its grace)
+          "unregistered_cells": [int],   # cell dirs the catalog does
+                                         #   not list (crash before
+                                         #   MSCK — heals on replay,
+                                         #   but spark.table consumers
+                                         #   diverge until then)
+        }
+
+    ``clean`` is strict: an in-flight epoch or a leftover aside tree is
+    a legitimate transient of a crashed protocol, but fsck exists to be
+    run AFTER incidents, where "transient" means "there is a recovery
+    action you have not run yet" — the report names it. Cost: one
+    recursive listing, one marker read per ledger entry, one SHOW
+    PARTITIONS, plus (``verify_fingerprints``) one bounded aggregate
+    per marked epoch whose part-epoch files still exist — proportional
+    to the UNCOMPACTED epoch tail, not the index. Every detection
+    class is injection-pinned in tests/test_pq.py::test_fsck_index;
+    the registry row ``c_fsck_index`` carries the clean-on-healthy and
+    detects-corruption contracts end-to-end."""
+    import json as _json
+    import re as _re
+
+    from smallquery_spark.fsio import (
+        _lease_stale,
+        fs_for,
+        join_uri,
+        lease_path,
+        table_location,
+    )
+
+    loc = table_location(spark, index_table)
+    fs = fs_for(spark, loc)
+    report: dict = {
+        "clean": True,
+        "stamp_present": fs.exists(join_uri(loc, GEN_FILE)),
+        "meta_gen_matches": False,
+        "inflight_epochs": [],
+        "orphan_epoch_files": [],
+        "fingerprint_mismatches": [],
+        "unverifiable_epochs": [],
+        "leftover_trees": [],
+        "stale_lease": None,
+        "unregistered_cells": [],
+    }
+    stamp = fs.read_text(join_uri(loc, GEN_FILE))
+    meta_gen = _meta_gen_of(spark, join_uri(loc, META_DIR))
+    report["meta_gen_matches"] = stamp is not None and meta_gen == stamp
+
+    # file index (filesystem truth, the r13 compaction rule)
+    base = fs.qualified(loc)
+    cells: dict[int, set[str]] = {}
+    for p, _sz in fs.list_files_recursive(loc):
+        rel = p[len(base):] if p.startswith(base) else p
+        if any(s.startswith(("_", ".")) for s in rel.split("/") if s):
+            continue
+        m = _re.search(r"/cell=(\d+)/", p)
+        if m and p.endswith(".parquet"):
+            cells.setdefault(int(m.group(1)), set()).add(p.rsplit("/", 1)[1])
+
+    marker_cells = _epoch_marker_cells(fs, loc)
+    epoch_pat = _re.compile(r"^part-epoch-(\d+)\.parquet$")
+    live_epoch_files: dict[int, dict[int, str]] = {}
+    for c, names in cells.items():
+        for n in names:
+            m = epoch_pat.match(n)
+            if not m:
+                continue
+            e = int(m.group(1))
+            if e not in marker_cells:
+                if e not in report["inflight_epochs"]:
+                    report["inflight_epochs"].append(e)
+            elif c not in marker_cells[e]:
+                report["orphan_epoch_files"].append(
+                    join_uri(loc, f"cell={c}", n)
+                )
+            else:
+                live_epoch_files.setdefault(e, {})[c] = join_uri(
+                    loc, f"cell={c}", n
+                )
+    report["inflight_epochs"].sort()
+    report["orphan_epoch_files"].sort()
+
+    # fingerprint verification per marked epoch with surviving files
+    if verify_fingerprints and marker_cells:
+        for e in sorted(marker_cells):
+            marker = _json.loads(
+                fs.read_text(_epoch_marker_uri(loc, e)) or "{}"
+            )
+            if marker.get("gen") != stamp:
+                report["unverifiable_epochs"].append(e)
+                continue
+            paths = live_epoch_files.get(e, {})
+            if not paths:
+                # every file of the epoch was compacted away: content
+                # no longer attributable — the marker is ledger-only
+                report["unverifiable_epochs"].append(e)
+                continue
+            scan = spark.read.option("basePath", loc).parquet(
+                *sorted(paths.values())
+            )
+            # the id column name is not recorded in the marker; recover
+            # it from the scan schema (the one non-cell/non-code column)
+            idcol = next(
+                f.name for f in scan.schema if f.name not in ("cell", "code")
+            )
+            got = _cell_fingerprints(scan, idcol)
+            want = {
+                int(c): v
+                for c, v in (marker.get("cells") or {}).items()
+                if int(c) in paths
+            }
+            if got != want:
+                report["fingerprint_mismatches"].append(
+                    {"epoch": e, "committed": want, "found": got}
+                )
+
+    for suffix in (
+        ".retrain_tmp",
+        ".retrain_old",
+        ".delete_tmp",
+        ".delete_old",
+        ".compact_tmp",
+        ".compact_old",
+    ):
+        if fs.exists(loc.rstrip("/") + suffix):
+            report["leftover_trees"].append(loc.rstrip("/") + suffix)
+
+    lp = lease_path(loc)
+    if fs.exists(lp):
+        # a LIVE lease is normal concurrency, not an incident; only a
+        # stale one (dead pid / expired TTL / torn past grace) is a
+        # finding — same staleness rules acquire_dir_lease applies
+        from smallquery_spark.fsio import default_stale_after
+
+        if _lease_stale(fs, lp, default_stale_after()):
+            report["stale_lease"] = fs.read_text(lp) or "<torn>"
+
+    registered = _registered_cells(spark, index_table)
+    report["unregistered_cells"] = sorted(set(cells) - registered)
+
+    report["clean"] = (
+        report["stamp_present"]
+        and report["meta_gen_matches"]
+        and not report["inflight_epochs"]
+        and not report["orphan_epoch_files"]
+        and not report["fingerprint_mismatches"]
+        and not report["leftover_trees"]
+        and report["stale_lease"] is None
+        and not report["unregistered_cells"]
+    )
+    return report
+
+
 def retrain_ivfpq(
     spark,
     index_table: str,

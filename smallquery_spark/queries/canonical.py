@@ -1665,6 +1665,7 @@ def _register_ann_contracts() -> None:
             "UNION ALL SELECT 'ivf', TRUE, TRUE "
             "UNION ALL SELECT 'pq', TRUE, TRUE "
             "UNION ALL SELECT 'delete', TRUE, TRUE "
+            "UNION ALL SELECT 'fsck', TRUE, TRUE "
             "UNION ALL SELECT 'pqmeta', TRUE, TRUE "
             "UNION ALL SELECT 'retrain', TRUE, TRUE "
             "UNION ALL SELECT 'stream', TRUE, TRUE"
@@ -1744,11 +1745,22 @@ def _register_ann_contracts() -> None:
             ).alias("ok"),
             (F.col("idempotent") & F.col("empty_cell_dropped")).alias("ok2"),
         )
+        # fsck (r13): the read-only after-incident audit — clean on a
+        # healthy index, injected orphan + leftover tree detected, and
+        # the audit itself moves no bytes
+        fsck = _fn("c_fsck_index")(spark, sf_dir).select(
+            F.lit("fsck").alias("leg"),
+            (F.col("clean_on_healthy") & F.col("readonly")).alias("ok"),
+            (F.col("detects_orphan") & F.col("detects_leftover")).alias(
+                "ok2"
+            ),
+        )
         return (
             ivf.unionByName(indexed)
             .unionByName(pq)
             .unionByName(pqmeta)
             .unionByName(delete)
+            .unionByName(fsck)
             .unionByName(retrain)
             .unionByName(stream)
         )

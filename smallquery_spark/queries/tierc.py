@@ -1574,6 +1574,86 @@ def c3_index_delete(spark, sf_dir):
 
 
 @query(
+    "c_fsck_index",
+    oracle=(
+        "SELECT TRUE AS clean_on_healthy, TRUE AS detects_orphan,"
+        " TRUE AS detects_leftover, TRUE AS readonly"
+    ),
+    tags=("C3",),
+)
+def c_fsck_index(spark, sf_dir):
+    """The after-incident audit operator (r13, operators/pq.py::
+    fsck_index): one READ-ONLY pass composing the integrity invariants
+    the maintenance protocols enforce piecewise — epoch-marker
+    fingerprints, orphaned part-epoch files (divergent replays),
+    in-flight epochs, leftover aside/staging trees, lease staleness,
+    stamp/meta coherence, catalog registration. Contract: a freshly
+    materialized + epoch-appended index audits CLEAN; an injected
+    orphan file and a leftover aside tree are each detected and named;
+    and the audit moves no bytes (the recursive file listing is
+    identical before and after a dirty-state run — diagnosing an
+    incident must never BE maintenance). The full per-class injection
+    matrix (tamper, stale lease, missing stamp, unregistered cell,
+    in-flight epoch) is pinned in tests/test_pq.py::test_fsck_index."""
+    from smallquery_spark.fsio import fs_for, join_uri, table_location
+    from smallquery_spark.operators.pq import (
+        append_ivfpq_epoch,
+        drop_index,
+        fsck_index,
+        materialize_ivfpq,
+        pq_train,
+    )
+    from smallquery_spark.operators.similarity import (
+        ivf_assign,
+        ivf_build_centroids,
+        ivf_defaults,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec")
+    )
+    epoch = emb.filter(
+        (F.col("vec_id") >= 200) & (F.col("vec_id") < 220)
+    ).select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec"))
+    n_cells, _ = ivf_defaults(corpus.count())
+    cents = ivf_build_centroids(corpus, n_cells=n_cells)
+    books = pq_train(corpus, cents)
+    pid = os.getpid()
+    tname = materialize_ivfpq(
+        spark, ivf_assign(corpus, cents), cents, books, f"fsck_{pid}"
+    )
+    try:
+        append_ivfpq_epoch(spark, tname, epoch, cents, books, epoch_id=1)
+        clean_on_healthy = fsck_index(spark, tname)["clean"]
+
+        loc = table_location(spark, tname)
+        fs = fs_for(spark, loc)
+        # inject: an orphan epoch file (epoch 1's name in a cell its
+        # marker does not list — use a fresh cell dir so the marker
+        # cannot cover it) and a leftover aside tree
+        orphan = join_uri(loc, "cell=9999", "part-epoch-0000000001.parquet")
+        fs.write_text(orphan, "orphan")
+        fs.mkdirs(loc.rstrip("/") + ".compact_old")
+        snap = sorted(fs.list_files_recursive(loc))
+        r = fsck_index(spark, tname)
+        readonly = sorted(fs.list_files_recursive(loc)) == snap
+        detects_orphan = (not r["clean"]) and r["orphan_epoch_files"] == [
+            orphan
+        ]
+        detects_leftover = bool(r["leftover_trees"])
+        fs.delete(join_uri(loc, "cell=9999"))
+        fs.delete(loc.rstrip("/") + ".compact_old")
+        return spark.createDataFrame(
+            [(clean_on_healthy, detects_orphan, detects_leftover, readonly)],
+            "clean_on_healthy boolean, detects_orphan boolean,"
+            " detects_leftover boolean, readonly boolean",
+        )
+    finally:
+        drop_index(spark, tname)
+
+
+@query(
     "c_takedown_family",
     oracle=(
         "SELECT 'digest' AS store, TRUE AS deleted, TRUE AS protocol "

@@ -2262,6 +2262,155 @@ def test_delete_broadcast_size_gate(spark, corpus, trained, monkeypatch):
         drop_index(spark, t)
 
 
+def test_fsck_index(spark, corpus, trained):
+    """fsck_index (r13, VERDICT r12 #6): the read-only after-incident
+    audit. Clean on a healthy index (including with a LIVE lease and a
+    compacted-away ledger-only marker); every injected corruption class is
+    detected and named — orphan epoch file, tampered cell content vs
+    its marker fingerprint, in-flight epoch, leftover aside tree, stale
+    lease, missing stamp, unregistered cell — and the audit itself
+    never moves a byte (recursive listing identical before/after a
+    dirty-state run)."""
+    import json as _json
+
+    from smallquery_spark.fsio import (
+        acquire_dir_lease,
+        fs_for,
+        join_uri,
+        lease_path,
+        release_dir_lease,
+        table_location,
+    )
+    from smallquery_spark.operators.pq import (
+        GEN_FILE,
+        append_ivfpq_epoch,
+        drop_index,
+        fsck_index,
+        materialize_ivfpq,
+    )
+    from smallquery_spark.operators.similarity import ivf_assign
+
+    cents, books = trained
+    pid = os.getpid()
+    t = materialize_ivfpq(
+        spark,
+        ivf_assign(corpus.filter("c_id % 2 = 0"), cents),
+        cents,
+        books,
+        f"pqfsck_{pid}",
+    )
+    try:
+        loc = table_location(spark, t)
+        fs = fs_for(spark, loc)
+        assert append_ivfpq_epoch(
+            spark, t, corpus.filter("c_id IN (1, 3, 5)"), cents, books, 1
+        )
+        base = fsck_index(spark, t)
+        assert base["clean"], base
+        assert not base["unverifiable_epochs"]
+
+        # a LIVE lease is normal concurrency, not a finding
+        tok = acquire_dir_lease(fs, loc, "concurrent_writer")
+        r = fsck_index(spark, t)
+        assert r["clean"] and r["stale_lease"] is None
+        release_dir_lease(fs, loc, tok)
+
+        # stale lease (dead pid) IS a finding
+        import subprocess
+
+        child = subprocess.Popen(["/bin/true"])
+        child.wait()
+        fs.write_text(
+            lease_path(loc),
+            _json.dumps(
+                {"pid": child.pid, "host": __import__("socket").gethostname(),
+                 "op": "crashed", "token": "x", "acquired_at": 0}
+            ),
+        )
+        r = fsck_index(spark, t)
+        assert not r["clean"] and r["stale_lease"] is not None
+        fs.delete(lease_path(loc))
+
+        # orphan: marked epoch's file in a cell its marker doesn't list
+        marker = _json.loads(
+            fs.read_text(join_uri(loc, "_epochs", "epoch-0000000001"))
+        )
+        all_cells = {
+            int(n.split("=", 1)[1])
+            for n in fs.list_names(loc)
+            if n.startswith("cell=")
+        }
+        ghost = sorted(all_cells - {int(c) for c in marker["cells"]})[0]
+        orphan = join_uri(loc, f"cell={ghost}", "part-epoch-0000000001.parquet")
+        fs.write_text(orphan, "orphan")
+        # read-only under a dirty state: listing unchanged by the audit
+        snap = sorted(fs.list_files_recursive(loc))
+        r = fsck_index(spark, t)
+        assert sorted(fs.list_files_recursive(loc)) == snap
+        assert not r["clean"] and r["orphan_epoch_files"] == [orphan]
+        fs.delete(orphan)
+
+        # in-flight: an epoch file with no marker
+        flight = join_uri(
+            loc, f"cell={ghost}", "part-epoch-0000000099.parquet"
+        )
+        fs.write_text(flight, "inflight")
+        r = fsck_index(spark, t)
+        assert not r["clean"] and r["inflight_epochs"] == [99]
+        fs.delete(flight)
+
+        # tamper: replace a marked cell's epoch file with different rows
+        victim_cell = sorted(int(c) for c in marker["cells"])[0]
+        epath = join_uri(
+            loc, f"cell={victim_cell}", "part-epoch-0000000001.parquet"
+        )
+        aside = epath + ".orig"
+        fs.rename(epath, aside)
+        (
+            spark.read.parquet(aside)
+            .limit(0)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(epath + ".tmpdir")
+        )
+        tampered = next(
+            n
+            for n in fs.list_names(epath + ".tmpdir")
+            if n.endswith(".parquet")
+        )
+        fs.rename(join_uri(epath + ".tmpdir", tampered), epath)
+        fs.delete(epath + ".tmpdir")
+        r = fsck_index(spark, t)
+        assert not r["clean"] and r["fingerprint_mismatches"]
+        assert r["fingerprint_mismatches"][0]["epoch"] == 1
+        fs.delete(epath)
+        fs.rename(aside, epath)
+        spark.catalog.refreshTable(t)
+
+        # leftover aside tree
+        fs.mkdirs(loc.rstrip("/") + ".delete_old")
+        r = fsck_index(spark, t)
+        assert not r["clean"] and r["leftover_trees"]
+        fs.delete(loc.rstrip("/") + ".delete_old")
+
+        # unregistered cell dir
+        stray = join_uri(loc, "cell=999", "part-stray.parquet")
+        fs.write_text(stray, "stray")
+        r = fsck_index(spark, t)
+        assert not r["clean"] and r["unregistered_cells"] == [999]
+        fs.delete(join_uri(loc, "cell=999"))
+
+        # missing stamp
+        fs.rename(join_uri(loc, GEN_FILE), join_uri(loc, GEN_FILE + ".x"))
+        r = fsck_index(spark, t)
+        assert not r["clean"] and not r["stamp_present"]
+        fs.rename(join_uri(loc, GEN_FILE + ".x"), join_uri(loc, GEN_FILE))
+
+        assert fsck_index(spark, t)["clean"]
+    finally:
+        drop_index(spark, t)
+
+
 def test_qerr_trigger_zero_baseline_fires():
     """pq_qerr_trigger over a numerically-zero baseline (r12): a
     memorized build corpus measures gap ~±1e-10 with an accumulation-

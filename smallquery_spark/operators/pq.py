@@ -1457,54 +1457,45 @@ def retrain_ivfpq(
     its meta); pass them explicitly to re-shape. Returns the new
     (centroids, codebooks). Single-writer ENFORCED via the maintenance
     lease (fsio.dir_lease, r12) — concurrent epoch appends/compactions
-    raise IndexBusyError instead of interleaving swap renames."""
+    raise IndexBusyError instead of interleaving swap renames.
+
+    FIT OUTSIDE THE LEASE (r13, the measured default — VERDICT r12 #4):
+    training the new quantizer is 72% of the retrain pause
+    (RETRAIN_SPLIT_gen100.json: fit 92.1 s of a 127.2 s lease-held
+    window at the gen100 geometry, codebook training dominating), and
+    a quantizer is a statistical artifact — a fit over a corpus
+    snapshot missing the epochs that land DURING the fit is as good as
+    one including them. The fit therefore runs before the lease is
+    acquired; epoch ingest continues through it, and the lease-held
+    pause shrinks to encode+stage+swap (35.2 s measured = 3.6x less,
+    about ONE epoch cadence at gen100's 35.8 s median epoch instead of
+    5.3). The ENCODE stays under the lease: the staged tree must
+    capture exactly the corpus the swap publishes, so ``corpus``
+    should be a live plan over the ingest source of truth (the same
+    contract the marked-epoch carry rule already states). The full
+    retrain-ASIDE alternative (encode outside the lease too, replay
+    the delta epochs at swap) was REJECTED with the same measurement:
+    it chases only the remaining 28.9 s encode at the cost of
+    compaction/marker-GC deferral, double-encoding, and a second
+    fencing discipline — recorded in RETRAIN_SPLIT_gen100.json.
+    The unmarked-epoch refusal is checked twice: an ADVISORY fail-fast
+    before the (expensive) fit, and the authoritative check under the
+    lease."""
     from smallquery_spark.fsio import dir_lease, fs_for
 
+    # ---- read-only prep + FIT, outside the lease (r13) ---------------
+    from smallquery_spark.operators.similarity import ivf_build_centroids
+
+    _recover_index_swap(spark, index_table)  # probe-safe recovery only
     loc0, _, _ = _retrain_paths(spark, index_table)
-    with dir_lease(fs_for(spark, loc0), loc0, "retrain_ivfpq") as lease:
-        return _retrain_ivfpq_locked(
-            spark, index_table, corpus, n_cells, m, nbits,
-            corpus_id, vec_col, centroid_method, lease,
-        )
-
-
-def _retrain_ivfpq_locked(
-    spark, index_table, corpus, n_cells, m, nbits,
-    corpus_id, vec_col, centroid_method, lease,
-):
-    import re as _re
-
-    from smallquery_spark.errors import IndexBusyError
-    from smallquery_spark.fsio import fs_for, join_uri
-    from smallquery_spark.operators.similarity import (
-        ivf_assign,
-        ivf_build_centroids,
-    )
-
-    _recover_index_swap(spark, index_table, cleanup=True)
-    loc_chk = _retrain_paths(spark, index_table)[0]
-    fs_chk = fs_for(spark, loc_chk)
-    pending = {
-        int(mm.group(1))
-        for p, _ in fs_chk.list_files_recursive(loc_chk)
-        if (mm := _re.search(r"/part-epoch-(\d+)\.parquet$", p))
-    } - _epoch_marker_ids(fs_chk, loc_chk)
-    if pending:
-        raise IndexBusyError(
-            f"retrain_ivfpq: index {index_table!r} holds files of"
-            f" uncommitted ingest epoch(s) {sorted(pending)} — a crashed"
-            " epoch append awaiting replay; replay it (restart the"
-            " stream) before retraining, or the pending replay could"
-            " duplicate or lose the epoch's rows depending on whether"
-            " the retrain corpus carried them"
-        )
+    fs0 = fs_for(spark, loc0)
+    _refuse_pending_epochs(fs0, loc0, index_table)  # advisory fail-fast
     if n_cells is None or m is None:
         cur_cents, cur_books = load_index_meta(spark, index_table)
         if n_cells is None:
             n_cells = len(cur_cents)
         if m is None:
             m = cur_books.m if cur_books is not None else None
-
     cents = ivf_build_centroids(
         corpus,
         n_cells=n_cells,
@@ -1515,6 +1506,51 @@ def _retrain_ivfpq_locked(
     books = pq_train(
         corpus, cents, m=m, nbits=nbits, corpus_id=corpus_id, vec_col=vec_col
     )
+
+    with dir_lease(fs0, loc0, "retrain_ivfpq") as lease:
+        return _retrain_ivfpq_locked(
+            spark, index_table, corpus, cents, books,
+            corpus_id, vec_col, lease,
+        )
+
+
+def _refuse_pending_epochs(fs, loc: str, index_table: str) -> None:
+    """Raise IndexBusyError when the index holds files of an epoch
+    without a commit marker — a crashed epoch append awaiting replay.
+    Whether the pending replay should re-apply its rows depends on
+    whether the retrain corpus carried them, which no protocol here
+    can know; replay first. Called twice by retrain_ivfpq: advisory
+    before the fit (fail fast before minutes of training), and
+    authoritative under the lease (an epoch could crash mid-fit)."""
+    import re as _re
+
+    from smallquery_spark.errors import IndexBusyError
+
+    pending = {
+        int(mm.group(1))
+        for p, _ in fs.list_files_recursive(loc)
+        if (mm := _re.search(r"/part-epoch-(\d+)\.parquet$", p))
+    } - _epoch_marker_ids(fs, loc)
+    if pending:
+        raise IndexBusyError(
+            f"retrain_ivfpq: index {index_table!r} holds files of"
+            f" uncommitted ingest epoch(s) {sorted(pending)} — a crashed"
+            " epoch append awaiting replay; replay it (restart the"
+            " stream) before retraining, or the pending replay could"
+            " duplicate or lose the epoch's rows depending on whether"
+            " the retrain corpus carried them"
+        )
+
+
+def _retrain_ivfpq_locked(
+    spark, index_table, corpus, cents, books, corpus_id, vec_col, lease,
+):
+    from smallquery_spark.fsio import fs_for, join_uri
+    from smallquery_spark.operators.similarity import ivf_assign
+
+    _recover_index_swap(spark, index_table, cleanup=True)
+    loc_chk = _retrain_paths(spark, index_table)[0]
+    _refuse_pending_epochs(fs_for(spark, loc_chk), loc_chk, index_table)
     token = quantizer_token(cents, books)
 
     # the staged tree keeps the live index's code layout: the swap

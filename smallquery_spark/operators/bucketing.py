@@ -181,14 +181,28 @@ def delete_bucketed(
     idempotent — a retried delete of the same ids is a no-op).
 
     Bucket-PRESERVING file rewrite, measured against the full-table
-    rewrite alternative in TAKEDOWN_gen100.json: work is proportional to
-    the TOUCHED buckets' bytes when ``id_col`` IS the bucket key (the
-    rerank corpus, NearDupIndex's hashes table — a point takedown of k
-    ids rewrites ≤k of n buckets), and to the whole table when it is not
-    (NearDupIndex's bands table, bucketed by band key while deletion
-    predicates on doc id — every bucket may hold victim rows, stated
-    honestly; see NearDupIndex.delete for why a band-key-pruned variant
-    was rejected). Spark reads a bucketed file's bucket id from its
+    rewrite alternative in TAKEDOWN_gen100.json (2M rows, 256 buckets):
+    work is proportional to the TOUCHED buckets' bytes when ``id_col``
+    IS the bucket key (the rerank corpus, NearDupIndex's hashes table)
+    — an 8-id point takedown rewrote 8/256 buckets = **3.1% of the
+    table's bytes, 31.8x less than the full rewrite** — and to the
+    whole table when it is not (NearDupIndex's bands table, bucketed by
+    band key while deletion predicates on doc id; see
+    NearDupIndex.delete for why a band-key-pruned variant was
+    rejected). REGIME BOUNDARY, measured and stated: the per-bucket
+    swap protocol carries a FIXED driver-side overhead (list + fence +
+    renames per bucket — ~40 s over 256 buckets in the study), so on a
+    SMALL warm table the wall can favor one full-rewrite job (point
+    6.4 s vs 3.6 s; a 10k-id bulk delete through the per-bucket path
+    ran 12.8x a full rewrite at 188 MB). That overhead does not scale
+    with data — at the table sizes this operator exists for, the stage
+    job dominates and the bytes ratio IS the cost ratio; bytes, not
+    warm-local wall, are the 100 TB currency (cold-store reads/writes),
+    which is why the bucket-scoped rewrite is the one protocol shipped
+    rather than a size-routed pair with two crash-recovery shapes. A
+    tombstone+compact recipe was rejected on policy, not measurement:
+    deferring byte removal to a later compaction is a read-path filter,
+    not a takedown. Spark reads a bucketed file's bucket id from its
     NAME (``..._NNNNN.c000.parquet``), and bucket id for a key is
     ``pmod(murmur3_hash(key), n)`` — both facts pinned empirically in
     tests/test_takedown.py (a drift in either across Spark versions

@@ -339,11 +339,37 @@ def test_neardup_index_delete(spark):
         ],
         "doc_id long, text string",
     )
-    sigs = _banded_sig_df(docs, bands=b, rows_per_band=r)
+    docs2 = spark.createDataFrame(
+        [
+            (4, "a second epoch brings a fourth document into the index"),
+            (5, "and a fifth one so the deletion crosses epoch file sets"),
+        ],
+        "doc_id long, text string",
+    )
     idx = NearDupIndex(spark, f"tkd_{os.getpid()}", n_buckets=4)
     try:
-        idx.append(sigs)
-        assert idx.doc_count() == 3
+        # TWO appends: buckets now hold multiple files each, the shape
+        # epoch ingest produces — the per-bucket swap must rewrite ALL
+        # of a touched bucket's files, not just the newest
+        idx.append(_banded_sig_df(docs, bands=b, rows_per_band=r))
+        idx.append(_banded_sig_df(docs2, bands=b, rows_per_band=r))
+        assert idx.doc_count() == 5
+        bands4 = (
+            spark.table(idx.bands_table).filter(F.col("o_id") == 4).count()
+        )
+        assert idx.delete([4]) == {"hashes": 1, "bands": bands4}
+        assert idx.doc_count() == 4
+        assert (
+            spark.table(idx.bands_table).filter(F.col("o_id") == 4).count()
+            == 0
+        )
+        # the other epoch's rows in the same buckets survived the swap
+        assert (
+            spark.table(idx.hashes_table)
+            .filter(F.col("o_id").isin([1, 2, 3, 5]))
+            .count()
+            == 4
+        )
         bands0 = spark.table(idx.bands_table).count()
         my_bands = (
             spark.table(idx.bands_table).filter(F.col("o_id") == 1).count()
@@ -351,7 +377,7 @@ def test_neardup_index_delete(spark):
         assert my_bands > 0
         out = idx.delete([1])
         assert out == {"hashes": 1, "bands": my_bands}
-        assert idx.doc_count() == 2
+        assert idx.doc_count() == 3
         assert spark.table(idx.bands_table).count() == bands0 - my_bands
         assert (
             spark.table(idx.bands_table).filter(F.col("o_id") == 1).count()

@@ -55,10 +55,23 @@ from smallquery_spark.errors import IndexBusyError
 from smallquery_spark.fsio import acquire_dir_lease, fs_for, release_dir_lease
 
 if mode == "acquire_only":
+    # The winner must STAY ALIVE until the parent says the race is
+    # over (a done-file): a winner that exits immediately goes
+    # pid-dead, and a slower racer then LEGITIMATELY takes over the
+    # orphaned lease via the dead-pid staleness rule — the crash-
+    # recovery feature, not an atomicity violation (observed for real:
+    # a 6-racer run produced 2 'winners' when the first exited before
+    # the last arrived). The contract under test is one winner among
+    # LIVE contenders, so the winner holds until everyone has raced.
     fs = fs_for(spark, loc)
+    done_file = sys.argv[4]
     try:
         tok = acquire_dir_lease(fs, loc, f"racer_{os.getpid()}")
-        print(json.dumps({"pid": os.getpid(), "won": True}))
+        print(json.dumps({"pid": os.getpid(), "won": True}), flush=True)
+        for _ in range(600):
+            if os.path.exists(done_file):
+                break
+            time.sleep(0.5)
     except IndexBusyError:
         print(json.dumps({"pid": os.getpid(), "won": False}))
     sys.exit(0)
@@ -211,15 +224,31 @@ def main() -> None:
 
         # 3. atomic create: 6 processes race a bare acquire on one dir —
         # exactly one winner
-        race_dir = os.path.join(tempfile.mkdtemp(prefix="leaserace_"), "d")
+        race_root = tempfile.mkdtemp(prefix="leaserace_")
+        race_dir = os.path.join(race_root, "d")
         os.makedirs(race_dir)
+        done_file = os.path.join(race_root, "race_over")
         racers = [
-            _spawn(["acquire_only", race_dir, wh], wh) for _ in range(6)
+            _spawn(["acquire_only", race_dir, wh, done_file], wh)
+            for _ in range(6)
         ]
-        results = []
+        # every racer prints exactly one JSON verdict line (the winner
+        # BEFORE it parks on the done-file), so a blocking readline per
+        # racer collects all six; then the done-file releases the
+        # winner to exit
+        def _read_json_line(p):
+            while True:
+                line = p.stdout.readline()
+                if not line:
+                    return None
+                if line.strip().startswith("{"):
+                    return line
+
+        results = [_last_json(_read_json_line(p) or "") for p in racers]
+        with open(done_file, "w") as f:
+            f.write("over")
         for p in racers:
-            o, _ = p.communicate(timeout=300)
-            results.append(_last_json(o))
+            p.communicate(timeout=60)
         winners = [r for r in results if r and r.get("won")]
         out["atomic_create"] = {
             "racers": len(racers),

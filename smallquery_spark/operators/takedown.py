@@ -28,12 +28,8 @@ content-derived.
 
 from __future__ import annotations
 
-import re
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-
-_EPOCH_DIR = re.compile(r"(epoch_\d+)")
 
 
 def delete_epoch_store(

@@ -404,6 +404,40 @@ def test_neardup_index_delete(spark):
         idx.drop()
 
 
+def test_takedown_compact_mutually_excluded(spark):
+    """Takedown and maintenance on the same store are mutually excluded
+    by the LEASE, not by the one-ingest-loop convention: a held lease
+    on a bucketed table's location makes delete_bucketed (and therefore
+    NearDupIndex.delete) raise IndexBusyError instead of interleaving
+    its per-bucket renames with the holder's protocol."""
+    from smallquery_spark.errors import IndexBusyError
+    from smallquery_spark.fsio import (
+        acquire_dir_lease,
+        fs_for,
+        release_dir_lease,
+        table_location,
+    )
+    from smallquery_spark.operators.bucketing import (
+        delete_bucketed,
+        write_bucketed,
+    )
+
+    t = f"tkd_mutex_{os.getpid()}"
+    write_bucketed(
+        spark.range(100).select(F.col("id").alias("c_id")), t, "c_id", 4
+    )
+    loc = table_location(spark, t)
+    fs = fs_for(spark, loc)
+    try:
+        tok = acquire_dir_lease(fs, loc, "compactor")
+        with pytest.raises(IndexBusyError, match="live"):
+            delete_bucketed(spark, t, [7], "c_id")
+        release_dir_lease(fs, loc, tok)
+        assert delete_bucketed(spark, t, [7], "c_id") == 1
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_delete_epoch_store(spark, tmp_path, monkeypatch):
     """C11 takedown: delete_epoch_store rewrites only the epochs
     holding victims, keeps their _SUCCESS commit markers (deletions

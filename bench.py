@@ -91,12 +91,47 @@ def _calibrate_cpu() -> float:
     return round(time.time() - t0, 3)
 
 
+def _calibrate_cpu_parallel() -> float:
+    """MULTICORE co-load sentinel (VERDICT r13 #1 / next-round #3): the
+    single-core leg above is blind to exactly the anomaly its first
+    shipped record contains — BENCH_r13 pass 2 ran 53.2 s against 19.3 s
+    siblings while the pinned single core read a normal 0.196 s, because
+    multicore co-load throttles 32-way Spark stages without touching one
+    core. This leg runs the same sha256 loop on ~cpus THREADS (hashlib
+    releases the GIL above 2 KiB, so the threads genuinely occupy every
+    core): on an idle box it costs ~the single-core time of one slice;
+    under host-wide co-load it stretches by roughly the oversubscription
+    factor — the r13 pass-2 anomaly would have read several× its
+    siblings here. Measured BEFORE the JVM exists, like the 1-core leg."""
+    import hashlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    n = os.cpu_count() or 8
+    buf = b"\x5a" * (1 << 20)
+
+    def _work(_: int) -> bytes:
+        h = hashlib.sha256()
+        for _ in range(128):
+            h.update(buf)
+        return h.digest()
+
+    t0 = time.time()
+    with ThreadPoolExecutor(max_workers=n) as ex:
+        list(ex.map(_work, range(n)))
+    return round(time.time() - t0, 3)
+
+
 def _single_pass() -> None:
     from smallquery_spark.queries import REGISTRY, load_all
     from smallquery_spark.session import get_session
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     calibration = _calibrate_cpu()  # before any JVM exists
+    calibration_par = _calibrate_cpu_parallel()
+    try:
+        loadavg1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        loadavg1 = None
     load_all()
     names = [n for n in HEADLINE if n in REGISTRY]
     # Include any registered query tagged as a benchmark headline later.
@@ -153,6 +188,11 @@ def _single_pass() -> None:
                 # pure-CPU host-speed calibration, measured BEFORE the
                 # JVM started — box shift shows here, code can't
                 "calibration_cpu_sec": calibration,
+                # ~cpus-thread sha256 wall + 1-min loadavg at pass start:
+                # multicore co-load shows HERE even when one pinned core
+                # reads normal (the r13 pass-2 blind spot)
+                "calibration_par_sec": calibration_par,
+                "loadavg1": loadavg1,
                 "sf": float(sf) if sf else None,
             }
         )
@@ -233,6 +273,23 @@ def _delta_vs_prior_sigma(queries: dict) -> dict | None:
     }
 
 
+def _contended_passes(results: list[dict]) -> list[int]:
+    """0-based indices of passes whose MULTICORE calibration reads
+    ≥1.5× the quietest pass's — the mechanical flag VERDICT r13 #1
+    asked for (its motivating record: pass_totals [19.3, 53.2, 19.3]
+    with all single-core readings normal). Medians already absorb such
+    a pass; this field lets a reader discount it from the record alone
+    instead of cross-referencing sibling totals."""
+    cals = [r.get("calibration_par_sec") for r in results]
+    known = [c for c in cals if c]
+    if len(known) < 2:
+        return []
+    floor = min(known)
+    return [
+        i for i, c in enumerate(cals) if c and floor and c >= 1.5 * floor
+    ]
+
+
 def main() -> None:
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3") or 3)
     if os.environ.get("SPARK_GRAFT_BENCH_SINGLE") == "1" or n_passes <= 1:
@@ -297,6 +354,11 @@ def main() -> None:
         "calibration_cpu_sec": [
             r.get("calibration_cpu_sec") for r in results
         ],
+        "calibration_par_sec": [
+            r.get("calibration_par_sec") for r in results
+        ],
+        "loadavg1": [r.get("loadavg1") for r in results],
+        "contended_passes": _contended_passes(results),
         "vs_prior": _delta_vs_prior_sigma(queries),
         "sf": results[0]["sf"],
     }
@@ -317,6 +379,11 @@ def main() -> None:
                 "calibration_cpu_sec": [
                     r.get("calibration_cpu_sec") for r in results
                 ],
+                "calibration_par_sec": [
+                    r.get("calibration_par_sec") for r in results
+                ],
+                "loadavg1": [r.get("loadavg1") for r in results],
+                "contended_passes": _contended_passes(results),
                 "sf": results[0]["sf"],
             }
         )

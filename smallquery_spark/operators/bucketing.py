@@ -245,8 +245,17 @@ def delete_bucketed(
     with dir_lease(fs, loc, "delete_bucketed") as lease:
         _recover_bucketed_delete(fs, loc, aside)
         fs.delete(staging)
+        # the id set must carry the TABLE column's exact dtype: the
+        # touched-bucket pruning below hashes the caller frame's column
+        # with its own type, and F.hash(int32) != F.hash(int64) for the
+        # same value even though a join would coerce and match — a
+        # dtype-mismatched caller would silently skip the victim's real
+        # bucket (ADVICE r13 #2, the silent-incomplete-takedown shape)
+        id_type = spark.table(table).schema[id_col].dataType
         if isinstance(ids, DataFrame):
-            ids_df = ids.select(id_col).distinct()
+            ids_df = ids.select(
+                F.col(id_col).cast(id_type).alias(id_col)
+            ).distinct()
             small_ids = ids_df.count() <= int(broadcast_ids_max)
         else:
             ids_df = spark.createDataFrame(
@@ -301,8 +310,15 @@ def delete_bucketed(
             .withColumn("__b", F.pmod(F.hash(*[F.col(c) for c in bcols]), F.lit(n_buckets)))
             .repartition(F.col("__b"))
         )
-        if scols:
-            survivors = survivors.sortWithinPartitions(*scols)
+        # sort by the PARTITION column first (ADVICE r13 #3): multiple
+        # __b values can share a shuffle partition, and a sort that does
+        # not lead with __b makes the partitionBy writer insert its own
+        # sort — whose stability is an implementation detail, not a
+        # contract. Leading with __b keeps the writer sort-free, so the
+        # scols order provably survives into the staged file (the
+        # renamed-in file is the bucket's single file, which re-enables
+        # bucket-sort elision on sortBy tables).
+        survivors = survivors.sortWithinPartitions("__b", *scols)
         (
             survivors.write.mode("overwrite")
             .partitionBy("__b")
@@ -311,24 +327,32 @@ def delete_bucketed(
         token = uuid.uuid4().hex[:12]
         fs.mkdirs(aside)
         fs.write_text(join_uri(aside, "_token"), token)
+        # changed-since-scan guard, ONE listing for all touched buckets
+        # (VERDICT r13 #3: re-listing the whole table dir inside the
+        # per-bucket loop paid O(buckets x total_files) driver-side
+        # name scans — quadratic at object-store file counts, one paged
+        # LIST API call per bucket on S3-likes). Guarantee unchanged:
+        # the listing is taken strictly AFTER the survivors are staged
+        # durably, so a lease-free append landing since the snapshot
+        # aborts BEFORE any bucket swaps (stronger than the old
+        # mid-loop abort); the msec list→rename window within one
+        # bucket existed in the per-bucket variant too.
+        live_by_bucket: dict[int, set[str]] = {}
+        for n in fs.list_names(loc):
+            if n.startswith(("_", ".")):
+                continue
+            m = _BUCKET_FILE.search(n)
+            if m:
+                live_by_bucket.setdefault(int(m.group(1)), set()).add(n)
         for b in touched:
-            # changed-since-scan guard: a lease-free append landing in
-            # this bucket since the listing would be swept aside and
-            # deleted — abort (idempotent; retry after it settles)
-            live_now = {
-                n
-                for n in fs.list_names(loc)
-                if (m := _BUCKET_FILE.search(n))
-                and int(m.group(1)) == b
-                and not n.startswith(("_", "."))
-            }
-            if live_now != by_bucket[b]:
+            if live_by_bucket.get(b, set()) != by_bucket[b]:
                 raise IndexBusyError(
                     f"delete_bucketed: bucket {b} of {table!r} changed"
                     " between the survivors snapshot and its swap (a"
                     " concurrent append landed) — aborting before the"
                     " appended rows could be lost; retry the delete"
                 )
+        for b in touched:
             lease.fence(f"bucket {b} swap")
             staged_dir = join_uri(staging, f"__b={b}")
             staged = [
@@ -355,7 +379,7 @@ def delete_bucketed(
                 # IS the deletion; a hidden marker makes the commit
                 # durable for recovery (swept with the aside tree)
                 fs.write_text(join_uri(loc, f"_deleted-{token}-{b:05d}"), "")
-        fs.delete(aside)
+        _sweep_aside(fs, aside)
         fs.delete(staging)
         for n in fs.list_names(loc):
             if n.startswith("_deleted-"):
@@ -365,6 +389,23 @@ def delete_bucketed(
         except Exception:
             pass
         return int(n_victims)
+
+
+def _sweep_aside(fs: HadoopFS, aside: str) -> None:
+    """Delete the aside tree with the commit evidence surviving to the
+    LAST operation: a recursive ``fs.delete(aside)`` removes children in
+    unspecified order, so ``_token`` could go before the aside data
+    files — a crash in that window leaves aside files with no token,
+    recovery's ``committed = token and ...`` reads falsy for every one
+    of them, and it would restore old files NEXT TO the live
+    ``part-del-`` file, resurrecting victims and duplicating survivors
+    on the next rewrite's scan (ADVICE r13 #1). Data files first,
+    ``_token`` (and the dir) last: a crash mid-sweep now leaves the
+    token in place, so recovery still proves each bucket's commit."""
+    for n in fs.list_names(aside):
+        if n != "_token":
+            fs.delete(join_uri(aside, n))
+    fs.delete(aside)
 
 
 def _recover_bucketed_delete(fs: HadoopFS, loc: str, aside: str) -> None:
@@ -391,7 +432,7 @@ def _recover_bucketed_delete(fs: HadoopFS, loc: str, aside: str) -> None:
             )
             if not committed:
                 fs.rename(join_uri(aside, n), join_uri(loc, n))
-        fs.delete(aside)
+        _sweep_aside(fs, aside)
     for n in fs.list_names(loc):
         if n.startswith("_deleted-"):
             fs.delete(join_uri(loc, n))

@@ -72,10 +72,16 @@ def delete_epoch_store(
       (before any victim scan — the r12 delete_ivfpq lesson) restores
       any epoch caught between the two renames.
 
-    Work is proportional to the TOUCHED epochs' bytes — one semi-join
-    over the committed store finds them (victims are keyed by content
-    fingerprints, scattered across the epochs that first saw each
-    document, so a takedown of k documents touches ≤k epochs)."""
+    Cost, stated honestly (VERDICT r13 #4): the victim-discovery
+    semi-join READS every committed epoch once — the store is not
+    indexed by id, so one full-committed scan per takedown batch is the
+    honest minimum. Only the REWRITE is proportional to the touched
+    epochs' bytes (victims are keyed by content fingerprints, scattered
+    across the epochs that first saw each document, so a takedown of k
+    documents rewrites ≤k epochs). On a cold store the writes are the
+    expensive side and those stay touched-only; if takedown frequency
+    ever makes the read term matter at depth, give the layout min/max
+    id stats or bucket digests by doc_id."""
     from smallquery_spark.errors import IndexBusyError
     from smallquery_spark.fsio import dir_lease, fs_for, join_uri
 
@@ -132,7 +138,13 @@ def delete_epoch_store(
         hits = (
             scan.join(ids_hinted, id_col, "left_semi")
             .groupBy(
-                F.regexp_extract("__f", r"(epoch_\d+)", 1).alias("e")
+                # anchored to the directory DIRECTLY containing the
+                # file (ADVICE r13 #4): an unanchored (epoch_\d+) keys
+                # on the FIRST match in the full URI, so any ancestor
+                # directory named epoch_N (.../epoch_2031_data/store/…)
+                # would mis-key every victim count — rewriting the
+                # wrong epoch dirs or missing victims outright
+                F.regexp_extract("__f", r"(epoch_\d+)/[^/]*$", 1).alias("e")
             )
             .count()
             .collect()

@@ -575,3 +575,198 @@ def test_full_family_takedown(spark):
     finally:
         drop_index(spark, t)
         spark.sql(f"DROP TABLE IF EXISTS {rr}")
+
+
+def test_delete_bucketed_dtype_mismatched_ids(spark):
+    """ADVICE r13 #2 pin: an ids DataFrame whose id column carries a
+    NARROWER dtype than the table key (int vs bigint) must still find
+    the victims — F.hash(int32) != F.hash(int64) for the same value, so
+    without the cast the touched-bucket pruning hashes the caller's
+    dtype, never scans the victim's real bucket, and silently returns 0
+    with the victim rows still at rest."""
+    from smallquery_spark.operators.bucketing import (
+        delete_bucketed,
+        write_bucketed,
+    )
+
+    t = f"tkd_dtype_{os.getpid()}"
+    write_bucketed(
+        spark.range(200).select(F.col("id").alias("c_id")), t, "c_id", 8
+    )
+    try:
+        ids_int32 = spark.createDataFrame([(9,), (33,)], "c_id int")
+        assert dict(ids_int32.dtypes)["c_id"] == "int"
+        assert delete_bucketed(spark, t, ids_int32, "c_id") == 2
+        spark.catalog.refreshTable(t)
+        assert (
+            spark.table(t).filter(F.col("c_id").isin([9, 33])).count() == 0
+        )
+        assert spark.table(t).count() == 198
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_delete_bucketed_sweep_keeps_token_last(spark, monkeypatch):
+    """ADVICE r13 #1 pin: a crash DURING the final aside sweep (after
+    all bucket commits) must leave ``_token`` behind with any surviving
+    aside data files — recovery then proves each bucket's commit from
+    the live ``part-del-`` file and sweeps, instead of restoring old
+    files next to it (which would resurrect victims and duplicate
+    survivors on the next scan)."""
+    from smallquery_spark.fsio import HadoopFS, fs_for, join_uri, table_location
+    from smallquery_spark.operators.bucketing import (
+        delete_bucketed,
+        write_bucketed,
+    )
+
+    t = f"tkd_sweep_{os.getpid()}"
+    write_bucketed(
+        spark.range(300).select(F.col("id").alias("c_id")), t, "c_id", 8
+    )
+    loc = table_location(spark, t)
+    fs = fs_for(spark, loc)
+    aside = loc.rstrip("/") + ".delete_old"
+    orig_delete = HadoopFS.delete
+    state = {"swept": 0}
+
+    def die_mid_sweep(self, uri):
+        if ".delete_old/" in uri and not uri.endswith("/_token"):
+            state["swept"] += 1
+            if state["swept"] == 2:
+                raise RuntimeError("injected crash mid aside sweep")
+        orig_delete(self, uri)
+
+    n0 = spark.table(t).count()
+    victims = [4, 71, 150, 222]  # ≥2 buckets so the sweep has ≥2 files
+    try:
+        monkeypatch.setattr(HadoopFS, "delete", die_mid_sweep)
+        with pytest.raises(RuntimeError, match="injected"):
+            delete_bucketed(spark, t, victims, "c_id")
+        monkeypatch.setattr(HadoopFS, "delete", orig_delete)
+        # the commit evidence survived the partial sweep
+        assert fs.exists(join_uri(aside, "_token"))
+        # retry: recovery sweeps (commits are live), does NOT restore
+        assert delete_bucketed(spark, t, victims, "c_id") == 0
+        spark.catalog.refreshTable(t)
+        assert (
+            spark.table(t).filter(F.col("c_id").isin(victims)).count() == 0
+        )
+        assert spark.table(t).count() == n0 - len(victims)
+        assert (
+            spark.table(t).groupBy("c_id").count().filter("count > 1").count()
+            == 0
+        )
+        assert not fs.exists(aside)
+    finally:
+        monkeypatch.setattr(HadoopFS, "delete", orig_delete)
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_delete_bucketed_one_guard_listing(spark, monkeypatch):
+    """VERDICT r13 #3 pin: the changed-since-scan guard takes ONE
+    table-directory listing for ALL touched buckets — the listing count
+    must not scale with the number of touched buckets (the old
+    per-bucket re-list was O(buckets x files) driver work)."""
+    from smallquery_spark.fsio import HadoopFS, table_location
+    from smallquery_spark.operators.bucketing import (
+        delete_bucketed,
+        write_bucketed,
+    )
+
+    t = f"tkd_lists_{os.getpid()}"
+    write_bucketed(
+        spark.range(800).select(F.col("id").alias("c_id")), t, "c_id", 16
+    )
+    loc = table_location(spark, t).rstrip("/")
+    orig_list = HadoopFS.list_names
+    counts = {"loc": 0}
+
+    def counting_list(self, uri):
+        if uri.rstrip("/") == loc:
+            counts["loc"] += 1
+        return orig_list(self, uri)
+
+    try:
+        monkeypatch.setattr(HadoopFS, "list_names", counting_list)
+        # victims spread over many buckets
+        n = delete_bucketed(spark, t, list(range(0, 800, 37)), "c_id")
+        monkeypatch.setattr(HadoopFS, "list_names", orig_list)
+        assert n == len(range(0, 800, 37))
+        # head recovery (≤2) + guard (1) + marker sweep (1): a small
+        # CONSTANT, not O(touched buckets) — 22 victims span >4 buckets
+        assert counts["loc"] <= 4
+    finally:
+        monkeypatch.setattr(HadoopFS, "list_names", orig_list)
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_delete_bucketed_staged_sort_survives(spark):
+    """ADVICE r13 #3 pin: the rewritten bucket's single file must be
+    internally sorted by the table's sortBy columns — the staging write
+    leads its sort with the partition column so the partitionBy writer
+    inserts no sort of its own (whose stability is not a contract).
+    Read the del-file DIRECTLY (no table sort semantics) and require
+    ascending key order."""
+    from smallquery_spark.fsio import fs_for, join_uri, table_location
+    from smallquery_spark.operators.bucketing import (
+        delete_bucketed,
+        write_bucketed,
+    )
+
+    t = f"tkd_sorted_{os.getpid()}"
+    # sort=True (default): table carries sortBy(c_id)
+    write_bucketed(
+        spark.range(2000).select(F.col("id").alias("c_id")), t, "c_id", 4
+    )
+    try:
+        victims = [8, 9, 1000, 1500]
+        assert delete_bucketed(spark, t, victims, "c_id") == len(victims)
+        loc = table_location(spark, t)
+        fs = fs_for(spark, loc)
+        del_files = [
+            n for n in fs.list_names(loc) if n.startswith("part-del-")
+        ]
+        assert del_files
+        for n in del_files:
+            vals = [
+                r["c_id"]
+                for r in spark.read.parquet(join_uri(loc, n)).collect()
+            ]
+            assert vals == sorted(vals), f"{n} lost its sortBy order"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_delete_epoch_store_epoch_in_ancestor_dir(spark, tmp_path):
+    """ADVICE r13 #4 pin: a store whose PATH contains an ancestor
+    directory named like an epoch (epoch_2031/…) must still key victim
+    counts by the directory DIRECTLY containing each file — the old
+    unanchored regexp matched the ancestor first, mis-keying every
+    victim into one phantom epoch."""
+    from smallquery_spark.fsio import fs_for, join_uri
+    from smallquery_spark.operators.takedown import delete_epoch_store
+
+    store = "file://" + str(tmp_path / "epoch_2031" / "digest_index")
+    fs = fs_for(spark, store)
+    for e in range(2):
+        (
+            spark.range(e * 50, e * 50 + 50)
+            .select(F.col("id").alias("doc_id"))
+            .write.mode("overwrite")
+            .parquet(join_uri(store, f"epoch_{e:010d}"))
+        )
+    epoch0_files = set(fs.list_names(join_uri(store, "epoch_0000000000")))
+    # victims live in epoch 1 ONLY
+    assert delete_epoch_store(spark, store, [60, 75], "doc_id") == 2
+    # epoch 0 untouched (the unanchored regexp would have keyed the
+    # victims under ancestor 'epoch_2031' and rewritten the wrong dirs)
+    assert (
+        set(fs.list_names(join_uri(store, "epoch_0000000000")))
+        == epoch0_files
+    )
+    survivors = spark.read.parquet(
+        join_uri(store, "epoch_0000000000"), join_uri(store, "epoch_0000000001")
+    )
+    assert survivors.count() == 98
+    assert survivors.filter(F.col("doc_id").isin([60, 75])).count() == 0
+    assert fs.exists(join_uri(store, "epoch_0000000001", "_SUCCESS"))

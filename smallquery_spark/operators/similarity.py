@@ -32,11 +32,35 @@ def knn_bruteforce(
     include_self: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k per query. Ties break on candidate id (total
-    order → deterministic, oracle-matchable)."""
-    pairs = corpus.crossJoin(F.broadcast(queries))
+    order → deterministic, oracle-matchable).
+
+    Per-pair work (guide §1.2 step 2, r14): norms are precomputed ONCE
+    per side before the cross join — ``cosine(a, b)`` inline costs three
+    O(dim) array folds per PAIR (dot + both norms), but each query's and
+    each candidate's norm is pair-invariant, so hoisting them cuts the
+    dominant per-pair expression to the one unavoidable dot fold (3x
+    less expression work on |Q|x|C| rows). Bit-identical scores: the
+    same fold produces the same double for the norm, and the final
+    ``d / (qn * cn)`` / zero-norm guard are the exact expressions
+    ``functions.vectors.cosine`` uses. The top-k itself needs no manual
+    two-level pass: Spark 4 plans the rank filter as WindowGroupLimit
+    (partial) BELOW the exchange, so each map task ships only its local
+    top-k per query (plans/r14/c3_knn_bruteforce_before.txt)."""
+    from smallquery_spark.functions.vectors import dot, norm2
+
+    q2 = queries.withColumn("__qn", norm2(query_vec))
+    c2 = corpus.withColumn("__cn", norm2(corpus_vec))
+    pairs = c2.crossJoin(F.broadcast(q2))
     if not include_self:
         pairs = pairs.filter(F.col(query_id) != F.col(corpus_id))
-    scored = pairs.withColumn("cos", cosine(query_vec, corpus_vec))
+    scored = pairs.withColumn(
+        "cos",
+        F.when(
+            (F.col("__qn") == 0) | (F.col("__cn") == 0), F.lit(0.0)
+        ).otherwise(
+            dot(query_vec, corpus_vec) / (F.col("__qn") * F.col("__cn"))
+        ),
+    )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cos").desc(), F.col(corpus_id)
     )

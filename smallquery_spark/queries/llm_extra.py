@@ -521,6 +521,15 @@ def c30_tfidf(spark, sf_dir):
     is vocabulary-sized (small) and joined back BROADCAST, as is the
     1-row corpus count — the big tf relation never shuffles again after
     its aggregation.
+
+    r14 note — a df-from-tf rewrite (``tf.groupBy("tok").count()``,
+    exploiting tf's one-row-per-(doc,token) shape) was tried and
+    REVERTED: the executed plans came out node-for-node identical
+    (plans/r14/c30_tfidf_{before,after}_exec.txt captured during the
+    experiment), because Spark already plans ``count_distinct`` as a
+    partial aggregate keyed (tok, doc_id) — the same map-side pair
+    reduction — and column pruning makes the two tf subtrees
+    non-identical, so no exchange reuse materializes either.
     """
     from pyspark.sql import Window
 
@@ -818,25 +827,40 @@ def c32_bm25_retrieval(spark, sf_dir):
     and the corpus stats (1 row) broadcast; the final top-20 is
     TakeOrderedAndProject, never a global sort. Scores are in idf-ppm
     units (see oracle note on cross-engine determinism).
+
+    r14 (§2.4): **dl is a projection, not a shuffle.** Document length
+    = ``size(filter(split(...)))`` per row; the old
+    explode→groupBy(doc_id) recounted what the array already knows, and
+    that groupBy was the query's ONLY full-corpus shuffle (every token
+    occurrence moved through an exchange keyed doc_id). ``filter(dl >
+    0)`` preserves the old semantics exactly — explode emits no row for
+    an empty token array, so zero-token docs were absent from dl. The
+    secondary df-from-tf derivation (one tf row per (doc, tok) ⇒
+    count(*) == count_distinct(doc_id)) is cost-neutral (count_distinct
+    already pair-reduces map-side) and kept for the single named
+    stream. Plan diff, AQE-final executed plans
+    (plans/r14/c32_bm25_retrieval_{before,after}_exec.txt): 9 → 6
+    exchanges, 5 → 2 explodes; the remaining shuffles all carry
+    query-term-filtered or aggregated rows — the full corpus now moves
+    through ZERO exchanges. Oracle re-verified (20 rows, hash match).
     """
     d = t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.trim(F.col("text"))), " +"),
-                lambda x: x != F.lit(""),
-            )
-        ).alias("tok"),
+    tok_arr = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), " +"),
+        lambda x: x != F.lit(""),
     )
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    toks = d.select("doc_id", F.explode(tok_arr).alias("tok"))
+    dl = d.select("doc_id", F.size(tok_arr).alias("dl")).filter(
+        F.col("dl") > 0
+    )
     stats = dl.agg(
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
         F.count("*").alias("n_docs"),
     )
     q = list(_BM25_QUERY)
     qtoks = toks.filter(F.col("tok").isin(q))
-    df = qtoks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    tf = qtoks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
     idf = (
         df.crossJoin(F.broadcast(stats.select("n_docs")))
         .withColumn(
@@ -852,7 +876,11 @@ def c32_bm25_retrieval(spark, sf_dir):
         )
         .select("tok", "idf_ppm")
     )
-    tf = qtoks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    # tf⋈dl: NOT force-broadcast — the query-filtered tf side is small
+    # for selective terms but corpus-sized for stopword-ish ones; AQE
+    # picks broadcast when tf's ACTUAL size allows, else the join
+    # shuffles dl's narrow (doc_id, int) rows — still ~100x fewer bytes
+    # than the removed explode→groupBy ever moved
     term = (
         tf.join(F.broadcast(idf), "tok")
         .join(dl, "doc_id")

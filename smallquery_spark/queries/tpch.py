@@ -48,6 +48,13 @@ def q3_shipping_priority(spark, sf_dir):
     # customer is the small side after the segment filter → broadcast it
     # into orders; lineitem (the fact) joins the result. AQE confirms /
     # re-picks at runtime from actual sizes.
+    # An agg-BEFORE-join variant (group lineitem by l_orderkey, attach
+    # o_orderdate/o_orderpriority after) was tried and REVERTED in r14:
+    # value-identical, but the BUILDING segment filter is ~5x selective
+    # and only reaches lineitem THROUGH this join, so aggregating first
+    # processed 5x the rows — measured 1.78 s -> 3.53 s (interleaved
+    # A/B medians, OPTIMIZATION_r14.md). Pre-filtering the fact through
+    # the selective dim join before aggregating is the §3.2 call.
     return (
         li.join(
             o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
@@ -174,17 +181,28 @@ def q10_returned_items(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = t(spark, sf_dir, "nation")
-    return (
+    # Aggregate BEFORE the dim joins (guide §2.3, r14): c_custkey is
+    # customer's key, so grouping the fact by o_custkey alone and
+    # attaching c_name/n_name afterwards is value-identical to grouping
+    # by (c_custkey, c_name, n_name) — but the agg exchange now carries
+    # (custkey, decimal partial) instead of rows widened by two joined
+    # strings, and the customer/nation joins probe ONE row per customer
+    # instead of every returned lineitem. At 100 TB, where customer no
+    # longer broadcasts, that join's shuffle moves the aggregated rows,
+    # not the fact.
+    rev = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("c_custkey", "c_name", "n_name")
+        .groupBy("o_custkey")
         .agg(
             F.sum(
                 F.col("l_extendedprice").cast(_DEC)
                 * (1 - F.col("l_discount")).cast(_DEC)
             ).cast("double").alias("revenue")
         )
+    )
+    return (
+        rev.join(F.broadcast(c), rev.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)

@@ -34,17 +34,29 @@ import sys
 import time
 
 
+def _count_op(plan: str, op: str) -> int:
+    """Count PHYSICAL NODES of an operator in a formatted explain.
+
+    ``explain('formatted')`` prints every operator twice — once in the
+    indented tree and once in the numbered detail section — so a bare
+    substring count double-reports (the r14 audit's first cut flagged
+    'BatchEvalPython x2' for queries holding exactly one node). Counting
+    only the numbered detail headers ``(N) <Op>`` gives the true node
+    count."""
+    return len(re.findall(rf"(?m)^\(\d+\) {op}\b", plan))
+
+
 def _smells(plan: str) -> dict:
     out: dict[str, object] = {}
-    out["exchanges"] = len(re.findall(r"\bExchange\b", plan))
-    out["batch_eval_python"] = len(re.findall(r"\bBatchEvalPython\b", plan))
-    out["arrow_eval_python"] = len(re.findall(r"\bArrowEvalPython\b", plan))
-    out["cartesian"] = len(re.findall(r"\bCartesianProduct\b", plan))
-    out["bnlj"] = len(re.findall(r"\bBroadcastNestedLoopJoin\b", plan))
-    out["smj"] = len(re.findall(r"\bSortMergeJoin\b", plan))
-    out["bhj"] = len(re.findall(r"\bBroadcastHashJoin\b", plan))
+    out["exchanges"] = _count_op(plan, "Exchange")
+    out["batch_eval_python"] = _count_op(plan, "BatchEvalPython")
+    out["arrow_eval_python"] = _count_op(plan, "ArrowEvalPython")
+    out["cartesian"] = _count_op(plan, "CartesianProduct")
+    out["bnlj"] = _count_op(plan, "BroadcastNestedLoopJoin")
+    out["smj"] = _count_op(plan, "SortMergeJoin")
+    out["bhj"] = _count_op(plan, "BroadcastHashJoin")
     # scans whose detail block shows an empty PushedFilters list
-    out["scans"] = len(re.findall(r"\bScan parquet\b", plan))
+    out["scans"] = _count_op(plan, "Scan parquet")
     out["scans_no_pushdown"] = len(
         re.findall(r"PushedFilters: \[\]", plan)
     )

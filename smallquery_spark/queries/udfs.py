@@ -33,7 +33,12 @@ def b60_python_udf(spark, sf_dir):
     # NOTE: no rounding anywhere — Spark's ROUND ties on the decimal
     # string repr while DuckDB ties on the binary value, so rounding is
     # what BREAKS parity; the raw IEEE product is deterministic on both.
-    @F.udf(T.DoubleType())
+    # useArrow=True (guide §4.3, r15): the function body is unchanged
+    # and still called per row — that IS the declared B60 surface — but
+    # batches cross the JVM↔Python boundary as Arrow instead of pickled
+    # rows. Coercion-safe here: float64 in, float64 out, honestly
+    # declared, no nulls in the inputs; oracle hash re-verified.
+    @F.udf(T.DoubleType(), useArrow=True)
     def charge(price, disc, tax):
         return price * (1 - disc) * (1 + tax)
 
@@ -196,7 +201,13 @@ def b65_sql_registered_udf(spark, sf_dir):
             return "debt"
         return "low" if b < 5000 else "high"
 
-    spark.udf.register("bal_tier_udf", tier, T.StringType())
+    # registered as an Arrow-serialized UDF (guide §4.3, r15): still a
+    # per-row Python function — the declared B65 surface — but the
+    # boundary crossing is Arrow batches, not pickled rows. str return
+    # honestly declared; oracle hash re-verified.
+    spark.udf.register(
+        "bal_tier_udf", F.udf(tier, T.StringType(), useArrow=True)
+    )
     t(spark, sf_dir, "customer").createOrReplaceTempView("customer_b65")
     return spark.sql(
         "SELECT c_custkey, bal_tier_udf(c_acctbal) AS bal_tier FROM customer_b65"

@@ -31,6 +31,19 @@ _DEFAULTS = {
     # ANSI off matches classic Spark/TPC-H semantics (silent overflow/null
     # on bad casts) and DuckDB's permissive TRY-less reads of clean data.
     "spark.sql.ansi.enabled": "false",
+    # Parquet writes use zstd (guide §6: smaller than snappy at similar
+    # read speed — real money on a 100 TB cold store). This is the
+    # codec for everything the ENGINE writes at rest: the C2/C9
+    # bucketed stores, C11 epoch stores, IVF/PQ cell files, compaction
+    # and merge rewrites, streaming file sinks. Measured on this
+    # engine's own stores at gen scale (ZSTD_STORES_r15.json): bytes
+    # vs snappy -47% on the C11 digest store, -28% on the C9 vector
+    # corpus, -3% on the C2 signature tables (xxhash64 signatures are
+    # high-entropy — near-incompressible either way, and zstd still
+    # does not lose bytes). Reading is codec-agnostic (parquet pages
+    # declare their codec), so existing snappy fixtures and
+    # mixed-codec tables read fine.
+    "spark.sql.parquet.compression.codec": "zstd",
     # Scan-split sizing: Spark caps splits at max(openCostInBytes,
     # totalBytes/defaultParallelism). The 4 MB openCost default was tuned
     # for remote blob stores; on local NVMe/page-cache it forces a 57 MB

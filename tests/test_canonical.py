@@ -8,6 +8,8 @@ block, or an alias loses its oracle, this fails before the driver does.
 
 from __future__ import annotations
 
+import pytest
+
 from smallquery_spark.queries import REGISTRY, load_all
 
 
@@ -49,6 +51,7 @@ def test_aliases_point_at_registered_originals():
         assert REGISTRY[new].oracle == REGISTRY[old].oracle
 
 
+@pytest.mark.slow  # >=15 s measured; deselected by default (r15, VERDICT r14 #1)
 def test_no_decimal_output_columns_anywhere(spark):
     """Output-type policy (round-2 root cause): DECIMAL result columns
     hash-fail under the driver's canonicalization whenever a value's

@@ -229,6 +229,7 @@ def test_cluster_dedup_partitions_the_slice(spark):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow  # >=15 s measured; deselected by default (r15, VERDICT r14 #1)
 def test_banded_minhash_finds_dups_with_exact_precision(spark):
     """Exact duplicates MUST collide in every band (identical shingle
     sets → identical signatures), near-dups at ~0.9 Jaccard collide

@@ -4,7 +4,12 @@ The PQ design promise, pinned as value contracts on a small clustered
 corpus: deterministic training, dense in-range codes, ADC ranking close
 enough that a bounded exact rerank restores the EXACT top-k, and a
 materialized code table that is genuinely smaller than the full-vector
-index it replaces (the whole point)."""
+index it replaces (the whole point).
+
+Marked ``slow`` as a FILE (r15, VERDICT r14 #1): these are end-to-end
+protocol tests (~16 min measured) and the default pytest selection
+must finish inside the driver's verify budget. Run them with the full
+suite: ``pytest -m "not driver"``."""
 
 from __future__ import annotations
 
@@ -13,6 +18,8 @@ import os
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.slow
 
 
 def _clustered(n=300, dim=16, n_modes=5, seed=7):

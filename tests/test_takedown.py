@@ -321,6 +321,7 @@ def test_delete_bucketed_concurrent_append_guard(spark, monkeypatch):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+@pytest.mark.slow  # >=15 s measured; deselected by default (r15, VERDICT r14 #1)
 def test_neardup_index_delete(spark):
     """C2 takedown: NearDupIndex.delete removes a document's hash-set
     row AND all its band-key rows; a re-sent copy of the deleted
@@ -471,8 +472,15 @@ def test_delete_epoch_store(spark, tmp_path, monkeypatch):
     assert delete_epoch_store(spark, store, victims, "doc_id") == 3
     assert rows().filter(F.col("doc_id").isin(victims)).count() == 0
     assert rows().count() == 297
-    # untouched epoch kept its exact files; rewritten epochs recommitted
-    assert set(fs.list_names(join_uri(store, "epoch_0000000001"))) == epoch1_files
+    # untouched epoch kept its exact DATA files (r15 pruning stats live
+    # in ONE store-root _minmax_<col>.json, never inside epoch dirs —
+    # the filter keeps this pin robust either way); rewritten epochs
+    # recommitted
+    assert {
+        n
+        for n in fs.list_names(join_uri(store, "epoch_0000000001"))
+        if not n.startswith("_minmax_")
+    } == epoch1_files
     for e in (0, 2):
         assert fs.exists(join_uri(store, f"epoch_{e:010d}", "_SUCCESS"))
     # idempotent
@@ -506,6 +514,7 @@ def test_delete_epoch_store(spark, tmp_path, monkeypatch):
     assert rows().count() == n_before - 1
 
 
+@pytest.mark.slow  # >=15 s measured; deselected by default (r15, VERDICT r14 #1)
 def test_full_family_takedown(spark):
     """The four-store takedown composes: one document's ids deleted
     from the IVF-PQ index, the rerank full-vector corpus, the
@@ -759,14 +768,164 @@ def test_delete_epoch_store_epoch_in_ancestor_dir(spark, tmp_path):
     # victims live in epoch 1 ONLY
     assert delete_epoch_store(spark, store, [60, 75], "doc_id") == 2
     # epoch 0 untouched (the unanchored regexp would have keyed the
-    # victims under ancestor 'epoch_2031' and rewritten the wrong dirs)
-    assert (
-        set(fs.list_names(join_uri(store, "epoch_0000000000")))
-        == epoch0_files
-    )
+    # victims under ancestor 'epoch_2031' and rewritten the wrong
+    # dirs); r15 pruning stats are advisory root-level files, not data
+    assert {
+        n
+        for n in fs.list_names(join_uri(store, "epoch_0000000000"))
+        if not n.startswith("_minmax_")
+    } == epoch0_files
     survivors = spark.read.parquet(
         join_uri(store, "epoch_0000000000"), join_uri(store, "epoch_0000000001")
     )
     assert survivors.count() == 98
     assert survivors.filter(F.col("doc_id").isin([60, 75])).count() == 0
     assert fs.exists(join_uri(store, "epoch_0000000001", "_SUCCESS"))
+
+
+@pytest.mark.slow  # >=15 s measured; deselected by default (r15, VERDICT r14 #1)
+def test_delete_bucketed_lossy_id_cast_refused(spark):
+    """ADVICE r14 #1 pin: this session runs ANSI off, so the id-dtype
+    cast added for r13 #2 is SILENT when lossy — caller bigint ids
+    against an int-keyed table wrap on overflow (2^32+5 -> 5) and would
+    hash into and hard-delete a NON-victim row; non-castable values
+    become NULL and silently skip their victims. delete_bucketed must
+    verify the cast round-trips and refuse the whole delete otherwise."""
+    from smallquery_spark.operators.bucketing import (
+        delete_bucketed,
+        write_bucketed,
+    )
+
+    t = f"tkd_lossy_{os.getpid()}"
+    write_bucketed(
+        spark.range(200).select(F.col("id").cast("int").alias("c_id")),
+        t,
+        "c_id",
+        8,
+    )
+    try:
+        assert dict(spark.table(t).dtypes)["c_id"] == "int"
+        # 2^32 + 5 wraps to 5 under a non-ANSI int cast: row 5 is NOT a
+        # victim and must not be deleted
+        wrap = spark.createDataFrame([((1 << 32) + 5,)], "c_id long")
+        with pytest.raises(ValueError, match="losslessly"):
+            delete_bucketed(spark, t, wrap, "c_id")
+        spark.catalog.refreshTable(t)
+        assert spark.table(t).count() == 200  # nothing deleted
+        assert spark.table(t).filter("c_id = 5").count() == 1
+
+        # non-castable string ids would NULL out and silently skip the
+        # victim — refused the same way
+        bad = spark.createDataFrame([("not-an-id",)], "c_id string")
+        with pytest.raises(ValueError, match="losslessly"):
+            delete_bucketed(spark, t, bad, "c_id")
+
+        # a LOSSLESS dtype mismatch still works (the r13 #2 behavior):
+        # bigint 9 fits the int key exactly
+        ok = spark.createDataFrame([(9,)], "c_id long")
+        assert delete_bucketed(spark, t, ok, "c_id") == 1
+        spark.catalog.refreshTable(t)
+        assert spark.table(t).filter("c_id = 9").count() == 0
+        assert spark.table(t).count() == 199
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+@pytest.mark.slow  # >=15 s measured; deselected by default (r15, VERDICT r14 #1)
+def test_delete_epoch_store_nested_epoch_layout_refused(spark, tmp_path):
+    """ADVICE r14 #2 pin: a data file NOT directly inside an epoch dir
+    (e.g. a partitioned epoch write, epoch_0/lang=en/part-…) extracts an
+    EMPTY epoch key; join_uri(store, "") is the store ROOT, so the
+    rewrite loop would have staged and renamed the entire store aside.
+    The protocol must refuse loudly instead."""
+    from smallquery_spark.fsio import fs_for, join_uri
+    from smallquery_spark.operators.takedown import delete_epoch_store
+
+    store = "file://" + str(tmp_path / "nested_store")
+    fs = fs_for(spark, store)
+    (
+        spark.range(100)
+        .select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 2).cast("string").alias("lang"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .parquet(join_uri(store, "epoch_0000000000"))
+    )
+    before = set(fs.list_names(store))
+    with pytest.raises(IOError, match="non-epoch key"):
+        delete_epoch_store(spark, store, [7], "doc_id")
+    # store layout untouched: nothing renamed aside, nothing rewritten
+    assert set(fs.list_names(store)) == before
+    assert (
+        spark.read.parquet(join_uri(store, "epoch_0000000000")).count()
+        == 100
+    )
+
+
+@pytest.mark.slow  # >=15 s measured; deselected by default (r15, VERDICT r14 #1)
+def test_delete_epoch_store_sidecar_pruning(spark, tmp_path, monkeypatch):
+    """r15 (VERDICT r14 #9) pin: victim discovery prunes epochs through
+    the store-root _minmax_<col>.json stats file — a takedown whose ids
+    fall in one epoch's range opens ONLY that epoch (plus the one
+    footer-schema read); recorded ranges survive the rewrite (a delete
+    only removes rows, so they stay supersets); a corrupt stats file
+    falls back to scanning everything (conservative, never skips a
+    victim) and is atomically re-cut."""
+    import json as _json
+
+    from pyspark.sql.readwriter import DataFrameReader
+
+    from smallquery_spark.fsio import fs_for, join_uri
+    from smallquery_spark.operators.takedown import delete_epoch_store
+
+    store = "file://" + str(tmp_path / "pruned_store")
+    fs = fs_for(spark, store)
+    stats_uri = join_uri(store, "_minmax_doc_id.json")
+    for e in range(4):
+        (
+            spark.range(e * 100, e * 100 + 100)
+            .select(F.col("id").alias("doc_id"))
+            .write.mode("overwrite")
+            .parquet(join_uri(store, f"epoch_{e:010d}"))
+        )
+    # first call: no stats yet — the unified discovery pass (min/max +
+    # victim counts in ONE scan) cuts the file with every epoch's range
+    assert delete_epoch_store(spark, store, [150], "doc_id") == 1
+    stats = _json.loads(fs.read_text(stats_uri))
+    assert stats["col"] == "doc_id"
+    assert set(stats["epochs"]) == {f"epoch_{e:010d}" for e in range(4)}
+    assert stats["epochs"]["epoch_0000000003"] == {"min": 300, "max": 399}
+
+    # second call: only the overlapping epoch's data may be opened
+    calls: list[tuple[str, ...]] = []
+    orig = DataFrameReader.parquet
+
+    def recording(self, *paths, **kw):
+        calls.append(tuple(paths))
+        return orig(self, *paths, **kw)
+
+    monkeypatch.setattr(DataFrameReader, "parquet", recording)
+    assert delete_epoch_store(spark, store, [250, 255], "doc_id") == 2
+    monkeypatch.setattr(DataFrameReader, "parquet", orig)
+    flat = [p for ps in calls for p in ps]
+    assert not any("epoch_0000000001" in p for p in flat)
+    assert not any("epoch_0000000003" in p for p in flat)
+    # epoch 0 appears only as the single-path id-dtype schema read
+    e0 = [ps for ps in calls if any("epoch_0000000000" in p for p in ps)]
+    assert all(len(ps) == 1 for ps in e0)
+    # the rewritten epoch's recorded range survives (still a superset):
+    # a same-epoch follow-up still prunes to it and works
+    assert _json.loads(fs.read_text(stats_uri))["epochs"][
+        "epoch_0000000002"
+    ] == {"min": 200, "max": 299}
+    assert delete_epoch_store(spark, store, [260], "doc_id") == 1
+
+    # corrupt stats file -> conservative full rescan, victim still
+    # found, file atomically re-cut with valid ranges
+    fs.write_text(stats_uri, "{ not json")
+    assert delete_epoch_store(spark, store, [160], "doc_id") == 1
+    stats = _json.loads(fs.read_text(stats_uri))
+    assert stats["col"] == "doc_id"
+    assert stats["epochs"]["epoch_0000000001"]["min"] >= 100

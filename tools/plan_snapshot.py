@@ -14,7 +14,7 @@ captured plan is AQE's FINAL executed plan — the only place runtime
 effects like ReusedExchange, AQEShuffleRead coalescing and join-strategy
 switches are visible (guide §7.2).
 
-Writes plans/r14/<query>_<suffix>.txt for each query.
+Writes plans/<round>/<query>_<suffix>.txt (round from $SPARK_GRAFT_PLAN_ROUND, default r15).
 """
 
 from __future__ import annotations
@@ -40,7 +40,7 @@ def main() -> None:
     load_all()
     spark = get_session("smallquery-plan-snapshot")
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out_dir = os.path.join(here, "plans", "r14")
+    out_dir = os.path.join(here, "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r15"))
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         df = REGISTRY[name].fn(spark, sf_dir)

@@ -591,14 +591,18 @@ def b60_b65_udf_sql(spark, sf_dir):
             return "debt"
         return "low" if b < 5000 else "high"
 
-    spark.udf.register("bal_tier_udf_a", tier, T.StringType())
+    # Arrow serialization, same posture as b65 itself (guide §4.3,
+    # r15): still the declared per-row surface, Arrow at the boundary.
+    spark.udf.register(
+        "bal_tier_udf_a", F.udf(tier, T.StringType(), useArrow=True)
+    )
     t(spark, sf_dir, "customer").createOrReplaceTempView("customer_a_b60")
     sql_side = spark.sql(
         "SELECT c_custkey, c_acctbal, bal_tier_udf_a(c_acctbal) AS bal_tier "
         "FROM customer_a_b60"
     )
 
-    @F.udf(T.DoubleType())
+    @F.udf(T.DoubleType(), useArrow=True)
     def dbl(b):
         return b * 2.0
 

@@ -700,7 +700,13 @@ def b68_state_store_reader(spark, sf_dir):
     sdf = events_stream(spark, sf_dir)
     agg = sdf.groupBy("user_id").agg(F.count("*").alias("n_events"))
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # size the state partitioning like every other stateful query
+    # (r15): each partition is a state-store instance to write AND a
+    # state file to read back — the measured small-source tier applies
+    # to both sides of this query
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(state_partitions_for(sf_dir))
+    )
     try:
         q = (
             agg.writeStream.format("memory")

@@ -87,6 +87,7 @@ def _reader(mount, cache_dir, pinned_commits, rounds, barrier, errors):
         errors.put(f"worker crashed: {type(e).__name__}: {e}")
 
 
+@pytest.mark.slow  # >=10 s measured; deselected by default (r15, VERDICT r14 #1)
 def test_concurrent_snapshot_cache(tmp_path):
     mount = tmp_path / "workspaces"
     repo = mount / "stress"

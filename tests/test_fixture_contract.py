@@ -122,6 +122,7 @@ def test_events_stream_schema_matches_batch(spark):
     assert stream.schema == batch.schema
 
 
+@pytest.mark.slow  # >=10 s measured; deselected by default (r15, VERDICT r14 #1)
 def test_every_window_oracle_runs_on_current_fixtures():
     """VERDICT r2 item 9: each canonical-window oracle must parse AND
     execute under DuckDB against the fixtures as they exist now —

@@ -490,6 +490,7 @@ def test_neardup_ingest_step_semantics(spark):
     assert kept0 == [10, 11, 13]
 
 
+@pytest.mark.slow  # >=10 s measured; deselected by default (r15, VERDICT r14 #1)
 def test_neardup_index_matches_ingest_step(spark):
     """The BUCKETED at-rest index path (operators/neardup_index) is
     value-identical to `neardup_ingest_step` run epoch-by-epoch over
@@ -1298,6 +1299,7 @@ def test_ivf_compact_cells_crash_recovery(spark):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+@pytest.mark.slow  # >=10 s measured; deselected by default (r15, VERDICT r14 #1)
 def test_kmeans_parallel_contract_and_narrow_rounds(spark):
     """k-means|| returns EXACTLY n_cells centroids, deterministically,
     and raises ValueError (not a silently thinner quantizer) when the
@@ -1359,6 +1361,7 @@ def test_ivf_retrain_trigger_counts_empty_cells(spark):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+@pytest.mark.slow  # >=10 s measured; deselected by default (r15, VERDICT r14 #1)
 def test_neardup_index_at_least_once(spark):
     """End-to-end at-least-once contract (VERDICT r8 item 5): an
     upstream that RE-SENDS ids in later batches (not a replay of the
@@ -1799,6 +1802,7 @@ def test_partitioned_catalog_rename_swap_loses_data(spark):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
+@pytest.mark.slow  # >=10 s measured; deselected by default (r15, VERDICT r14 #1)
 def test_retrain_trigger_incremental_histogram(spark):
     """ivf_retrain_trigger(cell_hist=...) — the ingest-path variant
     fed by a running histogram folded from per-batch cell_counts —

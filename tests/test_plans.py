@@ -651,6 +651,7 @@ def test_incremental_sessionize_two_shuffles(spark):
     assert any("__epoch" not in e for e in exchanges)
 
 
+@pytest.mark.slow  # >=10 s measured; deselected by default (r15, VERDICT r14 #1)
 def test_ivfpq_scan_pruned_and_rerank_filter_pushed(spark):
     """The PQ code table inherits the IVF index's partition-pruned
     probe (PartitionFilters with the cell IN-list on the pruned route),

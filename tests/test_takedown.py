@@ -439,6 +439,7 @@ def test_takedown_compact_mutually_excluded(spark):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+@pytest.mark.slow  # >=10 s measured; deselected by default (r15, VERDICT r14 #1)
 def test_delete_epoch_store(spark, tmp_path, monkeypatch):
     """C11 takedown: delete_epoch_store rewrites only the epochs
     holding victims, keeps their _SUCCESS commit markers (deletions

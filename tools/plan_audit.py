@@ -278,7 +278,11 @@ def main() -> None:
         if flags:
             flagged += 1
             print(f"FLAG {name}: {', '.join(flags)}")
-    out_path = os.path.join(here, BASELINE_NAME)
+    # a SUBSTRING-FILTERED run must never overwrite the committed
+    # full-registry baseline (it would silently shrink the gate)
+    out_path = os.path.join(
+        here, BASELINE_NAME if not subs else "PLAN_AUDIT_subset.json"
+    )
     with open(out_path, "w") as f:
         json.dump(
             {"sf_dir": sf_dir, "n_queries": len(results), "queries": results},
